@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators — the SURVEY §2 inventory re-expressed as
+  * composable DataFrame helpers. Each is declarative (Catalyst optimizes:
+  * pushdown, pruning, join strategy, AQE) and shuffle-conscious:
+  * anti/semi joins shuffle once on their keys; window dedup shuffles once
+  * on the partition keys; nothing collects to the driver.
+  *
+  * Reference semantics: /root/reference/utlis/etl_manager.py (file:line in
+  * each Scaladoc below).
+  */
+object Relational {
+
+  /** Latest row per group — ROW_NUMBER() OVER (PARTITION BY .. ORDER BY .. DESC) = 1.
+    * Reference: etl_manager.py:228-237 (W1). Tie-break columns make the
+    * result deterministic (the reference relies on unique created_at).
+    */
+  def latestPerGroup(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordering = (col(orderCol).desc +: tieBreak.map(col(_).desc))
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Argmax: rows where orderCol equals the per-group max — the correlated
+    * scalar subquery idiom. Reference: etl_manager.py:77-88 (J7).
+    * One shuffle on the group keys; no join back to the source.
+    */
+  def argmax(df: DataFrame, groupCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__mx", max(col(orderCol)).over(w))
+      .filter(col(orderCol) === col("__mx")).drop("__mx")
+  }
+
+  /** Rows of `left` with no key match in `right` — the LEFT JOIN .. IS NULL
+    * anti-join idiom. Reference: etl_manager.py:779-794 (J2). */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Rows of `left` with at least one key match in `right` — the
+    * IN (subquery) semi-join idiom. Reference: etl_manager.py:845-866 (J4). */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** Boolean ALL per group with Python `all([]) == True` semantics:
+    * bool_and over an empty/all-null group must coalesce to true.
+    * Reference: etl_manager.py:189,245 (A3; SURVEY §7.4.5). */
+  def boolAllExpr(pred: Column): Column = coalesce(bool_and(pred), lit(true))
+
+  /** Boolean ANY per group; empty group → false (Python any([]) == False).
+    * Reference: etl_manager.py:460 (A4). */
+  def boolAnyExpr(pred: Column): Column = coalesce(bool_or(pred), lit(false))
+
+  /** Null-safe element extraction after split — Trino TRY(split(s, d)[i]).
+    * element_at returns null when out of bounds (1-based, like Trino/DuckDB).
+    * Reference: etl_manager.py:447 (P3/F1). */
+  def tryElementAt(c: Column, delim: String, idx: Int): Column =
+    when(size(split(c, delim)) >= idx, element_at(split(c, delim), idx))
+
+  /** Calendar-picker: min value of `orderCol` among rows matching `pred`,
+    * falling back to the overall max when the backlog is empty — the
+    * try/except pair of ORDER BY LIMIT 1 queries in etl_manager.py:48-67 (O1).
+    * Single pass: conditional min + unconditional max in one aggregate.
+    */
+  def pickNextOrFallback(df: DataFrame, pred: Column, orderCol: String): DataFrame =
+    df.agg(
+      min(when(pred, col(orderCol))).as("__next"),
+      max(col(orderCol)).as("__fallback"))
+      .select(coalesce(col("__next"), col("__fallback")).as(orderCol))
+
+  /** MERGE INTO as full-outer join-and-rewrite (no ACID table format;
+    * single-writer batch semantics are identical). Matched rows take the
+    * source's values; unmatched keep the target's; source-only rows insert.
+    * Reference: etl_manager.py:617-635,687-711 (J5).
+    *
+    * At 100 TB this is a single shuffle on the merge keys of both sides —
+    * same cost class as any MERGE implementation; pre-bucketing both tables
+    * on the keys would make it shuffle-free.
+    */
+  def mergeAsRewrite(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(source.columns.sorted.sameElements(target.columns.sorted),
+      s"merge schema mismatch: ${source.columns.mkString(",")} vs ${target.columns.mkString(",")}")
+    // Rename-before-join (not alias-based resolution): target may itself be
+    // derived from source, and unique names sidestep self-join ambiguity.
+    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, "__s_" + c))
+    val cond = keys.map(k => col(k) <=> col("__s_" + k)).reduce(_ && _)
+    target.join(s, cond, "full_outer")
+      .select(target.columns.map(c => coalesce(col("__s_" + c), col(c)).as(c)): _*)
+  }
+
+  /** UPDATE .. WHERE key IN (subquery) as read→when→rewrite.
+    * Reference: etl_manager.py:821-866 (J6). Keys dataframe is expected to
+    * be registry-scale → broadcast semi-join, no shuffle of the fact side.
+    */
+  def updateWhereIn(target: DataFrame, keyRows: DataFrame, keys: Seq[String],
+                    assignments: Map[String, Column]): DataFrame = {
+    val marked = target.join(
+      broadcast(keyRows.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1))),
+      keys, "left")
+    val updated = assignments.foldLeft(marked) { case (df, (c, v)) =>
+      df.withColumn(c, when(col("__hit") === 1, v).otherwise(col(c)))
+    }
+    updated.drop("__hit").select(target.columns.map(col): _*)
+  }
+}
