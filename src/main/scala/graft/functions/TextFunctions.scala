@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling, and engine-portable stable hashing.
+  *
+  * Everything here is a pure Catalyst `Column` expression — codegen'd inside
+  * WholeStageCodegen, no UDFs, no driver round-trips — so each function
+  * scales linearly over a 100 TB `documents` table and its results are
+  * reproducible in any ANSI engine (the DuckDB oracle mirrors each one).
+  *
+  * Hash portability: every hash is derived from `md5` of an explicit string,
+  * never from an engine-internal hash (Spark's `hash`/`xxhash64` and
+  * DuckDB's `hash` disagree), so signatures computed here match signatures
+  * computed by any other engine byte-for-byte.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty/blank text → empty array. */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword count: letter runs + single digits + single symbols —
+    * the standard cheap proxy for tokenizer cost when budgeting a corpus. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Count of non-alphanumeric, non-space symbols. */
+  def punctCount(c: Column): Column = regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+
+  /** Count of characters outside printable ASCII (space..tilde) — cheap
+    * CJK/extended-script signal for language routing. */
+  def nonAsciiCount(c: Column): Column = regexp_count(c, lit("[^ -~]"))
+
+  /** Hits of common English stopwords (word-bounded, lowercased). */
+  def stopwordCount(c: Column): Column =
+    regexp_count(lower(c), lit("\\b(the|and|is|of|to|in|a|for|on|it)\\b"))
+
+  /** Composite document-quality score in [0,1]:
+    * 40% length saturation (tokens/100 capped), 30% low punctuation noise,
+    * 30% stopword naturalness (stopwords per token, saturated at 1/5).
+    * Pure integer-derived double arithmetic → bit-identical across engines. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChr = length(c).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - when(nChr > 0, punctCount(c) / nChr).otherwise(lit(0.0))
+    val stopScore = least(when(nTok > 0, stopwordCount(c) * 5.0 / nTok).otherwise(lit(0.0)), lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** Marker-word language scores. Scoring is a deterministic n-gram/marker
+    * heuristic; prediction = fixed-priority argmax (CJK presence wins). */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|of|to)\\b",
+    "de" -> "\\b(der|die|und|ist|ein)\\b",
+    "fr" -> "\\b(le|les|des|est|une)\\b",
+    "es" -> "\\b(el|los|las|una|por)\\b")
+
+  /** Predicted language code: 'zh' on any non-ASCII script, else the
+    * highest-scoring marker profile, ties broken en>de>fr>es. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, re) => l -> regexp_count(lower(c), lit(re)) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(nonAsciiCount(c) > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Exact-dedup key that survives formatting noise. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Distinct character n-gram shingles (1-based substrings); texts shorter
+    * than n shingle to themselves so no document vanishes. Array order is
+    * positional → downstream sequential folds are deterministic. */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(sequence(lit(1), length(c) - n + 1), i => c.substr(i, lit(n)))))
+      .otherwise(array(c))
+
+  /** First 15 hex digits of md5 as a non-negative 60-bit long — an
+    * engine-portable stable hash (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)). */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Salted portable hash family: hashK(i, s) = md5(i ':' s), compared as
+    * hex strings (lexicographic order == value order for fixed width). */
+  def saltedMd5(i: Int, c: Column): Column = md5(concat(lit(s"$i:"), c))
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All are declarative DataFrame pipelines —
+  * Catalyst plans them, AQE handles skew — and every hash is md5-derived so
+  * the DuckDB oracle reproduces each result exactly.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - exact dedup: one shuffle on the 128-bit fingerprint; fingerprints are
+  *     uniformly distributed so no skew.
+  *   - MinHash/LSH: cost is dominated by the shingle explode (|text| rows per
+  *     doc) and one shuffle per groupBy; candidate generation joins on
+  *     (band, band_hash) — uniform md5 keys, so the join partitions evenly.
+  *     This is THE near-dup path at scale: no all-pairs stage ever
+  *     materializes; the verify stage only touches LSH candidates.
+  *   - SimHash: banded by pigeonhole (4 chunks of 15 bits ⇒ hamming ≤ 3
+  *     guarantees a shared chunk); candidates join on chunk value, the
+  *     all-pairs comparison is never built.
+  *   - n-gram Jaccard: the shingle-join candidate generator degrades on very
+  *     common shingles (stopword 5-grams); at scale prefer lshCandidatePairs
+  *     then jaccardFor(candidates) — provided here as the composed
+  *     `nearDupPairs`.
+  */
+object Dedup {
+
+  /** Exact dedup on the canonical fingerprint: one row per distinct content,
+    * keeping the smallest id as survivor. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle) pairs, distinct per doc. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol), explode(charShingles(col(textCol), shingleN)).as("sh"))
+
+  /** k-wide MinHash signature: mh_i = min over shingles of md5(i ':' shingle).
+    * Hex-string min == numeric min for fixed-width hex. One explode + one
+    * groupBy(id) with k parallel min-aggregates (map-side partial agg). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, shingleN: Int = 5): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val aggs = (0 until k).map(i => min(saltedMd5(i, col("sh"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: b bands × r rows (k = b*r); band hash = md5 of the band's
+    * minhashes. Docs sharing any band hash are near-dup candidates. */
+  def lshBands(sig: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
+    val bandStructs = (0 until b).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", (0 until r).map(i => col(s"mh_${j * r + i}")): _*)).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("band_hash"))
+  }
+
+  /** Candidate pairs (a_id < b_id) sharing ≥1 LSH band. The only join in the
+    * near-dup path — on uniform (band, band_hash) keys. */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
+      .join(bands.select(col("band"), col("band_hash"), col(idCol).as("b_id")),
+        Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+  /** Exact n-gram Jaccard: |A∩B| via shingle match, jaccard =
+    * inter/(|A|+|B|-inter). Integer ratio → bit-identical doubles in every
+    * engine.
+    *
+    * With `candidates` the intersection is built candidate-first — pair rows
+    * fan out only to each candidate's own shingles, never through a global
+    * shingle self-join (a common 5-gram shared by 10^5 docs would otherwise
+    * materialize 10^10 pair rows). Without candidates (small inputs only) it
+    * falls back to the shingle self-join. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, minJaccard: Double,
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairShingles = candidates match {
+      case Some(c) =>
+        c.select(col("a_id"), col("b_id"))
+          .join(sh.select(col(idCol).as("a_id"), col("sh")), Seq("a_id"))
+          .join(sh.select(col(idCol).as("b_id"), col("sh")), Seq("b_id", "sh"))
+      case None =>
+        sh.select(col(idCol).as("a_id"), col("sh"))
+          .join(sh.select(col(idCol).as("b_id"), col("sh")), Seq("sh"))
+          .filter(col("a_id") < col("b_id"))
+    }
+    pairShingles.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The composed scale path: MinHash → LSH candidates → exact-Jaccard verify. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, b: Int = 4, shingleN: Int = 5,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val cands = lshCandidatePairs(lshBands(minhashSignature(df, idCol, textCol, k, shingleN),
+      idCol, b, k / b), idCol)
+    jaccardPairs(df, idCol, textCol, shingleN, minJaccard, Some(cands))
+  }
+
+  /** 60-bit SimHash over distinct whitespace tokens: bit j of the signature
+    * is set iff the sum over tokens of (±1 by token-hash bit j) is positive.
+    * Two grouped integer sums — order-free, engine-portable. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
+      .withColumn("h", stableHash60(col("tok")))
+    val bits = tok.select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("contrib", expr("(CAST(shiftright(h, j) & 1 AS INT)) * 2 - 1"))
+    bits.groupBy(col(idCol), col("j")).agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 15), banded:
+    * split the 60-bit signature into 4 chunks of 15 bits; by pigeonhole any
+    * pair within hamming 3 shares an identical chunk, so candidates come
+    * from 4 chunk-equality joins (uniform keys), never an all-pairs scan. */
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val chunked = sim.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+    val cands = chunked.select(col("c"), col("chunk"), col(idCol).as("a_id"), col("simhash").as("a_sim"))
+      .join(chunked.select(col("c"), col("chunk"), col(idCol).as("b_id"), col("simhash").as("b_sim")),
+        Seq("c", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+    cands.withColumn("hamming", expr("bit_count(a_sim ^ b_sim)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

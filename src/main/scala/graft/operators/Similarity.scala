@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.stableHash60
+
+/** Vector similarity search over an `Array[Float]` embedding column:
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the approximate scale path, and cosine near-dup pairs.
+  *
+  * Numeric determinism: vectors are quantized to integers (×1000, round) and
+  * all dot products are integer sums — exactly representable in doubles at
+  * any accumulation order — so scores are bit-identical run-to-run, across
+  * partitionings, and across engines (the DuckDB oracle reproduces them).
+  * The ×1000 quantization costs < 1e-3 relative cosine error on unit-scale
+  * embeddings — irrelevant for ranking, essential for reproducibility.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - brute-force is O(|Q|·|C|): correct tool only when |Q| is small and
+  *     broadcast (the plan broadcasts the query side — zero shuffle of the
+  *     corpus, one scan, codegen'd array fold per row).
+  *   - LSH: each vector maps to a bucket code from `nPlanes` md5-seeded
+  *     hyperplanes; search touches only same-bucket candidates. Bucket
+  *     assignment is a scan + per-row array fold against a broadcast plane
+  *     table (no shuffle); the candidate join keys on bucket codes. Recall
+  *     tunes with nPlanes (fewer planes → bigger buckets → higher recall).
+  */
+object Similarity {
+
+  /** Quantize a float/double array to longs: round(x * 1000). */
+  def quantize(a: Column): Column =
+    transform(a, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two long-array columns (sequential fold;
+    * magnitudes ≤ dim · 1e6 ≪ 2^53 so any engine agrees exactly). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors — deterministic double from exact ints. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b) / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Exact top-k neighbors for each query vector (self-match excluded).
+    * queries/corpus: (idCol, embCol). Query side is broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), quantize(col(embCol)).as("q_emb")))
+    val scored = corpus.select(col(idCol), quantize(col(embCol)).as("__qe"))
+      .join(q, col("q_id") =!= col(idCol))
+      .withColumn("cos", round(qcosine(col("q_emb"), col("__qe")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** md5-seeded integer hyperplanes: nPlanes rows of (p, w[dim]) with each
+    * weight in [-500, 500] from md5(p ':' d) — reproducible anywhere, no RNG. */
+  def hyperplanes(spark: SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    spark.range(nPlanes).select(col("id").cast("int").as("p"))
+      .withColumn("w", transform(sequence(lit(0), lit(dim - 1)),
+        d => stableHash60(concat(col("p").cast("string"), lit(":"), d.cast("string"))) % 1001 - 500))
+
+  /** Bucket code per vector: bit p set iff quantized(emb) · plane_p > 0.
+    * Integer dot + integer sum → fully deterministic. */
+  def lshBuckets(df: DataFrame, planes: DataFrame,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), quantize(col(embCol)).as("__qe"))
+      .join(broadcast(planes), lit(true))
+      .withColumn("bit", when(qdot(col("__qe"), col("w")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
+      .groupBy(col(idCol)).agg(sum(col("bit")).as("bucket"))
+
+  /** Approximate top-k: candidates share the query's bucket code, then exact
+    * cosine rank within the bucket. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, planes: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val corpusB = corpus.select(col(idCol), quantize(col(embCol)).as("__qe"))
+      .join(lshBuckets(corpus, planes, idCol, embCol), idCol)
+    val q = broadcast(queries.select(col(idCol), quantize(col(embCol)).as("q_emb"))
+      .join(lshBuckets(queries, planes, idCol, embCol), idCol)
+      .select(col(idCol).as("q_id"), col("q_emb"), col("bucket")))
+    val scored = corpusB.join(q, Seq("bucket")).filter(col("q_id") =!= col(idCol))
+      .withColumn("cos", round(qcosine(col("q_emb"), col("__qe")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among same-LSH-bucket
+    * candidates (a_id < b_id). The scale-safe variant of all-pairs cosine. */
+  def cosineNearDupPairs(df: DataFrame, planes: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val withB = df.select(col(idCol), quantize(col(embCol)).as("__qe"))
+      .join(lshBuckets(df, planes, idCol, embCol), idCol)
+    withB.select(col("bucket"), col(idCol).as("a_id"), col("__qe").as("a_emb"))
+      .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb")),
+        Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(qcosine(col("a_emb"), col("b_emb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

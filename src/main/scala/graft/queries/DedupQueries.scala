@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Near-duplicate detection queries over `documents`: the MinHash→LSH→
+  * Jaccard-verify pipeline and banded SimHash. Oracles recompute the same
+  * md5-derived hashes in DuckDB, so candidate sets and scores match exactly.
+  */
+object DedupQueries {
+
+  private val K = 16 // minhash width
+  private val B = 4  // LSH bands (r = K/B = 4 rows per band)
+  private val N = 5  // shingle length
+
+  /** q20: MinHash(16) → LSH(4×4) candidates → exact-Jaccard verify ≥ 0.5.
+    * The at-scale near-dup path: no all-pairs stage exists in the plan. */
+  def q20LshNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      k = K, b = B, shingleN = N, minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
+  def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text"),
+      "doc_id", maxHamming = 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_lsh_near_dup" -> (q20LshNearDup _),
+    "q21_simhash_pairs" -> (q21SimhashPairs _))
+
+  // ---- oracle SQL (generated to mirror the Scala parameters) ----
+
+  private val shingleCte =
+    raw"""sh AS (SELECT doc_id, unnest(CASE WHEN len(text) >= $N
+        THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
+        ELSE [text] END) AS sh FROM documents)"""
+
+  private val sigCols = (0 until K).map(i => s"min(md5('$i:'||sh)) AS mh_$i").mkString(", ")
+
+  private val bandSelects = (0 until B).map { j =>
+    val cc = (0 until K / B).map(i => s"mh_${j * (K / B) + i}").mkString("||'|'||")
+    s"SELECT doc_id, $j AS band, md5($cc) AS bh FROM sig"
+  }.mkString(" UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q20_lsh_near_dup" ->
+      raw"""WITH $shingleCte,
+         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.a_id
+                   JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+                   GROUP BY 1, 2)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT i.a_id, i.b_id,
+             round(i.inter/(sa.sz + sb.sz - i.inter), 4) AS jaccard
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.a_id
+           JOIN sizes sb ON sb.doc_id = i.b_id)
+         WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+    "q21_simhash_pairs" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text), '\s+') END)) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, j, sum(CAST((h >> j) & 1 AS INT)*2 - 1) AS s
+                  FROM h, range(0,60) t(j) GROUP BY 1,2),
+         sim AS (SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY 1),
+         chunks AS (SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS chunk
+                    FROM sim, range(0,4) t(c)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.simhash AS a_sim, b.simhash AS b_sim
+                  FROM chunks a JOIN chunks b
+                    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 3 ORDER BY 1, 2""")
+}

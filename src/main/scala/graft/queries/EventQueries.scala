@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.wsTokens
+
+/** Event-log / semi-structured queries: JSON extraction (SURVEY F/S5),
+  * timezone shift (F13), tumbling-window aggregation (the batch twin of the
+  * streaming path in graft.streaming), and token explode (F5/F6 UNNEST). */
+object EventQueries {
+
+  /** q25: JSON property extraction + grouped rollup — get_json_object over
+    * the `props` column, bucketed modulo 10. Monetary doubles as cents. */
+  def q25JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+        col("value"))
+      .groupBy(col("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("k_mod"))
+
+  /** q26: UTC→Asia/Bangkok display shift (reference send_email.py:778-779):
+    * events per local hour-of-day with distinct users. */
+  def q26TzHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_format(from_utc_timestamp(col("ts"), "Asia/Bangkok"), "HH").as("hour_ict"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_ict"))
+
+  /** q27: 1-hour tumbling window aggregation — identical semantics to the
+    * Structured Streaming ingest (graft.streaming.EventStream); epoch-aligned
+    * window start == date_trunc('hour'). */
+  def q27WindowHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("value_cents"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** q28: UNNEST/explode — whitespace tokens of part names, counted.
+    * The arrays_zip/explode surface of SURVEY F5/F6. */
+  def q28CommentWords(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(explode(wsTokens(lower(col("p_name")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy(col("word"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_json_extract" -> (q25JsonExtract _),
+    "q26_tz_hourly" -> (q26TzHourly _),
+    "q27_window_hourly" -> (q27WindowHourly _),
+    "q28_comment_words" -> (q28CommentWords _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q26_tz_hourly" ->
+      """SELECT strftime(ts + INTERVAL 7 HOUR, '%H') AS hour_ict,
+         count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q27_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q28_comment_words" ->
+      raw"""SELECT word, n FROM (
+           SELECT word, count(*) AS n FROM (
+             SELECT unnest(CASE WHEN len(trim(lower(p_name))) = 0 THEN []
+               ELSE regexp_split_to_array(trim(lower(p_name)), '\s+') END) AS word
+             FROM part)
+           GROUP BY 1)
+         WHERE n >= 2 ORDER BY word""")
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (64-dim float vectors):
+  * exact brute-force cosine top-k, hyperplane-LSH approximate top-k, and
+  * LSH-scoped cosine near-dup pairs. Vectors are quantized (×1000 → long)
+  * so every score is an integer-derived double — identical in DuckDB.
+  */
+object SimQueries {
+
+  private val Dim = 64
+  private val Planes = 8
+  private val TopK = 5
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+
+  /** q22: exact cosine top-5 for 10 query vectors (broadcast queries ×
+    * one corpus scan; no corpus shuffle). */
+  def q22CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
+      .orderBy(col("q_id"), col("rank"))
+
+  /** q23: LSH-approximate top-5 — 8 md5-seeded hyperplanes → 256 buckets,
+    * rank within the query's bucket only. */
+  def q23AnnTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"),
+      Similarity.hyperplanes(spark, Planes, Dim), TopK)
+      .orderBy(col("q_id"), col("rank"))
+
+  /** q24: embedding near-dup pairs — cosine ≥ 0.35 within shared LSH bucket. */
+  def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables(spark, dir, "embeddings"),
+      Similarity.hyperplanes(spark, Planes, Dim), 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_cosine_topk" -> (q22CosineTopK _),
+    "q23_ann_topk" -> (q23AnnTopK _),
+    "q24_embedding_near_dup" -> (q24EmbeddingNearDup _))
+
+  // ---- oracle SQL ----
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private def cosSql(a: String, b: String) =
+    s"round(list_dot_product($a,$b)/(sqrt(CAST(list_dot_product($a,$a) AS DOUBLE))" +
+      s"*sqrt(CAST(list_dot_product($b,$b) AS DOUBLE))), 4)"
+
+  private val planesCte =
+    raw"""planes AS (SELECT p,
+        [CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) % 1001 - 500 for d in range(0,$Dim)] AS w
+      FROM range(0,$Planes) t(p))"""
+
+  private val bucketsCte =
+    raw"""e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+      bk AS (SELECT vec_id,
+          CAST(sum(CASE WHEN list_dot_product(qe,w) > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, planes GROUP BY 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "q22_cosine_topk" ->
+      raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),
+         s AS (SELECT q_id, vec_id, ${cosSql("qe", "ce")} AS cos
+               FROM q, c WHERE q_id <> vec_id),
+         r AS (SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "q23_ann_topk" ->
+      raw"""WITH $planesCte, $bucketsCte,
+         cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id)),
+         qs AS (SELECT vec_id AS q_id, qe AS q_emb, bucket FROM cb WHERE vec_id < 10),
+         s AS (SELECT q.q_id, c.vec_id, ${cosSql("q.q_emb", "c.qe")} AS cos
+               FROM qs q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
+         r AS (SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "q24_embedding_near_dup" ->
+      raw"""WITH $planesCte, $bucketsCte,
+         cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id))
+         SELECT a_id, b_id, cos FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos
+           FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.35 ORDER BY 1, 2""")
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Unit semantics for dedup + similarity operators on hand-built data —
+  * the invariants the fixtures can't pin (exact survivors, known near-dups,
+  * recall of the LSH paths vs brute force). */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content with zero overlap whatsoever xyzzy"),
+    (5L, "  The  QUICK brown fox jumps over the lazy dog ") // dup modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses canonical-identical docs, keeps min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
+    assert(out.length === 3) // {1,2,5}, {3}, {4}
+    val big = out.find(_.getAs[Long]("n_copies") === 3L).get
+    assert(big.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash signature is identical for identical docs, differs for unrelated") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("LSH → jaccard pipeline finds the near-dup pair and skips unrelated") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dups always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup found
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never paired
+  }
+
+  test("simhash: identical docs hamming 0; banded pairs ⊆ hamming ≤ 3") {
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val byId = sim.as[(Long, Long)].collect().toMap
+    assert(byId(1L) === byId(2L))
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 3).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+  }
+
+  test("jaccard is exact: 8/10 shared shingles → 8/12") {
+    // identical 5-gram sets except a tail difference; verify the ratio math
+    val two = docs.filter($"doc_id".isin(1L, 3L))
+    val j = Dedup.jaccardPairs(two, "doc_id", "text", shingleN = 5, minJaccard = 0.0)
+      .select("jaccard").as[Double].head()
+    val sh1 = docs.filter($"doc_id" === 1L)
+      .select(explode(TextFunctions.charShingles($"text", 5))).as[String].collect().toSet
+    val sh3 = docs.filter($"doc_id" === 3L)
+      .select(explode(TextFunctions.charShingles($"text", 5))).as[String].collect().toSet
+    val expected = BigDecimal(sh1.intersect(sh3).size.toDouble / sh1.union(sh3).size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(j === expected)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // ~parallel to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine: parallel > orthogonal > opposite") {
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0L), vecs, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out === Seq(1L, 2L, 3L))
+  }
+
+  test("annTopK returns a subset of brute-force candidates with same scores") {
+    val planes = Similarity.hyperplanes(spark, 4, 4)
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select("q_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toMap2
+    val ann = Similarity.annTopK(vecs, vecs, planes, 3)
+      .select("q_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, n, c) => assert(brute((q, n)) === c) }
+  }
+
+  implicit private class Tup3Ops(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = rows.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes(spark, 4, 8).collect().map(_.toString).sorted
+    val b = Similarity.hyperplanes(spark, 4, 8).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("langId picks marker-matched language and zh on non-ascii") {
+    val d = Seq("the cat and the hat is here", "der hund ist ein tier und",
+      "le chat et les chiens est une", "你好世界").toDF("text")
+    val got = d.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(got === Seq("en", "de", "fr", "zh"))
+  }
+
+  test("qualityScore is in [0,1] and favors natural text") {
+    val d = Seq("the cat and the dog is in a house for it to rest",
+      "!!! ### $$$ %%% ^^^").toDF("text")
+    val s = d.select(TextFunctions.qualityScore($"text")).as[Double].collect()
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s(0) > s(1))
+  }
+}
