@@ -1,0 +1,146 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Relational
+
+/** Versioned parquet warehouse — the engine's replacement for the
+  * reference's Iceberg tables (mutable ACID surface + metadata log +
+  * information_schema; SURVEY §1.1).
+  *
+  * Layout per table `root/schema/table/`:
+  *   data/v{N}/        parquet data written at version N
+  *   _log/v{N}.list    newline-separated data dirs visible at version N
+  *   _current          single line: latest committed version number
+  *
+  * Commit protocol (single-writer batch, like the reference's daily run):
+  * write data dir → write version list → write `_current.tmp` → rename over
+  * `_current`. Readers resolve `_current` → version list → parquet dirs, so
+  * a crash mid-write leaves the previous version fully readable (the new
+  * data dir is an orphan for OrphanSweep to collect — exactly Iceberg's
+  * failure mode). The `_log` dir doubles as the `$metadata_log_entries`
+  * system-table equivalent the housekeeping jobs scan
+  * (reference utlis/clean_metadata.py:54-57).
+  *
+  * MERGE/UPDATE/DELETE are join-and-rewrite over the current version
+  * (reference executes them in Trino/Iceberg: utlis/etl_manager.py:195-353,
+  * 617-709) — semantics identical for single-writer batch; each rewrite is
+  * one shuffle on the merge keys, same cost class as any MERGE.
+  */
+class Warehouse(spark: SparkSession, root: String) {
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tableDir(schema: String, table: String): String = s"$root/$schema/$table"
+
+  private def currentPath(dir: String) = new Path(s"$dir/_current")
+  private def logPath(dir: String, v: Long) = new Path(s"$dir/_log/v$v.list")
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  def currentVersion(schema: String, table: String): Long = {
+    val p = currentPath(tableDir(schema, table))
+    if (fs.exists(p)) readFile(p).trim.toLong else 0L
+  }
+
+  def exists(schema: String, table: String): Boolean =
+    currentVersion(schema, table) > 0
+
+  /** Data dirs visible at the given (default current) version. */
+  def dataDirs(schema: String, table: String, version: Long = -1L): Seq[String] = {
+    val dir = tableDir(schema, table)
+    val v = if (version < 0) currentVersion(schema, table) else version
+    if (v == 0) Seq.empty
+    else readFile(logPath(dir, v)).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(rel => s"$dir/$rel")
+  }
+
+  def read(schema: String, table: String): DataFrame = {
+    val dirs = dataDirs(schema, table)
+    require(dirs.nonEmpty, s"no such table $schema.$table")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def commit(dir: String, v: Long, rels: Seq[String]): Unit = {
+    writeFile(logPath(dir, v), rels.mkString("\n"))
+    val tmp = new Path(s"$dir/_current.tmp")
+    writeFile(tmp, v.toString)
+    val cur = currentPath(dir)
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+  }
+
+  /** Overwrite: new version referencing only the new data dir. */
+  def overwrite(schema: String, table: String, df: DataFrame): Long = {
+    val dir = tableDir(schema, table)
+    val v = currentVersion(schema, table) + 1
+    df.write.mode("overwrite").parquet(s"$dir/data/v$v")
+    commit(dir, v, Seq(s"data/v$v"))
+    v
+  }
+
+  /** Append: new version referencing previous dirs plus the new one — no
+    * data rewrite (the chunked-INSERT path, reference etl_manager.py:131-155). */
+  def append(schema: String, table: String, df: DataFrame): Long = {
+    val dir = tableDir(schema, table)
+    val v = currentVersion(schema, table) + 1
+    val prev = if (v == 1) Seq.empty else dataDirs(schema, table).map(_.stripPrefix(s"$dir/"))
+    df.write.mode("overwrite").parquet(s"$dir/data/v$v")
+    commit(dir, v, prev :+ s"data/v$v")
+    v
+  }
+
+  /** MERGE INTO as full-outer join-and-rewrite (Relational.mergeAsRewrite). */
+  def merge(schema: String, table: String, source: DataFrame, keys: Seq[String]): Long =
+    overwrite(schema, table, Relational.mergeAsRewrite(read(schema, table), source, keys))
+
+  /** UPDATE ... WHERE key IN (keyRows) as read→when→rewrite. */
+  def update(schema: String, table: String, keyRows: DataFrame, keys: Seq[String],
+             assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    overwrite(schema, table, Relational.updateWhereIn(read(schema, table), keyRows, keys, assignments))
+
+  /** DELETE WHERE key IN (keyRows) as anti-join-and-rewrite. */
+  def delete(schema: String, table: String, keyRows: DataFrame, keys: Seq[String]): Long =
+    overwrite(schema, table, Relational.antiJoin(read(schema, table), keyRows.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), keys))
+
+  /** The metadata-log system table: (version, file) rows, one per log entry
+    * — queryable like `"{t}$metadata_log_entries"`. */
+  def metadataLog(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    val dir = tableDir(schema, table)
+    val logDir = new Path(s"$dir/_log")
+    val rows = if (!fs.exists(logDir)) Seq.empty[(Long, String, Long)]
+    else fs.listStatus(logDir).toSeq.map { st =>
+      val v = st.getPath.getName.stripPrefix("v").stripSuffix(".list").toLong
+      (v, st.getPath.toString, st.getModificationTime)
+    }
+    rows.toDF("version", "file", "last_updated_ms")
+  }
+
+  /** information_schema.tables equivalent: scan the warehouse directory
+    * tree for committed tables (reference utlis/clean_data.py:79-81). */
+  def listTables(): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      schemaDir <- if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq.filter(_.isDirectory) else Seq.empty
+      tableDir <- fs.listStatus(schemaDir.getPath).toSeq.filter(_.isDirectory)
+      if fs.exists(new Path(tableDir.getPath, "_current"))
+    } yield (schemaDir.getPath.getName, tableDir.getPath.getName)
+    rows.toDF("table_schema", "table_name")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest of the `events` table — the incremental
+  * extension of the batch surface (SURVEY §2.9): the reference is pure
+  * daily batch, so streaming here reuses the exact batch operators via
+  * `Trigger.AvailableNow` (process-everything-then-stop), giving
+  * batch-equivalent results with streaming's checkpoint/exactly-once
+  * machinery.
+  *
+  * At scale this is the 100 TB ingest pattern: new parquet files land in a
+  * directory; each AvailableNow run processes only files the checkpoint
+  * hasn't seen; the 1-hour watermark bounds state for the windowed
+  * aggregation, so state size tracks the watermark horizon, not history.
+  */
+object EventStream {
+
+  /** events parquet schema — ts is INT64(nanos) read as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong (see graft.core.Tables). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    // glob (not bare file path): the file stream source requires a
+    // directory/glob so its basePath resolves to the parent directory
+    spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** 1-hour tumbling windows per event_type — identical expression tree to
+    * the batch q27_window_hourly, plus a watermark for state cleanup. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Run the windowed aggregation over all currently-available files into an
+    * in-memory table (complete mode: every window, including ones the
+    * watermark hasn't closed — matches the batch result exactly). */
+  def runAvailableNow(spark: SparkSession, sfDir: String, sinkTable: String,
+                      checkpoint: String): StreamingQuery = {
+    val q = hourlyAgg(readEvents(spark, sfDir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,87 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.maintenance.Maintenance
+
+/** Versioned-warehouse semantics: overwrite/append/merge/update/delete,
+  * metadata log, catalog listing, compaction, orphan sweep. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh_").toString)
+
+  test("overwrite/read round-trips and bumps versions") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(wh.read("s", "t").count() === 2)
+    wh.overwrite("s", "t", Seq((3, "c")).toDF("id", "v"))
+    assert(wh.currentVersion("s", "t") === 2)
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((3, "c")))
+  }
+
+  test("append adds rows without rewriting previous data") {
+    val wh = freshWh()
+    wh.append("s", "t", Seq((1, "a")).toDF("id", "v"))
+    wh.append("s", "t", Seq((2, "b")).toDF("id", "v"))
+    assert(wh.read("s", "t").count() === 2)
+    assert(wh.dataDirs("s", "t").size === 2)
+  }
+
+  test("merge upserts matched keys and inserts new ones") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    wh.merge("s", "t", Seq((2, "B"), (3, "c")).toDF("id", "v"), Seq("id"))
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("merge is idempotent") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a")).toDF("id", "v"))
+    val src = Seq((1, "A"), (2, "b")).toDF("id", "v")
+    wh.merge("s", "t", src, Seq("id"))
+    val once = wh.read("s", "t").as[(Int, String)].collect().toSet
+    wh.merge("s", "t", src, Seq("id"))
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === once)
+  }
+
+  test("update and delete rewrite only keyed rows") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    wh.update("s", "t", Seq(Tuple1(2)).toDF("id"), Seq("id"), Map("v" -> lit("U")))
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "U"), (3, "c")))
+    wh.delete("s", "t", Seq(Tuple1(1)).toDF("id"), Seq("id"))
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet ===
+      Set((2, "U"), (3, "c")))
+  }
+
+  test("metadata log records one entry per commit; listTables sees the table") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a")).toDF("id", "v"))
+    wh.overwrite("s", "t", Seq((2, "b")).toDF("id", "v"))
+    assert(wh.metadataLog("s", "t").count() === 2)
+    assert(wh.listTables().as[(String, String)].collect().toSet === Set(("s", "t")))
+  }
+
+  test("compaction rewrites to few files; orphan sweep removes stale dirs") {
+    val wh = freshWh()
+    (1 to 3).foreach(i => wh.append("s", "t", Seq((i, i.toString)).toDF("id", "v")))
+    val before = wh.read("s", "t").as[(Int, String)].collect().toSet
+    Maintenance.compact(spark, wh, "s", "t")
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === before)
+    assert(wh.dataDirs("s", "t").size === 1)
+    // now versions 1-3's dirs are only referenced by old logs; prune logs
+    // then sweep with no retention → old data dirs deleted, table intact
+    val deletedLogs = Maintenance.pruneMetadataLog(spark, wh, "s", "t", "1970-01")
+    assert(deletedLogs.nonEmpty)
+    val deleted = Maintenance.orphanSweep(spark, wh, "s", "t")
+    assert(deleted.size === 3)
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === before)
+  }
+}
