@@ -1,0 +1,145 @@
+package graft.controlplane
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Control-plane domain layer — the reference's `etl_manager.py` query
+  * surface re-expressed as typed DataFrame transforms. Each function cites
+  * the reference lines it reproduces; all state lives in warehouse tables
+  * (`etl_dates`, run registry, task-status log) so every transition is a
+  * declarative read→transform→write.
+  *
+  * Tables are registry-scale (rows ≈ dates × sources × tasks), so every
+  * join against them broadcasts; nothing here touches the data plane.
+  */
+object ControlPlane {
+
+  // ---- ETL calendar (etl_manager.py:43-70,219-268,304-355) ----
+
+  /** Next business date: min open non-holiday date, else max date — the
+    * try/except ORDER BY LIMIT 1 pair collapsed to one aggregate (O1). */
+  def nextEtlDate(etlDates: DataFrame): Option[String] =
+    Relational.pickNextOrFallback(
+      etlDates, col("holiday_flag") === 0 && col("status").isNull, "etl_date")
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  /** Flip current_date_flag: 1 for the chosen date, 0 elsewhere
+    * (etl_manager.py:319-337, two UPDATEs → one rewrite). */
+  def setCurrentDate(etlDates: DataFrame, etlDate: String): DataFrame =
+    etlDates.withColumn("current_date_flag",
+      when(col("etl_date") === etlDate, 1).otherwise(0))
+
+  /** Close the date: status='success' when every source's latest run
+    * succeeded (the W1 latest-per-group dedup feeding an A3 bool-all,
+    * etl_manager.py:219-268). */
+  def closeEtlDate(etlDates: DataFrame, runs: DataFrame, etlDate: String): DataFrame = {
+    val latest = Relational.latestPerGroup(
+      runs.filter(col("etl_date") === etlDate), Seq("source_name"), "created_at", Seq("run_id"))
+    val allOk = latest.agg(
+      Relational.boolAllExpr(col("status") === "success").as("ok"))
+      .collect().head.getBoolean(0)
+    if (allOk)
+      etlDates.withColumn("status",
+        when(col("etl_date") === etlDate, lit("success")).otherwise(col("status")))
+    else etlDates
+  }
+
+  // ---- Run registry (etl_manager.py:72-102,271-301,358-382) ----
+
+  /** New run row per (etl_date, source) with a fresh uuid. */
+  def newRun(spark: SparkSession, etlDate: String, source: String,
+             triggeredBy: String): DataFrame = {
+    import spark.implicits._
+    Seq((etlDate, source, triggeredBy)).toDF("etl_date", "source_name", "triggered_by")
+      .withColumn("run_id", expr("uuid()"))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("status", lit(null).cast("string"))
+  }
+
+  /** Latest run_id per (etl_date, source) — the correlated-MAX subquery
+    * (J7, etl_manager.py:77-88) as a window argmax. */
+  def latestRuns(runs: DataFrame): DataFrame =
+    Relational.latestPerGroup(runs, Seq("etl_date", "source_name"), "created_at", Seq("run_id"))
+
+  /** Roll task statuses up to run status: success iff every task row is
+    * success/skipped; empty task list counts as success (Python all([])
+    * parity, etl_manager.py:168-216; SURVEY §7.4.5). */
+  def rollupRunStatus(tasks: DataFrame): DataFrame =
+    tasks.groupBy(col("run_id"))
+      .agg(when(Relational.boolAllExpr(col("status").isin("success", "skipped")),
+        lit("success")).otherwise(lit("failed")).as("run_status"))
+
+  /** Resume-skip gate: task ids with a prior success for (etl_date, source)
+    * — check_conditions semantics (etl_manager.py:435-468) including the
+    * TRY(split(task_id,'.')[3]) compound-OR match (P3). */
+  def succeededTasks(tasks: DataFrame, etlDate: String, source: String): Set[String] =
+    tasks.filter(col("etl_date") === etlDate && col("source_name") === source &&
+      col("status") === "success")
+      .select(coalesce(
+        Relational.tryElementAt(col("task_id"), "\\.", 3), col("task_id")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  // ---- Reporting (send_email.py:409-517 → one grouped pass) ----
+
+  /** The per-source completion report: the reference loops ~5 queries × 20
+    * sources; one groupBy computes every count (A2 mapping). */
+  def completionReport(tasks: DataFrame): DataFrame =
+    tasks.groupBy(col("source_name"), col("schema_name"))
+      .agg(
+        countDistinct(col("task_id")).as("n_total"),
+        countDistinct(when(col("status") === "success", col("task_id"))).as("n_success"),
+        (countDistinct(col("task_id")) -
+          countDistinct(when(col("status") === "success", col("task_id")))).as("n_failure"))
+
+  // ---- Registry lifecycle (etl_manager.py:779-866,983-1069,1120-1379) ----
+
+  /** Rows of `incoming` not yet in `registry` → to insert with
+    * active_status=1 (J2 left-anti new-pairs idiom). */
+  def registerNew(incoming: DataFrame, registry: DataFrame, keys: Seq[String],
+                  loadDate: Column): DataFrame =
+    Relational.antiJoin(incoming, registry, keys)
+      .withColumn("active_status", lit(1))
+      .withColumn("retire_date", lit(null).cast("string"))
+      .withColumn("load_date", loadDate)
+
+  /** Registry rows whose source row disappeared → active_status=0 with
+    * retire_date (J3 reverse-anti + J6 update). */
+  def retireMissing(registry: DataFrame, incoming: DataFrame, keys: Seq[String],
+                    retireDate: Column): DataFrame = {
+    val gone = Relational.antiJoin(
+      registry.filter(col("active_status") === 1).select(keys.map(col): _*),
+      incoming, keys)
+    Relational.updateWhereIn(registry, gone, keys,
+      Map("active_status" -> lit(0), "retire_date" -> retireDate))
+  }
+
+  /** Retired rows that reappeared in the source → reactivate (J4 semi-join
+    * + J6 update; change_type 'reused', etl_manager.py:1353-1376). */
+  def reactivate(registry: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val back = Relational.semiJoin(
+      registry.filter(col("active_status") === 0).select(keys.map(col): _*),
+      incoming, keys)
+    Relational.updateWhereIn(registry, back, keys,
+      Map("active_status" -> lit(1), "retire_date" -> lit(null).cast("string")))
+  }
+
+  /** Full sync cycle: register new, retire missing, reactivate returners —
+    * returns (newRegistry, changeLog rows with change_type add/delete/reused). */
+  def syncRegistry(registry: DataFrame, incoming: DataFrame, keys: Seq[String],
+                   loadDate: Column): (DataFrame, DataFrame) = {
+    val fresh = registerNew(incoming, registry, keys, loadDate)
+    val keyCols = keys.map(col)
+    val adds = fresh.select(keyCols: _*).withColumn("change_type", lit("add"))
+    val goneKeys = Relational.antiJoin(
+      registry.filter(col("active_status") === 1).select(keyCols: _*), incoming, keys)
+      .withColumn("change_type", lit("delete"))
+    val backKeys = Relational.semiJoin(
+      registry.filter(col("active_status") === 0).select(keyCols: _*), incoming, keys)
+      .withColumn("change_type", lit("reused"))
+    val updated = reactivate(retireMissing(registry, incoming, keys, loadDate), incoming, keys)
+    val merged = updated.unionByName(fresh.select(updated.columns.map(col): _*))
+    (merged, adds.unionByName(goneKeys).unionByName(backKeys))
+  }
+}

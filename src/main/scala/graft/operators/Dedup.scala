@@ -35,17 +35,42 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) pairs, distinct per doc. */
+  /** (id, shingle) pairs, distinct per doc. Repartitions by id BEFORE the
+    * explode: (a) the ~100× row blow-up happens on all cores even when the
+    * source is a handful of parquet files, and (b) hash-partitioning by id
+    * pre-satisfies the per-doc groupBys downstream, so the exploded rows
+    * are never shuffled — only the compact doc rows are. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol), explode(charShingles(col(textCol), shingleN)).as("sh"))
+    df.select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df), col(idCol))
+      .select(col(idCol), explode(charShingles(col(textCol), shingleN)).as("sh"))
 
-  /** k-wide MinHash signature: mh_i = min over shingles of md5(i ':' shingle).
-    * Hex-string min == numeric min for fixed-width hex. One explode + one
-    * groupBy(id) with k parallel min-aggregates (map-side partial agg). */
+  /** Explicit partition count for pre-explode repartitions: AQE would
+    * coalesce a byte-small doc shuffle to one partition, serializing the
+    * ~100× explode fan-out; an explicit count keeps it on all cores. */
+  private def fanoutPartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Affine MinHash family over one md5-derived base hash:
+    *   h    = stableHash60(shingle) mod P20   (P20 = 1048573, prime < 2^20)
+    *   mh_i = (A_i * h + B_i) mod P31         (P31 = 2147483647 = 2^31-1)
+    * One md5 per shingle (not k), integer min-aggregates (8-byte state ×16
+    * instead of 32-byte hex strings ×16), and every value stays below 2^51
+    * so the arithmetic is exact in any engine — the DuckDB oracle recomputes
+    * it verbatim. */
+  val MinhashP20 = 1048573L
+  val MinhashP31 = 2147483647L
+  def affineA(i: Int): Long = 1000003L + 7919L * i
+  def affineB(i: Int): Long = 12345L + 104729L * i
+
+  /** k-wide MinHash signature: one explode + one groupBy(id) with k parallel
+    * integer min-aggregates (map-side partial agg). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, shingleN: Int = 5): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
-    val aggs = (0 until k).map(i => min(saltedMd5(i, col("sh"))).as(s"mh_$i"))
+      .withColumn("__h", stableHash60(col("sh")) % MinhashP20)
+    val aggs = (0 until k).map(i =>
+      min((col("__h") * affineA(i) + affineB(i)) % MinhashP31).as(s"mh_$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -54,7 +79,7 @@ object Dedup {
   def lshBands(sig: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
     val bandStructs = (0 until b).map { j =>
       struct(lit(j).as("band"),
-        md5(concat_ws("|", (0 until r).map(i => col(s"mh_${j * r + i}")): _*)).as("bh"))
+        md5(concat_ws("|", (0 until r).map(i => col(s"mh_${j * r + i}").cast("string")): _*)).as("bh"))
     }
     sig.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("band_hash"))
@@ -102,20 +127,63 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** The composed scale path: MinHash → LSH candidates → exact-Jaccard verify. */
+  /** The composed scale path: MinHash → LSH candidates → exact-Jaccard
+    * verify. The shingle rows and candidate set are materialized
+    * (MEMORY_AND_DISK) because the verify stage replays each three times
+    * (signature, sizes, both intersection sides) — at pipeline scale these
+    * are the stages a production run would checkpoint to storage anyway;
+    * without materialization the explode+groupBy subtree executes 5×. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, b: Int = 4, shingleN: Int = 5,
                    minJaccard: Double = 0.5): DataFrame = {
-    val cands = lshCandidatePairs(lshBands(minhashSignature(df, idCol, textCol, k, shingleN),
-      idCol, b, k / b), idCol)
-    jaccardPairs(df, idCol, textCol, shingleN, minJaccard, Some(cands))
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh.withColumn("__h", stableHash60(col("sh")) % MinhashP20)
+    val aggs = (0 until k).map(i =>
+      min((col("__h") * affineA(i) + affineB(i)) % MinhashP31).as(s"mh_$i"))
+    val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardFromShingles(sh, idCol, minJaccard, cands)
+  }
+
+  /** Jaccard verify over pre-built (id, shingle) rows and candidate pairs:
+    * shingle SETS are aggregated once per doc, joined to the pair list, and
+    * intersected per pair with a hash `array_intersect` — the intermediate
+    * is O(|pairs|) rows, never |pairs| × |shingles| join rows. */
+  private def jaccardFromShingles(sh: DataFrame, idCol: String, minJaccard: Double,
+                                  candidates: DataFrame): DataFrame = {
+    // Shingle sets as md5-derived 60-bit longs: intersection cardinality is
+    // identical (collision odds ~2^-60 per shingle pair) while each set is a
+    // flat long array — 4-5× lighter than string arrays through the joins.
+    // Sets are scoped to docs that actually appear in a candidate pair and
+    // broadcast: the verify working set is O(candidate docs), a tiny slice
+    // of the corpus under LSH, so neither the pair list nor the corpus is
+    // ever shuffled with arrays attached. (If candidates outgrow broadcast
+    // size at extreme scale, shard the candidate list and verify per shard.)
+    val candidateIds = candidates.select(col("a_id").as(idCol))
+      .union(candidates.select(col("b_id").as(idCol))).distinct()
+    val sets = sh.join(candidateIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(stableHash60(col("sh"))).as("shs"), count(lit(1)).as("sz"))
+    candidates.select(col("a_id"), col("b_id"))
+      .join(broadcast(sets.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))), Seq("a_id"))
+      .join(broadcast(sets.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** 60-bit SimHash over distinct whitespace tokens: bit j of the signature
     * is set iff the sum over tokens of (±1 by token-hash bit j) is positive.
     * Two grouped integer sums — order-free, engine-portable. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
+    val tok = df.select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df), col(idCol)) // explode on all cores
+      .select(col(idCol), explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
       .withColumn("h", stableHash60(col("tok")))
     val bits = tok.select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
       .withColumn("contrib", expr("(CAST(shiftright(h, j) & 1 AS INT)) * 2 - 1"))

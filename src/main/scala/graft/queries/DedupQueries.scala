@@ -42,33 +42,35 @@ object DedupQueries {
         THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
         ELSE [text] END) AS sh FROM documents)"""
 
-  private val sigCols = (0 until K).map(i => s"min(md5('$i:'||sh)) AS mh_$i").mkString(", ")
+  private val sigCols = (0 until K).map(i =>
+    s"min((h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31}) AS mh_$i")
+    .mkString(", ")
 
   private val bandSelects = (0 until B).map { j =>
-    val cc = (0 until K / B).map(i => s"mh_${j * (K / B) + i}").mkString("||'|'||")
+    val cc = (0 until K / B).map(i => s"CAST(mh_${j * (K / B) + i} AS VARCHAR)").mkString("||'|'||")
     s"SELECT doc_id, $j AS band, md5($cc) AS bh FROM sig"
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
     "q20_lsh_near_dup" ->
       raw"""WITH $shingleCte,
-         sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         shh AS (SELECT doc_id, sh,
+           CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % ${Dedup.MinhashP20} AS h FROM sh),
+         sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
          bands AS ($bandSelects),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
-                   FROM cand c
-                   JOIN sh a ON a.doc_id = c.a_id
-                   JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
-                   GROUP BY 1, 2)
+         sets AS (SELECT doc_id,
+             list(DISTINCT CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT)) AS shs,
+             count(*) AS sz FROM sh GROUP BY 1),
+         scored AS (SELECT c.a_id, c.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM cand c
+           JOIN sets sa ON sa.doc_id = c.a_id
+           JOIN sets sb ON sb.doc_id = c.b_id)
          SELECT a_id, b_id, jaccard FROM (
-           SELECT i.a_id, i.b_id,
-             round(i.inter/(sa.sz + sb.sz - i.inter), 4) AS jaccard
-           FROM inter i
-           JOIN sizes sa ON sa.doc_id = i.a_id
-           JOIN sizes sb ON sb.doc_id = i.b_id)
+           SELECT a_id, b_id, round(inter/(sz_a + sz_b - inter), 4) AS jaccard FROM scored)
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
     "q21_simhash_pairs" ->
       raw"""WITH tok AS (SELECT doc_id,

@@ -29,7 +29,7 @@ class DedupSimSpec extends SparkSpec {
 
   test("minhash signature is identical for identical docs, differs for unrelated") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(sig(1L) === sig(2L))
     assert(sig(1L) !== sig(4L))
   }
