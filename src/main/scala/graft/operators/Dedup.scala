@@ -63,16 +63,32 @@ object Dedup {
   def affineA(i: Int): Long = 1000003L + 7919L * i
   def affineB(i: Int): Long = 12345L + 104729L * i
 
-  /** k-wide MinHash signature: one explode + one groupBy(id) with k parallel
-    * integer min-aggregates (map-side partial agg). */
-  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 16, shingleN: Int = 5): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
-      .withColumn("__h", stableHash60(col("sh")) % MinhashP20)
-    val aggs = (0 until k).map(i =>
-      min((col("__h") * affineA(i) + affineB(i)) % MinhashP31).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  /** Per-doc signature+set frame: (id, sz, shs[hashed shingle set],
+    * mh_0..mh_{k-1}) computed ENTIRELY row-locally — shingling, hashing,
+    * and the k affine minima are array expressions, so signature
+    * computation is embarrassingly parallel with zero shuffle; only the
+    * band join downstream moves data. One md5 per shingle, k cheap passes
+    * over the hashed array. */
+  private[operators] def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+                                        k: Int, shingleN: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df)) // spread row-local work BEFORE shingling
+      .select(col(idCol), charShingles(col(textCol), shingleN).as("__shs"))
+      .select(col(idCol),
+        size(col("__shs")).cast("long").as("sz"),
+        transform(col("__shs"), s => stableHash60(s)).as("__hs"))
+    val mhCols = (0 until k).map(i =>
+      array_min(transform(col("__hs"),
+        h => ((h % MinhashP20) * affineA(i) + affineB(i)) % MinhashP31)).as(s"mh_$i"))
+    hashed.select(col(idCol) +: col("sz") +: array_distinct(col("__hs")).as("shs") +: mhCols: _*)
   }
+
+  /** k-wide MinHash signature per doc (see signatureFrame — shuffle-free). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, shingleN: Int = 5): DataFrame =
+    signatureFrame(df, idCol, textCol, k, shingleN)
+      .select(col(idCol) +: (0 until k).map(i => col(s"mh_$i")): _*)
 
   /** LSH banding: b bands × r rows (k = b*r); band hash = md5 of the band's
     * minhashes. Docs sharing any band hash are near-dup candidates. */
@@ -128,45 +144,35 @@ object Dedup {
   }
 
   /** The composed scale path: MinHash → LSH candidates → exact-Jaccard
-    * verify. The shingle rows and candidate set are materialized
-    * (MEMORY_AND_DISK) because the verify stage replays each three times
-    * (signature, sizes, both intersection sides) — at pipeline scale these
-    * are the stages a production run would checkpoint to storage anyway;
-    * without materialization the explode+groupBy subtree executes 5×. */
+    * verify. One corpus scan computes signatures AND hashed shingle sets
+    * row-locally (signatureFrame, zero shuffle); it is materialized once
+    * (MEMORY_AND_DISK — the stage a production run would checkpoint) and
+    * reused by the band join and both verify sides. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, b: Int = 4, shingleN: Int = 5,
                    minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val enriched = signatureFrame(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = sh.withColumn("__h", stableHash60(col("sh")) % MinhashP20)
-    val aggs = (0 until k).map(i =>
-      min((col("__h") * affineA(i) + affineB(i)) % MinhashP31).as(s"mh_$i"))
-    val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol)
+    val cands = lshCandidatePairs(lshBands(enriched, idCol, b, k / b), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    jaccardFromShingles(sh, idCol, minJaccard, cands)
+    jaccardFromSets(enriched.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard, cands)
   }
 
-  /** Jaccard verify over pre-built (id, shingle) rows and candidate pairs:
-    * shingle SETS are aggregated once per doc, joined to the pair list, and
-    * intersected per pair with a hash `array_intersect` — the intermediate
-    * is O(|pairs|) rows, never |pairs| × |shingles| join rows. */
-  private def jaccardFromShingles(sh: DataFrame, idCol: String, minJaccard: Double,
-                                  candidates: DataFrame): DataFrame = {
-    // Shingle sets as md5-derived 60-bit longs: intersection cardinality is
-    // identical (collision odds ~2^-60 per shingle pair) while each set is a
-    // flat long array — 4-5× lighter than string arrays through the joins.
-    // Sets are scoped to docs that actually appear in a candidate pair and
-    // broadcast: the verify working set is O(candidate docs), a tiny slice
-    // of the corpus under LSH, so neither the pair list nor the corpus is
-    // ever shuffled with arrays attached. (If candidates outgrow broadcast
-    // size at extreme scale, shard the candidate list and verify per shard.)
+  /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:
+    * sets are md5-60bit long arrays (intersection cardinality identical to
+    * string sets, collision odds ~2^-60 per pair), scoped to docs that
+    * appear in a candidate pair and broadcast — the verify working set is
+    * O(candidate docs), a tiny slice of the corpus under LSH, so neither
+    * the pair list nor the corpus is ever shuffled with arrays attached.
+    * (If candidates outgrow broadcast size at extreme scale, shard the
+    * candidate list and verify per shard.) The intermediate is O(|pairs|)
+    * rows — never |pairs| × |shingles| join rows. */
+  private def jaccardFromSets(sets0: DataFrame, idCol: String, minJaccard: Double,
+                              candidates: DataFrame): DataFrame = {
     val candidateIds = candidates.select(col("a_id").as(idCol))
       .union(candidates.select(col("b_id").as(idCol))).distinct()
-    val sets = sh.join(candidateIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_set(stableHash60(col("sh"))).as("shs"), count(lit(1)).as("sz"))
+    val sets = sets0.join(candidateIds, Seq(idCol), "left_semi")
     candidates.select(col("a_id"), col("b_id"))
       .join(broadcast(sets.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))), Seq("a_id"))
       .join(broadcast(sets.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))), Seq("b_id"))

@@ -37,14 +37,11 @@ object DedupQueries {
 
   // ---- oracle SQL (generated to mirror the Scala parameters) ----
 
-  private val shingleCte =
-    raw"""sh AS (SELECT doc_id, unnest(CASE WHEN len(text) >= $N
-        THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
-        ELSE [text] END) AS sh FROM documents)"""
-
+  // mirrors Dedup.signatureFrame: row-local shingling, one md5 per shingle,
+  // k affine minima via list_min/list_transform — no unnest/group stage.
   private val sigCols = (0 until K).map(i =>
-    s"min((h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31}) AS mh_$i")
-    .mkString(", ")
+    s"list_min(list_transform(hs, x -> ((x % ${Dedup.MinhashP20}) * ${Dedup.affineA(i)}" +
+      s" + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31})) AS mh_$i").mkString(", ")
 
   private val bandSelects = (0 until B).map { j =>
     val cc = (0 until K / B).map(i => s"CAST(mh_${j * (K / B) + i} AS VARCHAR)").mkString("||'|'||")
@@ -53,22 +50,22 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_lsh_near_dup" ->
-      raw"""WITH $shingleCte,
-         shh AS (SELECT doc_id, sh,
-           CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % ${Dedup.MinhashP20} AS h FROM sh),
-         sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+      raw"""WITH d AS (SELECT doc_id, CASE WHEN len(text) >= $N
+           THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
+           ELSE [text] END AS shs0 FROM documents),
+         h AS (SELECT doc_id, len(shs0) AS sz,
+             list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
+           FROM d),
+         sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, $sigCols FROM h),
          bands AS ($bandSelects),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         sets AS (SELECT doc_id,
-             list(DISTINCT CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT)) AS shs,
-             count(*) AS sz FROM sh GROUP BY 1),
          scored AS (SELECT c.a_id, c.b_id,
              len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
            FROM cand c
-           JOIN sets sa ON sa.doc_id = c.a_id
-           JOIN sets sb ON sb.doc_id = c.b_id)
+           JOIN sig sa ON sa.doc_id = c.a_id
+           JOIN sig sb ON sb.doc_id = c.b_id)
          SELECT a_id, b_id, jaccard FROM (
            SELECT a_id, b_id, round(inter/(sz_a + sz_b - inter), 4) AS jaccard FROM scored)
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
