@@ -1,0 +1,116 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages shaped the way a real pipeline runs them at 100 TB.
+  *
+  * The Spark-side plumbing is REAL — schema, partitioning, per-partition
+  * batch iteration (the shape an Arrow/JNI decoder consumes), deterministic
+  * output contract, explode-based frame fan-out. The codec itself is a
+  * clearly-marked STUB (`fakeDecode`): this container has no image/audio
+  * libraries, so decode derives a deterministic feature vector from the
+  * bytes (md5-seeded). Swapping in a real decoder changes ONLY the body of
+  * `decodeBatch` — every plan shape, schema, and test stays valid.
+  *
+  * Scale notes:
+  *   - media rows are heavy (MBs); `decodeFeatures` repartitions by media_id
+  *     so decode parallelism is row-count-bound, not file-layout-bound, and
+  *     runs in mapPartitions with no shuffle of the decoded output.
+  *   - frame sampling explodes to (media_id, frame_no) BEFORE decode, so
+  *     per-frame work distributes; a 2-hour video never decodes on one core.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, format: String, bytes: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           content_md5: String, features: Array[Float])
+  case class FrameFeatures(media_id: Long, frame_no: Int, offset_ms: Long,
+                           features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder — deterministic fake: 16 floats from md5(bytes ++ salt).
+    * A real implementation decodes/resamples here (JNI/FFI), consuming the
+    * same per-partition iterator. */
+  private def fakeDecode(bytes: Array[Byte], salt: Int): Array[Float] = {
+    val d = MessageDigest.getInstance("MD5")
+    d.update(bytes)
+    d.update(BigInt(salt).toByteArray)
+    val h = d.digest() // 16 bytes → 16 floats in [-1, 1)
+    h.map(b => b.toFloat / 128.0f)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  /** Batched decode seam: one call per partition, iterator-in/iterator-out —
+    * exactly the shape a vectorized (Arrow-batch) decoder needs. */
+  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+        md5Hex(r.bytes), fakeDecode(r.bytes, 0))
+    }
+
+  /** Decode + featurize every media row. Repartitions by media_id first:
+    * decode cost is per-row and huge relative to row count, so parallelism
+    * must not follow the input file layout. */
+  def decodeFeatures(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions, col("media_id")).mapPartitions(decodeBatch)
+  }
+
+  /** Evenly-spaced frame sampling for video rows: fan out to n frames per
+    * video BEFORE decoding so per-frame decode distributes across the
+    * cluster, then stub-decode each frame (salt = frame_no). */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int, durationMs: Long,
+                   partitions: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_no"))
+      .repartition(partitions, col("media_id"), col("frame_no"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, bytes, f) =>
+        FrameFeatures(id, f, f.toLong * durationMs / nFrames, fakeDecode(bytes, f + 1))
+      })
+  }
+
+  /** Resize/transcode plumbing: metadata transform + stub re-encode (real
+    * impl: scale pixels). Output schema carries the new dimensions so
+    * downstream stages are written against the final contract. */
+  def resizePlan(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.withColumn("target_width", lit(targetW))
+      .withColumn("target_height", lit(targetH))
+      .withColumn("resized_md5", md5(col("bytes"))) // stub: real impl re-encodes
+
+  /** Demo media table derived from the documents fixture (no binary fixture
+    * ships): text bytes stand in for encoded media; kinds cycle
+    * deterministically. The plumbing downstream is identical. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        lit("stub").as("format"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRow]
+  }
+
+  /** Featurize the demo table end-to-end (the rows-only q32 entry). */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaFromDocuments(spark, sfDir),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("content_md5"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy(col("media_id"))
+  }
+}

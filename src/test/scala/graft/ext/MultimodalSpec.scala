@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: schema, determinism, partition shape, frame fan-out.
+  * The decoder is a stub; these pin the contracts a real codec slots into. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(spark, sf)
+
+  test("media table has binary bytes and cycling kinds") {
+    val rows = media.limit(10).collect()
+    assert(rows.forall(_.bytes.nonEmpty))
+    assert(media.select("kind").distinct().as[String].collect().toSet ===
+      Set("image", "audio", "video"))
+  }
+
+  test("decodeFeatures: deterministic features, fixed dim, md5 content id") {
+    val a = Multimodal.decodeFeatures(media, 8).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeFeatures(media, 4).collect().sortBy(_.media_id)
+    assert(a.length === media.count())
+    assert(a.forall(_.features.length === Multimodal.FeatureDim))
+    // same features regardless of partitioning
+    assert(a.map(_.features.toSeq).toSeq === b.map(_.features.toSeq).toSeq)
+    assert(a.forall(_.content_md5.length === 32))
+  }
+
+  test("sampleFrames fans each video out to n frames with distinct features") {
+    val frames = Multimodal.sampleFrames(media, nFrames = 4, durationMs = 8000, partitions = 8)
+    val perVideo = frames.groupBy("media_id").count().select("count").as[Long].collect()
+    assert(perVideo.nonEmpty && perVideo.forall(_ === 4L))
+    val one = frames.filter(col("media_id") === frames.select("media_id").head().getLong(0))
+      .collect().sortBy(_.frame_no)
+    assert(one.map(_.offset_ms).toSeq === Seq(0L, 2000L, 4000L, 6000L))
+    // frame salt differs → features differ frame to frame
+    assert(one.map(_.features.toSeq).distinct.length === one.length)
+  }
+
+  test("resizePlan carries target dims and a content id") {
+    val out = Multimodal.resizePlan(media.toDF(), 224, 224)
+    val r = out.select("target_width", "target_height", "resized_md5").head()
+    assert(r.getInt(0) === 224 && r.getInt(1) === 224 && r.getString(2).length === 32)
+  }
+}
