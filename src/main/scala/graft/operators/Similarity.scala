@@ -33,23 +33,33 @@ object Similarity {
   def quantize(a: Column): Column =
     transform(a, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two long-array columns (sequential fold;
-    * magnitudes ≤ dim · 1e6 ≪ 2^53 so any engine agrees exactly). */
+  /** Exact integer dot product of two long-array columns — a native
+    * codegen'd expression (org.apache.spark.sql.graft.ArrayLongDot): same
+    * left-to-right summation as the HOF formulation, compiled to a
+    * primitive loop (magnitudes ≤ dim · 1e6 ≪ 2^53, exact anywhere). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ArrayLongDot(a, b)
 
   /** Cosine over quantized vectors — deterministic double from exact ints. */
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b) / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
+  /** (id, quantized emb, precomputed L2 norm) — norms are computed ONCE per
+    * vector, not once per compared pair (the O(|Q|·|C|) stages only pay the
+    * cross-dot; identical doubles since the norm inputs are exact ints). */
+  private def withNorm(df: DataFrame, idCol: String, embCol: String,
+                       id: String, emb: String, norm: String): DataFrame =
+    df.select(col(idCol).as(id), quantize(col(embCol)).as(emb))
+      .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+
   /** Exact top-k neighbors for each query vector (self-match excluded).
     * queries/corpus: (idCol, embCol). Query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), quantize(col(embCol)).as("q_emb")))
-    val scored = corpus.select(col(idCol), quantize(col(embCol)).as("__qe"))
+    val q = broadcast(withNorm(queries, idCol, embCol, "q_id", "q_emb", "q_norm"))
+    val scored = withNorm(corpus, idCol, embCol, idCol, "__qe", "__cn")
       .join(q, col("q_id") =!= col(idCol))
-      .withColumn("cos", round(qcosine(col("q_emb"), col("__qe")), 4))
+      .withColumn("cos", round(qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
@@ -76,13 +86,13 @@ object Similarity {
     * cosine rank within the bucket. */
   def annTopK(queries: DataFrame, corpus: DataFrame, planes: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val corpusB = corpus.select(col(idCol), quantize(col(embCol)).as("__qe"))
+    val corpusB = withNorm(corpus, idCol, embCol, idCol, "__qe", "__cn")
       .join(lshBuckets(corpus, planes, idCol, embCol), idCol)
-    val q = broadcast(queries.select(col(idCol), quantize(col(embCol)).as("q_emb"))
+    val q = broadcast(withNorm(queries, idCol, embCol, idCol, "q_emb", "q_norm")
       .join(lshBuckets(queries, planes, idCol, embCol), idCol)
-      .select(col(idCol).as("q_id"), col("q_emb"), col("bucket")))
+      .select(col(idCol).as("q_id"), col("q_emb"), col("q_norm"), col("bucket")))
     val scored = corpusB.join(q, Seq("bucket")).filter(col("q_id") =!= col(idCol))
-      .withColumn("cos", round(qcosine(col("q_emb"), col("__qe")), 4))
+      .withColumn("cos", round(qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
@@ -92,13 +102,13 @@ object Similarity {
     * candidates (a_id < b_id). The scale-safe variant of all-pairs cosine. */
   def cosineNearDupPairs(df: DataFrame, planes: DataFrame, threshold: Double,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val withB = df.select(col(idCol), quantize(col(embCol)).as("__qe"))
+    val withB = withNorm(df, idCol, embCol, idCol, "__qe", "__n")
       .join(lshBuckets(df, planes, idCol, embCol), idCol)
-    withB.select(col("bucket"), col(idCol).as("a_id"), col("__qe").as("a_emb"))
-      .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb")),
+    withB.select(col("bucket"), col(idCol).as("a_id"), col("__qe").as("a_emb"), col("__n").as("a_n"))
+      .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb"), col("__n").as("b_n")),
         Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(qcosine(col("a_emb"), col("b_emb")), 4))
+      .withColumn("cos", round(qdot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }

@@ -27,9 +27,15 @@ object TextQueries {
         round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"))
 
+  /** Regex-heavy per-doc stages: spread byte-small fixture files across
+    * cores (an explicit count so AQE can't coalesce the tiny shuffle). */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** q17: per-document quality score — length/punct/stopword composite. */
   def q17QualityScores(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    docsWide(spark, dir)
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -38,7 +44,7 @@ object TextQueries {
 
   /** q18: language-ID confusion matrix — labeled lang × predicted lang. */
   def q18LangidConfusion(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    docsWide(spark, dir)
       .groupBy(col("lang"), langId(col("text")).as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
