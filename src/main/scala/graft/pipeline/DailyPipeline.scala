@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.controlplane.ControlPlane
+import graft.core.Warehouse
+import graft.vault.{SchemaDrift, Vault}
+import graft.workflow.Workflow
+import graft.workflow.Workflow.{AllDone, TaskSpec}
+
+/** The daily ETL run — the reference's root pipeline (SURVEY §3.1) executed
+  * by the deterministic workflow runner over the shared SparkSession:
+  *
+  *   pick etl_date → per source: staging (typing + metadata cols + schema
+  *   drift gate) → raw vault (hub/link/satellite builds merged into the
+  *   warehouse) → end rollup (all_done) → close the date when every
+  *   source's latest run succeeded.
+  *
+  * Every dbt-pod of the reference becomes an in-process Spark job; every
+  * embedded Trino SQL is one of the ControlPlane/Vault transforms. Re-runs
+  * are resume-skipped per task (check_conditions semantics), and drift
+  * routes to a notification row instead of failing the run — exactly the
+  * reference's branch (dag_etlpipeline__staging.py:125-130).
+  *
+  * Schemas: op metadata in `op_metadata`, staged sources in `staging`,
+  * vault entities in `raw_vault`, drift + notifications in `check`.
+  */
+class DailyPipeline(spark: SparkSession, wh: Warehouse) {
+  import spark.implicits._
+
+  /** One source system: how to load it, its keys, and its satellite attrs. */
+  case class SourceSpec(
+      name: String,
+      load: () => DataFrame,
+      businessKeys: Seq[String],
+      attrs: Seq[String],
+      linkTo: Option[(String, Seq[String])] = None) // (other hub, its keys)
+
+  private def appendRows(schema: String, table: String, df: DataFrame): Unit =
+    if (wh.exists(schema, table)) wh.append(schema, table, df)
+    else wh.overwrite(schema, table, df)
+
+  /** Stage one source: metadata columns + drift detection against the
+    * previously registered staging schema. Returns true when drift found. */
+  private[pipeline] def stageSource(src: SourceSpec, etlDate: String): Boolean = {
+    val incoming = src.load()
+      .withColumn("etl_date", lit(etlDate))
+      .withColumn("record_source", lit(src.name))
+    val drifted =
+      if (wh.exists("staging", src.name)) {
+        val registered = wh.read("staging", src.name).schema
+        val rows = SchemaDrift.diff(registered, incoming.schema, src.name)
+        if (rows.nonEmpty) {
+          appendRows("check", "schemadrift_tablechangedetail",
+            rows.toDF().withColumn("etl_date", lit(etlDate)))
+          true
+        } else false
+      } else false
+    wh.overwrite("staging", src.name, incoming)
+    drifted
+  }
+
+  /** Build + merge the vault entities for one staged source. */
+  private[pipeline] def vaultSource(src: SourceSpec, etlDate: String): Unit = {
+    val staged = wh.read("staging", src.name)
+    val hub = Vault.hub(staged, src.name, src.businessKeys, lit(etlDate), src.name)
+    mergeEntity("raw_vault", s"hub_${src.name}", hub, s"hub_${src.name}_hash_key")
+    val sat = Vault.satellite(
+      staged.withColumn("load_date", lit(etlDate)),
+      src.name, src.businessKeys, src.attrs, "load_date", src.businessKeys)
+    mergeEntity("raw_vault", s"sat_${src.name}", sat,
+      s"sat_${src.name}_hash_key", extraKeys = Seq("load_date", "hash_diff"))
+    src.linkTo.foreach { case (other, otherKeys) =>
+      val link = Vault.link(staged, s"${src.name}_$other",
+        Seq(src.name -> src.businessKeys, other -> otherKeys), lit(etlDate), src.name)
+      mergeEntity("raw_vault", s"link_${src.name}_$other", link,
+        s"link_${src.name}_${other}_hash_key")
+    }
+  }
+
+  private def mergeEntity(schema: String, table: String, df: DataFrame,
+                          hashKey: String, extraKeys: Seq[String] = Nil): Unit =
+    if (wh.exists(schema, table)) wh.merge(schema, table, df, hashKey +: extraKeys)
+    else wh.overwrite(schema, table, df)
+
+  /** Run the full daily pipeline for the next open date. Returns the
+    * executed date and the task results. */
+  def run(sources: Seq[SourceSpec]): (String, Workflow.RunResult) = {
+    val calendar = wh.read("op_metadata", "etl_dates")
+    val etlDate = ControlPlane.nextEtlDate(calendar)
+      .getOrElse(throw new IllegalStateException("empty calendar"))
+    wh.overwrite("op_metadata", "etl_dates", ControlPlane.setCurrentDate(calendar, etlDate))
+
+    val priorTasks =
+      if (wh.exists("op_metadata", "task_log")) wh.read("op_metadata", "task_log")
+      else Seq.empty[(String, String, String, String)]
+        .toDF("etl_date", "source_name", "task_id", "status")
+    val done = sources.flatMap(s =>
+      ControlPlane.succeededTasks(priorTasks, etlDate, s.name)).toSet
+
+    val drift = scala.collection.mutable.Map.empty[String, Boolean]
+    val tasks = Seq(TaskSpec("start")) ++ sources.flatMap { s =>
+      Seq(
+        TaskSpec(s"staging_${s.name}", deps = Seq("start"),
+          run = () => { drift(s.name) = stageSource(s, etlDate) }, retries = 1),
+        TaskSpec(s"drift_check_${s.name}", deps = Seq(s"staging_${s.name}"),
+          branch = Some(() =>
+            if (drift.getOrElse(s.name, false)) Seq(s"notify_drift_${s.name}") else Seq.empty)),
+        TaskSpec(s"notify_drift_${s.name}", deps = Seq(s"drift_check_${s.name}"),
+          run = () => appendRows("check", "email_notification",
+            Seq((etlDate, s.name, "schema_drift")).toDF("etl_date", "source_name", "template"))),
+        TaskSpec(s"vault_${s.name}", deps = Seq(s"staging_${s.name}"),
+          run = () => vaultSource(s, etlDate), retries = 1))
+    } ++ Seq(TaskSpec("end",
+      deps = sources.map(s => s"vault_${s.name}") ++
+        sources.map(s => s"notify_drift_${s.name}"),
+      triggerRule = AllDone))
+
+    val result = Workflow.run(tasks, resumeDone = done)
+
+    // persist task statuses (the status_etlpipeline_task_airflow table)
+    appendRows("op_metadata", "task_log",
+      result.runs.map(r => (etlDate, taskSource(r.taskId, sources), r.taskId, r.status))
+        .toDF("etl_date", "source_name", "task_id", "status"))
+    // roll up to run rows and close the date when all sources succeeded
+    val runRows = sources.map { s =>
+      val srcTasks = result.runs.filter(r => r.taskId.endsWith(s"_${s.name}"))
+      val ok = srcTasks.forall(r => r.status == "success" || r.status == "skipped")
+      (etlDate, s.name, "run_" + s.name, 1L, if (ok) "success" else "failed")
+    }.toDF("etl_date", "source_name", "run_id", "created_at", "status")
+    appendRows("op_metadata", "run_log", runRows)
+    wh.overwrite("op_metadata", "etl_dates",
+      ControlPlane.closeEtlDate(wh.read("op_metadata", "etl_dates"),
+        wh.read("op_metadata", "run_log"), etlDate))
+    (etlDate, result)
+  }
+
+  private def taskSource(taskId: String, sources: Seq[SourceSpec]): String =
+    sources.map(_.name).find(n => taskId.endsWith(s"_$n")).getOrElse("pipeline")
+}
