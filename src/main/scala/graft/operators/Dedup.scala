@@ -78,10 +78,14 @@ object Dedup {
       .select(col(idCol),
         size(col("__shs")).cast("long").as("sz"),
         transform(col("__shs"), s => stableHash60(s)).as("__hs"))
-    val mhCols = (0 until k).map(i =>
-      array_min(transform(col("__hs"),
-        h => ((h % MinhashP20) * affineA(i) + affineB(i)) % MinhashP31)).as(s"mh_$i"))
-    hashed.select(col(idCol) +: col("sz") +: array_distinct(col("__hs")).as("shs") +: mhCols: _*)
+    // all k minima in one codegen'd pass (MinHashSigs) instead of k
+    // interpreted array_min(transform(..)) traversals
+    val sigs = org.apache.spark.sql.graft.MinHashExprs.minhashSigs(
+      col("__hs"), k, MinhashP20, MinhashP31, 1000003L, 7919L, 12345L, 104729L)
+    hashed
+      .select(col(idCol), col("sz"), array_distinct(col("__hs")).as("shs"), sigs.as("__mh"))
+      .select(col(idCol) +: col("sz") +: col("shs") +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** k-wide MinHash signature per doc (see signatureFrame — shuffle-free). */
@@ -176,7 +180,8 @@ object Dedup {
     candidates.select(col("a_id"), col("b_id"))
       .join(broadcast(sets.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))), Seq("a_id"))
       .join(broadcast(sets.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter", // allocation-free |A∩B| (vs array_intersect+size)
+        org.apache.spark.sql.graft.MinHashExprs.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)

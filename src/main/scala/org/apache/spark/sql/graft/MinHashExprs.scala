@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Codegen'd MinHash signature: all k affine minima over a hashed-shingle
+  * array in ONE pass. The composable form — k × array_min(transform(...)) —
+  * traverses the array k times through interpreted lambdas; this loops once
+  * with k running minima in a primitive local array. Arithmetic matches
+  * graft.operators.Dedup exactly: mh_i = min((h mod P20)·A_i + B_i mod P31),
+  * A/B from the same affine family — so the DuckDB oracle still reproduces
+  * every signature.
+  */
+case class MinHashSigs(child: Expression, k: Int, p20: Long, p31: Long,
+                       aBase: Long, aStep: Long, bBase: Long, bStep: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i) % p20
+      var j = 0
+      while (j < k) {
+        val v = (h * (aBase + aStep * j) + (bBase + bStep * j)) % p31
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val out = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |final long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |final int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $hs.getLong($i) % ${p20}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $v = ($h * (${aBase}L + ${aStep}L * $j) + (${bBase}L + ${bStep}L * $j)) % ${p31}L;
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** Codegen'd |A ∩ B| for two sorted-or-unsorted long-array sets without
+  * materializing the intersection array (array_intersect allocates and
+  * hashes into a new array per pair — pure waste when only the cardinality
+  * is consumed, as in Jaccard verification). Uses a hash set over the
+  * smaller side. */
+case class ArrayLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_long_intersect_count"
+
+  private def count(a: ArrayData, b: ArrayData): Long = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    var c = 0L
+    i = 0
+    while (i < big.numElements()) {
+      if (set.remove(big.getLong(i))) c += 1 // remove: set semantics w/ dup elems
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[ArrayLongIntersectCount].getName
+    val ref = ctx.addReferenceObj("intersectCounter", this, cls)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashExprs {
+  def minhashSigs(hs: Column, k: Int, p20: Long, p31: Long,
+                  aBase: Long, aStep: Long, bBase: Long, bStep: Long): Column =
+    ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(hs),
+      k, p20, p31, aBase, aStep, bBase, bStep))
+
+  def intersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
