@@ -67,7 +67,7 @@ class Warehouse(spark: SparkSession, root: String) {
     val v = if (version < 0) currentVersion(schema, table) else version
     if (v == 0) Seq.empty
     else readFile(logPath(dir, v)).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(rel => s"$dir/$rel")
+      .map(e => if (e.startsWith("/") || e.contains("://")) e else s"$dir/$e")
   }
 
   def read(schema: String, table: String): DataFrame = {
@@ -131,6 +131,35 @@ class Warehouse(spark: SparkSession, root: String) {
     }
     rows.toDF("version", "file", "last_updated_ms")
   }
+
+  /** Catalog backup manifest: one row per table with its current version
+    * and data locations — everything needed to re-register the catalog
+    * after metadata loss (reference backup_nessie_postgres.py:67-115, the
+    * generated `register_table` CALLs). */
+  def backupManifest(): DataFrame = {
+    import spark.implicits._
+    val rows = listTables().collect().map { r =>
+      val (s, t) = (r.getString(0), r.getString(1))
+      (s, t, currentVersion(s, t), dataDirs(s, t))
+    }.toSeq
+    rows.toDF("table_schema", "table_name", "version", "data_dirs")
+  }
+
+  /** Re-register a table from its data locations (restore path / external
+    * registration — `CALL system.register_table` equivalent). Absolute
+    * paths are stored as-is; relative entries resolve under the table dir. */
+  def registerTable(schema: String, table: String, dirs: Seq[String]): Unit = {
+    val dir = tableDir(schema, table)
+    commit(dir, currentVersion(schema, table) + 1, dirs)
+  }
+
+  /** Restore every table in a backup manifest (no data movement — the data
+    * dirs are the ground truth; only pointers are rebuilt). */
+  def restore(manifest: DataFrame): Unit =
+    manifest.collect().foreach { r =>
+      registerTable(r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
+        r.getAs[scala.collection.Seq[String]]("data_dirs").toSeq)
+    }
 
   /** information_schema.tables equivalent: scan the warehouse directory
     * tree for committed tables (reference utlis/clean_data.py:79-81). */

@@ -55,11 +55,19 @@ object EventQueries {
       .filter(col("n") >= 2)
       .orderBy(col("word"))
 
+  /** q34: gap-based sessionization (30-min) — lag → flag → running sum →
+    * per-session rollup (graft.streaming.Sessionize.batch; the streaming
+    * twin uses flatMapGroupsWithState and is pinned equal in tests). */
+  def q34Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batch(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("session_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_json_extract" -> (q25JsonExtract _),
     "q26_tz_hourly" -> (q26TzHourly _),
     "q27_window_hourly" -> (q27WindowHourly _),
-    "q28_comment_words" -> (q28CommentWords _))
+    "q28_comment_words" -> (q28CommentWords _),
+    "q34_sessionize" -> (q34Sessionize _))
 
   val oracles: Map[String, String] = Map(
     "q25_json_extract" ->
@@ -76,6 +84,18 @@ object EventQueries {
          event_type, count(*) AS n,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tsus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END AS news FROM e),
+         s AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q28_comment_words" ->
       raw"""SELECT word, n FROM (
            SELECT word, count(*) AS n FROM (

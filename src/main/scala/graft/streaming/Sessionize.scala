@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization of the events stream — both execution shapes:
+  *
+  *   - `batch`: the declarative two-window formulation (lag → new-session
+  *     flag → running sum = session id). One shuffle on user_id feeds both
+  *     window passes and the final per-session aggregation (same
+  *     partitioning, one Exchange). Fully SQL-expressible → oracle-checked
+  *     (q34).
+  *   - `streaming`: KeyValueGroupedDataset.flatMapGroupsWithState with
+  *     explicit per-user state (open-session accumulator) — the custom
+  *     stateful-operator surface; state size is O(users with an open
+  *     session), bounded by the state timeout at true streaming scale.
+  *
+  * Both emit identical sessions for the same input (pinned by
+  * SessionizeSpec on Trigger.AvailableNow).
+  */
+object Sessionize {
+
+  val DefaultGapSeconds = 1800L
+
+  /** Batch sessionize: (user_id, session_id, session_start, session_end,
+    * n_events) with `session_id` numbered 1.. per user in time order. */
+  def batch(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - col("__prev") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class OpenSession(startMicros: Long, lastMicros: Long, nEvents: Long)
+  case class Session(user_id: Long, session_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long)
+
+  /** Per-group session fold — shared by the streaming operator and its
+    * unit tests. Emits closed sessions; the final open session flushes too
+    * (AvailableNow semantics: the batch IS the stream's end). */
+  private[streaming] def foldSessions(userId: Long, evs: Iterator[Ev],
+                                      state: GroupState[OpenSession],
+                                      gapSeconds: Long): Iterator[Session] = {
+    val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    val out = scala.collection.mutable.ListBuffer.empty[Session]
+    var open = state.getOption
+    var sid = 0L
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.tsMicros - s.lastMicros <= gapSeconds * 1000000L =>
+          open = Some(s.copy(lastMicros = e.tsMicros, nEvents = s.nEvents + 1))
+        case Some(s) =>
+          sid += 1
+          out += Session(userId, sid, s.startMicros, s.lastMicros, s.nEvents)
+          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+        case None =>
+          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+      }
+    }
+    open.foreach { s =>
+      sid += 1
+      out += Session(userId, sid, s.startMicros, s.lastMicros, s.nEvents)
+    }
+    state.remove()
+    out.iterator
+  }
+
+  /** Streaming sessionize over a typed event stream. */
+  def streaming(events: Dataset[Ev], gapSeconds: Long = DefaultGapSeconds): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[Ev], st: GroupState[OpenSession]) =>
+          foldSessions(uid, evs, st, gapSeconds))
+  }
+}

@@ -84,4 +84,23 @@ class WarehouseSpec extends SparkSpec {
     assert(deleted.size === 3)
     assert(wh.read("s", "t").as[(Int, String)].collect().toSet === before)
   }
+
+  test("backup manifest restores the catalog after metadata loss") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    wh.overwrite("s", "u", Seq((9, "z")).toDF("id", "v"))
+    val manifest = wh.backupManifest()
+    assert(manifest.count() === 2)
+    // simulate catalog loss: delete pointers + logs, data dirs stay
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(wh.tableDir("s", "t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("t", "u").foreach { t =>
+      fs.delete(new Path(wh.tableDir("s", t) + "/_current"), false)
+      fs.delete(new Path(wh.tableDir("s", t) + "/_log"), true)
+    }
+    assert(!wh.exists("s", "t"))
+    wh.restore(manifest)
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    assert(wh.read("s", "u").count() === 1)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SharedSpark
+import graft.ops.Relational
+import graft.vault.{SchemaDrift, Vault}
+
+/** Property-based invariants (SURVEY §5): merge idempotence, SCD2
+  * satellite window laws, drift I/D symmetry, calendar-picker equivalence,
+  * hash-key determinism. Small generated tables, few cases — each case is
+  * a Spark job. */
+object EngineProps extends Properties("engine") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val genKV: Gen[List[(Int, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(1, 6), Gen.oneOf("a", "b", "c")))
+
+  private val genLoads: Gen[List[(Int, Int, String)]] = // (key, day, status)
+    Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 9), Gen.oneOf("A", "B")))
+
+  property("merge is idempotent: merge(merge(t,s),s) == merge(t,s)") =
+    forAll(genKV, genKV) { (t0, s0) =>
+      val t = t0.distinctBy(_._1).toDF("k", "v")
+      val s = s0.distinctBy(_._1).toDF("k", "v")
+      val once = Relational.mergeAsRewrite(t, s, Seq("k"))
+      val twice = Relational.mergeAsRewrite(once, s, Seq("k"))
+      twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty
+    }
+
+  property("merge keeps exactly the union of keys") =
+    forAll(genKV, genKV) { (t0, s0) =>
+      val t = t0.distinctBy(_._1).toDF("k", "v")
+      val s = s0.distinctBy(_._1).toDF("k", "v")
+      val merged = Relational.mergeAsRewrite(t, s, Seq("k"))
+      val keys = merged.select("k").as[Int].collect().toSet
+      keys == (t0.map(_._1).toSet ++ s0.map(_._1).toSet) &&
+        merged.count() == keys.size
+    }
+
+  property("satellite SCD2: windows chain, exactly one open row per key") =
+    forAll(genLoads) { loads =>
+      val src = loads.distinctBy(l => (l._1, l._2))
+        .map(l => (l._1.toString, f"2024-01-0${l._2}%d", l._2.toLong, l._3))
+        .toDF("bk", "load_date", "seq", "status")
+      val sat = Vault.satellite(src, "p", Seq("bk"), Seq("status"), "load_date", Seq("seq"))
+        .collect()
+      val byKey = sat.groupBy(_.getAs[String]("sat_p_hash_key"))
+      byKey.forall { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[String]("load_date"))
+        val oneOpen = sorted.count(_.getAs[String]("load_end_date") == null) == 1
+        val chained = sorted.sliding(2).forall {
+          case Array(a, b) => a.getAs[String]("load_end_date") == b.getAs[String]("load_date")
+          case _ => true
+        }
+        val compressed = sorted.sliding(2).forall {
+          case Array(a, b) => a.getAs[String]("hash_diff") != b.getAs[String]("hash_diff")
+          case _ => true
+        }
+        oneOpen && chained && compressed
+      }
+    }
+
+  property("drift is antisymmetric: diff(a,b) I-rows == diff(b,a) D-rows") =
+    forAll(Gen.someOf("a", "b", "c", "d"), Gen.someOf("a", "b", "c", "d")) { (as, bs) =>
+      import org.apache.spark.sql.types._
+      def st(names: Seq[String]) = StructType(names.map(StructField(_, StringType)))
+      val ab = SchemaDrift.diff(st(as.toSeq), st(bs.toSeq), "t")
+      val ba = SchemaDrift.diff(st(bs.toSeq), st(as.toSeq), "t")
+      ab.filter(_.status == "I").map(_.column_name).toSet ==
+        ba.filter(_.status == "D").map(_.column_name).toSet
+    }
+
+  property("calendar picker == min(matching) else max(all)") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 9), Gen.oneOf(true, false)))) { rows =>
+      val df = rows.map { case (d, open) => (f"2024-01-0$d%d", open) }.toDF("etl_date", "open")
+      val got = Relational.pickNextOrFallback(df, col("open") === true, "etl_date")
+        .as[String].head()
+      val dates = rows.map { case (d, o) => (f"2024-01-0$d%d", o) }
+      val expected = dates.filter(_._2).map(_._1).minOption
+        .getOrElse(dates.map(_._1).max)
+      got == expected
+    }
+
+  property("vault hash keys: deterministic, order-sensitive, distinct per key") =
+    forAll(Gen.listOfN(6, Gen.alphaNumStr.suchThat(_.nonEmpty))) { keys =>
+      val df = keys.distinct.map(Tuple1(_)).toDF("k")
+      val hashed = df.select(Vault.hashKey(Seq(col("k"))).as("h"), col("k")).collect()
+      Prop.propBoolean(hashed.map(_.getString(0)).distinct.length == keys.distinct.length)
+    }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Sessionization: batch window formulation vs flatMapGroupsWithState
+  * streaming fold produce identical sessions; session math on crafted data. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micros(min: Long): Long = min * 60L * 1000000L
+
+  test("session math: gap splits, counts, bounds") {
+    val evs = Seq(
+      // user 1: two sessions (gap 45min > 30min)
+      (1L, 1L, micros(0)), (1L, 2L, micros(10)), (1L, 3L, micros(55)),
+      // user 2: one session, order shuffled on input
+      (2L, 5L, micros(20)), (2L, 4L, micros(0))
+    ).toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessionize.batch(evs).orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+    assert(out === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("streaming flatMapGroupsWithState equals batch on AvailableNow input") {
+    val batchResult = Sessionize.batch(Tables(spark, sf, "events"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+    // same events through the typed streaming fold (single batch = whole set)
+    val typed = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Sessionize.Ev]
+    // run the fold directly (the operator body) grouped like the stream would
+    val folded = typed.groupByKey(_.user_id).flatMapGroups { (uid, evs) =>
+      var sid = 0L
+      val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      val out = scala.collection.mutable.ListBuffer.empty[Sessionize.Session]
+      var open: Option[Sessionize.OpenSession] = None
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.tsMicros - s.lastMicros <= 1800L * 1000000L =>
+            open = Some(s.copy(lastMicros = e.tsMicros, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            sid += 1; out += Sessionize.Session(uid, sid, s.startMicros, s.lastMicros, s.nEvents)
+            open = Some(Sessionize.OpenSession(e.tsMicros, e.tsMicros, 1))
+          case None => open = Some(Sessionize.OpenSession(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      open.foreach { s =>
+        sid += 1; out += Sessionize.Session(uid, sid, s.startMicros, s.lastMicros, s.nEvents)
+      }
+      out.iterator
+    }.toDF()
+      .select(col("user_id"), col("session_id"),
+        date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(col("session_end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    assert(folded.exceptAll(batchResult).isEmpty && batchResult.exceptAll(folded).isEmpty)
+  }
+
+  test("streaming operator runs end-to-end over the events stream") {
+    import java.nio.file.Files
+    val typedStream = EventStream.readEvents(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Sessionize.Ev]
+    val q = Sessionize.streaming(typedStream).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft_sess_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_out")
+    val expected = Sessionize.batch(Tables(spark, sf, "events")).count()
+    assert(streamed.count() === expected)
+  }
+}
