@@ -85,22 +85,27 @@ class Warehouse(spark: SparkSession, root: String) {
     fs.rename(tmp, cur)
   }
 
-  /** Overwrite: new version referencing only the new data dir. */
-  def overwrite(schema: String, table: String, df: DataFrame): Long = {
+  /** Overwrite: new version referencing only the new data dir.
+    * `partitionBy`: hive-style partition columns (the reference warehouse
+    * partitions fact tables by etl_date/source_name — etl_manager.py:80-87
+    * filters on both, so scans prune partitions for free; SURVEY §4). */
+  def overwrite(schema: String, table: String, df: DataFrame,
+                partitionBy: Seq[String] = Nil): Long = {
     val dir = tableDir(schema, table)
     val v = currentVersion(schema, table) + 1
-    df.write.mode("overwrite").parquet(s"$dir/data/v$v")
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s"$dir/data/v$v")
     commit(dir, v, Seq(s"data/v$v"))
     v
   }
 
   /** Append: new version referencing previous dirs plus the new one — no
     * data rewrite (the chunked-INSERT path, reference etl_manager.py:131-155). */
-  def append(schema: String, table: String, df: DataFrame): Long = {
+  def append(schema: String, table: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): Long = {
     val dir = tableDir(schema, table)
     val v = currentVersion(schema, table) + 1
     val prev = if (v == 1) Seq.empty else dataDirs(schema, table).map(_.stripPrefix(s"$dir/"))
-    df.write.mode("overwrite").parquet(s"$dir/data/v$v")
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s"$dir/data/v$v")
     commit(dir, v, prev :+ s"data/v$v")
     v
   }

@@ -174,8 +174,10 @@ object Dedup {
     * rows — never |pairs| × |shingles| join rows. */
   private def jaccardFromSets(sets0: DataFrame, idCol: String, minJaccard: Double,
                               candidates: DataFrame): DataFrame = {
-    val candidateIds = candidates.select(col("a_id").as(idCol))
-      .union(candidates.select(col("b_id").as(idCol))).distinct()
+    // broadcast the id list: strictly smaller than the sets we broadcast
+    // below, and it turns the scoping semi-join into a map-side probe
+    val candidateIds = broadcast(candidates.select(col("a_id").as(idCol))
+      .union(candidates.select(col("b_id").as(idCol))).distinct())
     val sets = sets0.join(candidateIds, Seq(idCol), "left_semi")
     candidates.select(col("a_id"), col("b_id"))
       .join(broadcast(sets.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))), Seq("a_id"))

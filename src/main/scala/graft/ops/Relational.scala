@@ -92,6 +92,23 @@ object Relational {
       .select(target.columns.map(c => coalesce(col("__s_" + c), col(c)).as(c)): _*)
   }
 
+  /** Skew-safe inner equi-join: salts the skewed probe side into `salts`
+    * buckets (hash of the full row → deterministic plan) and replicates the
+    * build side across all buckets, so one hot key spreads over `salts`
+    * tasks. AQE's skew-join split handles most skew at runtime; explicit
+    * salting is for keys so hot a single post-split partition still
+    * overflows a task (the classic null-sentinel / power-law head case at
+    * 100 TB). Result is identical to a plain inner join.
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    val left = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+    val right = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    left.join(right, keys :+ "__salt").drop("__salt")
+  }
+
   /** UPDATE .. WHERE key IN (subquery) as read→when→rewrite.
     * Reference: etl_manager.py:821-866 (J6). Keys dataframe is expected to
     * be registry-scale → broadcast semi-join, no shuffle of the fact side.
