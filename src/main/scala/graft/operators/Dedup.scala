@@ -192,19 +192,15 @@ object Dedup {
 
   /** 60-bit SimHash over distinct whitespace tokens: bit j of the signature
     * is set iff the sum over tokens of (±1 by token-hash bit j) is positive.
-    * Two grouped integer sums — order-free, engine-portable. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), col(textCol))
-      .repartition(fanoutPartitions(df), col(idCol)) // explode on all cores
-      .select(col(idCol), explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
-      .withColumn("h", stableHash60(col("tok")))
-    val bits = tok.select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-      .withColumn("contrib", expr("(CAST(shiftright(h, j) & 1 AS INT)) * 2 - 1"))
-    bits.groupBy(col(idCol), col("j")).agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(lit(0L))).as("simhash"))
-  }
+    * Entirely row-local (codegen'd SimHash60 over the token-hash array) —
+    * no explode, no shuffle; docs with zero tokens get signature 0. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df)) // spread row-local work
+      .select(col(idCol),
+        transform(array_distinct(wsTokens(col(textCol))), t => stableHash60(t)).as("__hs"))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.MinHashExprs.simhash60(col("__hs")).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 15), banded:
     * split the 60-bit signature into 4 chunks of 15 bits; by pigeonhole any

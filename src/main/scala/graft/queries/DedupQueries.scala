@@ -70,16 +70,17 @@ object DedupQueries {
            SELECT a_id, b_id, round(inter/(sz_a + sz_b - inter), 4) AS jaccard FROM scored)
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
     "q21_simhash_pairs" ->
-      raw"""WITH tok AS (SELECT doc_id,
-           unnest(list_distinct(CASE WHEN len(trim(text)) = 0 THEN []
-             ELSE regexp_split_to_array(trim(text), '\s+') END)) AS tok
+      raw"""WITH toks AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(text), '\s+') END) AS tks
            FROM documents),
-         h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
-         bits AS (SELECT doc_id, j, sum(CAST((h >> j) & 1 AS INT)*2 - 1) AS s
-                  FROM h, range(0,60) t(j) GROUP BY 1,2),
-         sim AS (SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY 1),
+         h AS (SELECT doc_id,
+             list_transform(tks, t -> CAST(('0x'||substr(md5(t),1,15)) AS BIGINT)) AS hs
+           FROM toks),
+         sim AS (SELECT doc_id, CAST(list_sum([CASE WHEN
+               list_sum(list_transform(hs, x -> CAST((x >> j) & 1 AS INT)*2-1)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0,60)]) AS BIGINT) AS simhash
+           FROM h),
          chunks AS (SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS chunk
                     FROM sim, range(0,4) t(c)),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

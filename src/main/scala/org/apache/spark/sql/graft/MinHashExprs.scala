@@ -110,6 +110,57 @@ case class ArrayLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd 60-bit SimHash over a token-hash array: one pass with 60
+  * running counters (bit j of the signature is set iff the sum over tokens
+  * of ±1-by-bit-j is positive). Replaces an explode + two grouped shuffles
+  * with a row-local projection. */
+case class SimHash60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](60)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 60) { acc(j) += (((h >>> j) & 1L).toInt * 2) - 1; j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (acc(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int[] $acc = new int[60];
+         |for (int $i = 0; $i < $hs.numElements(); $i++) {
+         |  final long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    $acc[$j] += ((int) (($h >>> $j) & 1L)) * 2 - 1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 60; $j++) { if ($acc[$j] > 0) $sig |= 1L << $j; }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 object MinHashExprs {
   def minhashSigs(hs: Column, k: Int, p20: Long, p31: Long,
                   aBase: Long, aStep: Long, bBase: Long, bStep: Long): Column =
@@ -119,4 +170,7 @@ object MinHashExprs {
   def intersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayLongIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def simhash60(hs: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(hs)))
 }
