@@ -43,17 +43,26 @@ object TextFunctions {
   def stopwordCount(c: Column): Column =
     regexp_count(lower(c), lit("\\b(the|and|is|of|to|in|a|for|on|it)\\b"))
 
+  /** Exact cross-engine fixed-point: floor(x·10^d + 0.5) as a long. Decimal
+    * `round(x, d)` implementations disagree on representation ties (Spark
+    * rounds the exact binary expansion, other engines the shortest decimal);
+    * this formula is a pure double computation — identical everywhere the
+    * input double is identical. */
+  def fixedPoint(c: Column, digits: Int): Column =
+    floor(c * math.pow(10, digits) + 0.5).cast("long")
+
   /** Composite document-quality score in [0,1]:
     * 40% length saturation (tokens/100 capped), 30% low punctuation noise,
     * 30% stopword naturalness (stopwords per token, saturated at 1/5).
-    * Pure integer-derived double arithmetic → bit-identical across engines. */
+    * Pure integer-derived double arithmetic → bit-identical across engines.
+    * Surface via fixedPoint(…, 4) when comparing across engines. */
   def qualityScore(c: Column): Column = {
     val nTok = tokenCount(c).cast("double")
     val nChr = length(c).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val punctScore = lit(1.0) - when(nChr > 0, punctCount(c) / nChr).otherwise(lit(0.0))
     val stopScore = least(when(nTok > 0, stopwordCount(c) * 5.0 / nTok).otherwise(lit(0.0)), lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 4)
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
   }
 
   /** Marker-word language scores. Scoring is a deterministic n-gram/marker

@@ -141,10 +141,10 @@ object Dedup {
     pairShingles.groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
       .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .withColumn("jaccard_e4", graft.functions.TextFunctions.fixedPoint(
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard_e4") >= (minJaccard * 10000).round)
+      .select(col("a_id"), col("b_id"), col("jaccard_e4"))
   }
 
   /** The composed scale path: MinHash → LSH candidates → exact-Jaccard
@@ -184,10 +184,10 @@ object Dedup {
       .join(broadcast(sets.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))), Seq("b_id"))
       .withColumn("inter", // allocation-free |A∩B| (vs array_intersect+size)
         org.apache.spark.sql.graft.MinHashExprs.intersectCount(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .withColumn("jaccard_e4", graft.functions.TextFunctions.fixedPoint(
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard_e4") >= (minJaccard * 10000).round)
+      .select(col("a_id"), col("b_id"), col("jaccard_e4"))
   }
 
   /** 60-bit SimHash over distinct whitespace tokens: bit j of the signature

@@ -59,10 +59,11 @@ object Similarity {
     val q = broadcast(withNorm(queries, idCol, embCol, "q_id", "q_emb", "q_norm"))
     val scored = withNorm(corpus, idCol, embCol, idCol, "__qe", "__cn")
       .join(q, col("q_id") =!= col(idCol))
-      .withColumn("cos", round(qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"), col("rank").cast("int").as("rank"))
   }
 
   /** md5-seeded integer hyperplanes: nPlanes rows of (p, w[dim]) with each
@@ -92,10 +93,11 @@ object Similarity {
       .join(lshBuckets(queries, planes, idCol, embCol), idCol)
       .select(col(idCol).as("q_id"), col("q_emb"), col("q_norm"), col("bucket")))
     val scored = corpusB.join(q, Seq("bucket")).filter(col("q_id") =!= col(idCol))
-      .withColumn("cos", round(qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank").cast("int").as("rank"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"), col("rank").cast("int").as("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among same-LSH-bucket
@@ -108,8 +110,9 @@ object Similarity {
       .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb"), col("__n").as("b_n")),
         Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(qdot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cos"))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
+      .filter(col("cos_e4") >= (threshold * 10000).round)
+      .select(col("a_id"), col("b_id"), col("cos_e4"))
   }
 }

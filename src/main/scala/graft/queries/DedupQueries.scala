@@ -66,9 +66,11 @@ object DedupQueries {
            FROM cand c
            JOIN sig sa ON sa.doc_id = c.a_id
            JOIN sig sb ON sb.doc_id = c.b_id)
-         SELECT a_id, b_id, jaccard FROM (
-           SELECT a_id, b_id, round(inter/(sz_a + sz_b - inter), 4) AS jaccard FROM scored)
-         WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+         SELECT a_id, b_id, jaccard_e4 FROM (
+           SELECT a_id, b_id,
+             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
+           FROM scored)
+         WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     "q21_simhash_pairs" ->
       raw"""WITH toks AS (SELECT doc_id,
            list_distinct(CASE WHEN len(trim(text)) = 0 THEN []

@@ -53,8 +53,8 @@ object SimQueries {
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
   private def cosSql(a: String, b: String) =
-    s"round(list_dot_product($a,$b)/(sqrt(CAST(list_dot_product($a,$a) AS DOUBLE))" +
-      s"*sqrt(CAST(list_dot_product($b,$b) AS DOUBLE))), 4)"
+    s"CAST(floor(list_dot_product($a,$b)/(sqrt(CAST(list_dot_product($a,$a) AS DOUBLE))" +
+      s"*sqrt(CAST(list_dot_product($b,$b) AS DOUBLE)))*10000 + 0.5) AS BIGINT)"
 
   private val planesCte =
     raw"""planes AS (SELECT p,
@@ -71,27 +71,27 @@ object SimQueries {
     "q22_cosine_topk" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),
-         s AS (SELECT q_id, vec_id, ${cosSql("qe", "ce")} AS cos
+         s AS (SELECT q_id, vec_id, ${cosSql("qe", "ce")} AS cos_e4
                FROM q, c WHERE q_id <> vec_id),
-         r AS (SELECT q_id, vec_id, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
-         SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+         r AS (SELECT q_id, vec_id, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q23_ann_topk" ->
       raw"""WITH $planesCte, $bucketsCte,
          cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id)),
          qs AS (SELECT vec_id AS q_id, qe AS q_emb, bucket FROM cb WHERE vec_id < 10),
-         s AS (SELECT q.q_id, c.vec_id, ${cosSql("q.q_emb", "c.qe")} AS cos
+         s AS (SELECT q.q_id, c.vec_id, ${cosSql("q.q_emb", "c.qe")} AS cos_e4
                FROM qs q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
-         r AS (SELECT q_id, vec_id, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
-         SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+         r AS (SELECT q_id, vec_id, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q24_embedding_near_dup" ->
       raw"""WITH $planesCte, $bucketsCte,
          cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id))
-         SELECT a_id, b_id, cos FROM (
-           SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos
+         SELECT a_id, b_id, cos_e4 FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos_e4
            FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         WHERE cos >= 0.35 ORDER BY 1, 2""")
+         WHERE cos_e4 >= 3500 ORDER BY 1, 2""")
 }

@@ -24,7 +24,7 @@ object TextQueries {
         sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
         sum(bpeTokenCount(col("text")).cast("long")).as("n_bpe_tokens"),
         sum(punctCount(col("text")).cast("long")).as("n_punct"),
-        round(avg(col("n_chars")), 2).as("avg_chars"))
+        fixedPoint(avg(col("n_chars")), 2).as("avg_chars_e2"))
       .orderBy(col("lang"))
 
   /** Regex-heavy per-doc stages: spread byte-small fixture files across
@@ -39,7 +39,7 @@ object TextQueries {
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
-        qualityScore(col("text")).as("quality"))
+        fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
       .orderBy(col("doc_id"))
 
   /** q18: language-ID confusion matrix — labeled lang × predicted lang. */
@@ -75,16 +75,16 @@ object TextQueries {
          CAST(sum($tokCountSql) AS BIGINT) AS n_tokens,
          CAST(sum(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
          CAST(sum($punctCountSql) AS BIGINT) AS n_punct,
-         round(avg(n_chars), 2) AS avg_chars
+         CAST(floor(avg(n_chars)*100 + 0.5) AS BIGINT) AS avg_chars_e2
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q17_quality_scores" ->
       raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
            $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
            FROM documents)
          SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-           round(least(n_tok/100.0, 1.0)*0.4
+           CAST(floor((least(n_tok/100.0, 1.0)*0.4
              + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
-             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3, 4) AS quality
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
          FROM t ORDER BY doc_id""",
     "q18_langid_confusion" ->
       raw"""WITH s AS (SELECT lang,

@@ -55,13 +55,13 @@ class DedupSimSpec extends SparkSpec {
     // identical 5-gram sets except a tail difference; verify the ratio math
     val two = docs.filter($"doc_id".isin(1L, 3L))
     val j = Dedup.jaccardPairs(two, "doc_id", "text", shingleN = 5, minJaccard = 0.0)
-      .select("jaccard").as[Double].head()
+      .select("jaccard_e4").as[Long].head()
     val sh1 = docs.filter($"doc_id" === 1L)
       .select(explode(TextFunctions.charShingles($"text", 5))).as[String].collect().toSet
     val sh3 = docs.filter($"doc_id" === 3L)
       .select(explode(TextFunctions.charShingles($"text", 5))).as[String].collect().toSet
-    val expected = BigDecimal(sh1.intersect(sh3).size.toDouble / sh1.union(sh3).size)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = math.floor(
+      sh1.intersect(sh3).size.toDouble / sh1.union(sh3).size * 10000 + 0.5).toLong
     assert(j === expected)
   }
 
@@ -81,15 +81,15 @@ class DedupSimSpec extends SparkSpec {
   test("annTopK returns a subset of brute-force candidates with same scores") {
     val planes = Similarity.hyperplanes(spark, 4, 4)
     val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
-      .select("q_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toMap2
+      .select("q_id", "neighbor_id", "cos_e4").as[(Long, Long, Long)].collect().toMap2
     val ann = Similarity.annTopK(vecs, vecs, planes, 3)
-      .select("q_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+      .select("q_id", "neighbor_id", "cos_e4").as[(Long, Long, Long)].collect()
     assert(ann.nonEmpty)
     ann.foreach { case (q, n, c) => assert(brute((q, n)) === c) }
   }
 
-  implicit private class Tup3Ops(rows: Array[(Long, Long, Double)]) {
-    def toMap2: Map[(Long, Long), Double] = rows.map(t => (t._1, t._2) -> t._3).toMap
+  implicit private class Tup3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
 
   test("hyperplanes are deterministic across invocations") {
