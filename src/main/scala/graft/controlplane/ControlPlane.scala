@@ -93,6 +93,23 @@ object ControlPlane {
         (countDistinct(col("task_id")) -
           countDistinct(when(col("status") === "success", col("task_id")))).as("n_failure"))
 
+  /** Render the report rows the reference emails (send_email.py:569-650
+    * template replacement, F4) — one HTML table row per source plus a
+    * totals row, entirely via format_string (no driver-side string loop). */
+  def renderCompletionReport(report: DataFrame): DataFrame = {
+    val rows = report.select(
+      col("source_name"), col("schema_name"),
+      format_string("<tr><td>%s</td><td>%s</td><td>%d</td><td>%d</td><td>%d</td></tr>",
+        col("source_name"), col("schema_name"),
+        col("n_total"), col("n_success"), col("n_failure")).as("html_row"))
+    val totals = report.agg(
+      sum(col("n_total")).as("t"), sum(col("n_success")).as("s"), sum(col("n_failure")).as("f"))
+      .select(lit("_total").as("source_name"), lit("").as("schema_name"),
+        format_string("<tr><td>TOTAL</td><td></td><td>%d</td><td>%d</td><td>%d</td></tr>",
+          col("t"), col("s"), col("f")).as("html_row"))
+    rows.unionByName(totals)
+  }
+
   // ---- Registry lifecycle (etl_manager.py:779-866,983-1069,1120-1379) ----
 
   /** Rows of `incoming` not yet in `registry` → to insert with

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Warehouse
+import graft.maintenance.Maintenance
+import graft.workflow.Workflow
+import graft.workflow.Workflow.{AllDone, TaskSpec}
+
+/** The reference's three housekeeping DAGs as workflow graphs (SURVEY §3.3):
+  *
+  *   - data-file compaction, monthly `0 12 1 * *` (housekeeping__data_file):
+  *     per-table optimize to 500 MB files.
+  *   - metadata-file prune, monthly `0 12 L * *` (housekeeping__metadata_file)
+  *     with the ran-compaction-this-month branch gate — skips to end when
+  *     compaction hasn't produced current-month metadata.
+  *   - unused-file sweep, daily `0 6 * * *` (housekeeping__unused_file):
+  *     orphan data dirs older than the retention horizon.
+  *
+  * The reference fans each over 10-20 thread pools; here every task body is
+  * one Spark job whose work is already distributed, and the graph gives the
+  * same per-table isolation (one table's failure doesn't stop the rest —
+  * `end` is all_done and the rollup raises afterwards).
+  */
+object Housekeeping {
+
+  /** Cron schedules carried as metadata (the workflow runner is invoked by
+    * an external scheduler; these document the reference's cadence). */
+  val CompactionCron = "0 12 1 * *"
+  val MetadataPruneCron = "0 12 L * *"
+  val OrphanSweepCron = "0 6 * * *"
+
+  val OrphanRetentionMs: Long = 30L * 24 * 3600 * 1000 // clean_data.py:52
+
+  private def perTableGraph(wh: Warehouse, taskPrefix: String)
+                           (body: (String, String) => Unit): Seq[TaskSpec] = {
+    val tables = wh.listTables().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    Seq(TaskSpec("start")) ++ tables.map { case (s, t) =>
+      TaskSpec(s"${taskPrefix}_${s}_$t", deps = Seq("start"),
+        run = () => body(s, t), retries = 1)
+    } ++ Seq(TaskSpec("end", deps = tables.map { case (s, t) => s"${taskPrefix}_${s}_$t" },
+      triggerRule = AllDone))
+  }
+
+  /** Monthly compaction run over every committed table. */
+  def runCompaction(spark: SparkSession, wh: Warehouse,
+                    targetBytes: Long = Maintenance.TargetFileBytes): Workflow.RunResult =
+    Workflow.run(perTableGraph(wh, "compact") { (s, t) =>
+      Maintenance.compact(spark, wh, s, t, targetBytes); ()
+    })
+
+  /** Monthly metadata prune, gated on whether compaction ran this month
+    * (reference clean_metadata.py:206-224 month-bucket existence check). */
+  def runMetadataPrune(spark: SparkSession, wh: Warehouse, currentMonth: String,
+                       compactionRanThisMonth: Boolean): Workflow.RunResult = {
+    val work = perTableGraph(wh, "prune") { (s, t) =>
+      Maintenance.pruneMetadataLog(spark, wh, s, t, currentMonth); ()
+    }
+    // the branch picks (or skips) `start`; a skip cascades through every
+    // per-table task, and the all_done end still runs — the monthly gate
+    val gated = Seq(TaskSpec("gate", branch = Some(() =>
+      if (compactionRanThisMonth) Seq("start") else Seq.empty))) ++
+      work.map(t => t.copy(deps = if (t.id == "start") Seq("gate") else t.deps))
+    Workflow.run(gated)
+  }
+
+  /** Daily orphan sweep with the 30-day retention guard. */
+  def runOrphanSweep(spark: SparkSession, wh: Warehouse,
+                     retainMs: Long = OrphanRetentionMs): Workflow.RunResult =
+    Workflow.run(perTableGraph(wh, "sweep") { (s, t) =>
+      Maintenance.orphanSweep(spark, wh, s, t, retainMs); ()
+    })
+}

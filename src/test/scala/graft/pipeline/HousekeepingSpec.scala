@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.controlplane.ControlPlane
+import graft.core.Warehouse
+
+class HousekeepingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def whWithTables(): Warehouse = {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_hk_").toString)
+    (1 to 3).foreach(i => wh.append("s", "a", Seq((i, s"v$i")).toDF("id", "v")))
+    wh.overwrite("s", "b", Seq((1, "x")).toDF("id", "v"))
+    wh
+  }
+
+  test("compaction workflow compacts every table; statuses roll up") {
+    val wh = whWithTables()
+    val r = Housekeeping.runCompaction(spark, wh)
+    r.assertAllSuccess()
+    assert(r.runs.map(_.taskId).count(_.startsWith("compact_")) === 2)
+    assert(wh.dataDirs("s", "a").size === 1) // 3 append dirs → 1
+  }
+
+  test("metadata prune gate: skips all work when compaction didn't run this month") {
+    val wh = whWithTables()
+    val skipped = Housekeeping.runMetadataPrune(spark, wh, "1970-01",
+      compactionRanThisMonth = false)
+    skipped.assertAllSuccess() // skipped counts as ok
+    assert(skipped.status("start") === "skipped")
+    assert(skipped.runs.filter(_.taskId.startsWith("prune_")).forall(_.status == "skipped"))
+    assert(skipped.status("end") === "success") // all_done end ran
+    val ran = Housekeeping.runMetadataPrune(spark, wh, "1970-01",
+      compactionRanThisMonth = true)
+    ran.assertAllSuccess()
+    assert(ran.runs.filter(_.taskId.startsWith("prune_")).forall(_.status == "success"))
+  }
+
+  test("orphan sweep workflow removes stale dirs after compaction") {
+    val wh = whWithTables()
+    Housekeeping.runCompaction(spark, wh)
+    // drop old logs so v1-3 dirs of table a become orphans, then sweep now
+    graft.maintenance.Maintenance.pruneMetadataLog(spark, wh, "s", "a", "1970-01")
+    val r = Housekeeping.runOrphanSweep(spark, wh, retainMs = 0L)
+    r.assertAllSuccess()
+    assert(wh.dataDirs("s", "a").size === 1)
+    assert(wh.read("s", "a").count() === 3)
+  }
+
+  test("completion report renders per-source and total rows") {
+    val tasks = Seq(
+      ("src_a", "staging", "t1", "success"), ("src_a", "staging", "t2", "failed"),
+      ("src_b", "vault", "t1", "success")
+    ).toDF("source_name", "schema_name", "task_id", "status")
+    val html = ControlPlane.renderCompletionReport(ControlPlane.completionReport(tasks))
+      .orderBy("source_name")
+    val rows = html.select("html_row").as[String].collect()
+    assert(rows.length === 3)
+    assert(rows.exists(_.contains("<td>src_a</td>")))
+    assert(rows.exists(_.contains("<td>TOTAL</td>")))
+  }
+}
