@@ -76,6 +76,15 @@ class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Time travel: read the table as of an earlier committed version (the
+    * Iceberg snapshot-read equivalent — every version's file list survives
+    * until OrphanSweep/pruneMetadataLog retire it). */
+  def readAt(schema: String, table: String, version: Long): DataFrame = {
+    val dirs = dataDirs(schema, table, version)
+    require(dirs.nonEmpty, s"no version $version of $schema.$table")
+    spark.read.parquet(dirs: _*)
+  }
+
   private def commit(dir: String, v: Long, rels: Seq[String]): Unit = {
     writeFile(logPath(dir, v), rels.mkString("\n"))
     val tmp = new Path(s"$dir/_current.tmp")

@@ -103,4 +103,14 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
     assert(wh.read("s", "u").count() === 1)
   }
+
+  test("time travel: readAt returns earlier committed versions") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a")).toDF("id", "v"))
+    wh.overwrite("s", "t", Seq((2, "b")).toDF("id", "v"))
+    wh.append("s", "t", Seq((3, "c")).toDF("id", "v"))
+    assert(wh.readAt("s", "t", 1).as[(Int, String)].collect().toSet === Set((1, "a")))
+    assert(wh.readAt("s", "t", 2).as[(Int, String)].collect().toSet === Set((2, "b")))
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((2, "b"), (3, "c")))
+  }
 }
