@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimQueries.all ++ EventQueries.all ++ VaultQueries.all ++ MiscQueries.all
+      SimQueries.all ++ EventQueries.all ++ VaultQueries.all ++
+      MiscQueries.all ++ CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles
+      SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.CorpusCuration
+import graft.operators.Dedup
+
+/** q35: the SQL-surface entry (spark.sql over registered views — the
+  * reference's native interface was SQL strings); q36: the end-to-end
+  * corpus-curation funnel, oracle-checked through every stage (langid →
+  * quality floor → exact dedup → LSH near-dup removal). */
+object CurationQueries {
+
+  /** q35: TPC-H Q6-shaped revenue-delta query expressed as `spark.sql`
+    * over a temp view — exercising the SQL front door end to end. */
+  def q35SqlRevenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_items
+         FROM lineitem_v
+         WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+  }
+
+  private val P = CorpusCuration.Params(
+    langs = Set("en", "und"), minQualityE4 = 4000L,
+    minChars = 50, maxChars = 100000, minJaccard = 0.5)
+
+  /** q36: curated doc ids after the full funnel. */
+  def q36CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val filtered = CorpusCuration.qualityFilter(docs, P)
+    val exact = CorpusCuration.exactDeduped(filtered, "doc_id")
+    CorpusCuration.nearDupRemoved(exact, "doc_id", P.minJaccard)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
+    "q36_corpus_curation" -> (q36CorpusCuration _))
+
+  // ---- oracle SQL ----
+
+  import TextQueries.{punctCountSql, stopCountSql, tokCountSql}
+
+  private val qualitySql =
+    raw"""CAST(floor((least($tokCountSql/100.0, 1.0)*0.4
+      + (1.0 - CASE WHEN len(text)>0 THEN $punctCountSql/CAST(len(text) AS DOUBLE) ELSE 0.0 END)*0.3
+      + least(CASE WHEN $tokCountSql>0 THEN $stopCountSql*5.0/$tokCountSql ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT)"""
+
+  // pred_lang ∈ {en, und} as a boolean: no CJK, and either no marker hits
+  // at all (und) or the en score ties the max (en has top priority in the
+  // argmax chain, so s_en = max ⇒ pred = 'en' even on ties).
+
+  private val sigCols = (0 until 16).map(i =>
+    s"list_min(list_transform(hs, x -> ((x % ${Dedup.MinhashP20}) * ${Dedup.affineA(i)}" +
+      s" + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31})) AS mh_$i").mkString(", ")
+
+  private val bandSelects = (0 until 4).map { j =>
+    val cc = (0 until 4).map(i => s"CAST(mh_${j * 4 + i} AS VARCHAR)").mkString("||'|'||")
+    s"SELECT doc_id, $j AS band, md5($cc) AS bh FROM sig"
+  }.mkString(" UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q35_sql_revenue_filter" ->
+      """SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q36_corpus_curation" ->
+      raw"""WITH ann AS (SELECT doc_id, text,
+           len(regexp_extract_all(text,'[^ -~]')) AS cjk,
+           len(regexp_extract_all(lower(text),'\b(the|and|is|of|to)\b')) AS s_en,
+           len(regexp_extract_all(lower(text),'\b(der|die|und|ist|ein)\b')) AS s_de,
+           len(regexp_extract_all(lower(text),'\b(le|les|des|est|une)\b')) AS s_fr,
+           len(regexp_extract_all(lower(text),'\b(el|los|las|una|por)\b')) AS s_es,
+           $qualitySql AS q
+           FROM documents),
+         f AS (SELECT doc_id, text FROM ann
+           WHERE cjk = 0
+             AND (greatest(s_en,s_de,s_fr,s_es) = 0 OR s_en = greatest(s_en,s_de,s_fr,s_es))
+             AND q >= 4000 AND len(text) BETWEEN 50 AND 100000),
+         fp AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM f),
+         keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         e AS (SELECT f.doc_id, f.text FROM f JOIN keep USING (doc_id)),
+         d AS (SELECT doc_id, CASE WHEN len(text) >= 5
+             THEN list_distinct([substr(text, i, 5) for i in range(1, len(text)-3)])
+             ELSE [text] END AS shs0 FROM e),
+         h AS (SELECT doc_id, len(shs0) AS sz,
+             list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
+           FROM d),
+         sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, $sigCols FROM h),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         scored AS (SELECT c.a_id, c.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id),
+         losers AS (SELECT DISTINCT b_id AS doc_id FROM (
+             SELECT a_id, b_id,
+               CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS j
+             FROM scored) WHERE j >= 5000)
+         SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""")
+}

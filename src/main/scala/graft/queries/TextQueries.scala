@@ -63,10 +63,10 @@ object TextQueries {
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _))
 
-  private val tokCountSql =
+  private[queries] val tokCountSql =
     raw"CASE WHEN len(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END"
-  private val punctCountSql = raw"len(regexp_extract_all(text,'[^A-Za-z0-9\s]'))"
-  private val stopCountSql =
+  private[queries] val punctCountSql = raw"len(regexp_extract_all(text,'[^A-Za-z0-9\s]'))"
+  private[queries] val stopCountSql =
     raw"len(regexp_extract_all(lower(text),'\b(the|and|is|of|to|in|a|for|on|it)\b'))"
 
   val oracles: Map[String, String] = Map(
