@@ -30,6 +30,8 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(s"local[$cores]", math.max(8, cores)).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native expressions available to spark.sql users out of the box
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     s
   }
 }
