@@ -100,6 +100,51 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"), col("rank").cast("int").as("rank"))
   }
 
+  /** IVF coarse centroids: element-wise mean of the quantized vectors per
+    * partition label, re-quantized (floor(sum/n + 0.5) — exact ints in, so
+    * deterministic in any engine). At scale the labels come from a k-means
+    * pass; here any coarse partition column works. Output: (label, ce). */
+  def ivfCentroids(df: DataFrame, labelCol: String,
+                   embCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(quantize(col(embCol))).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).as("ce"))
+
+  /** IVF assignment: nearest centroid(s) by cosine per vector (rank ≤
+    * probes), deterministic tie-break on label. */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, probes: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val scored = withNorm(df, idCol, embCol, idCol, "__qe", "__n")
+      .join(broadcast(centroids
+        .withColumn("__cn", sqrt(qdot(col("ce"), col("ce")).cast("double")))), lit(true))
+      .withColumn("__cs", qdot(col("__qe"), col("ce")) / (col("__n") * col("__cn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cs").desc, col("label"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
+      .select(col(idCol), col("label"), col("__qe"), col("__n"))
+  }
+
+  /** IVF approximate top-k: corpus vectors live in their nearest centroid's
+    * list (probes=1); each query probes its `probes` nearest lists and
+    * ranks candidates by exact cosine. The classic inverted-file ANN — the
+    * candidate join keys on the coarse label, so search cost is
+    * |query lists probed| ≈ corpus/nlist × probes per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, probes: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val corpusA = ivfAssign(corpus, centroids, probes = 1, idCol, embCol)
+    val q = broadcast(ivfAssign(queries, centroids, probes, idCol, embCol)
+      .select(col(idCol).as("q_id"), col("label"), col("__qe").as("q_emb"), col("__n").as("q_norm")))
+    val scored = corpusA.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__n")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"), col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among same-LSH-bucket
     * candidates (a_id < b_id). The scale-safe variant of all-pairs cosine. */
   def cosineNearDupPairs(df: DataFrame, planes: DataFrame, threshold: Double,

@@ -42,10 +42,20 @@ object SimQueries {
       Similarity.hyperplanes(spark, Planes, Dim), 0.35)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q37: IVF approximate top-5 — coarse centroids from the label column,
+    * queries probe their 2 nearest inverted lists. */
+  def q37IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfTopK(queriesDf(spark, dir), emb,
+      Similarity.ivfCentroids(emb, "label"), TopK, probes = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
-    "q24_embedding_near_dup" -> (q24EmbeddingNearDup _))
+    "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
+    "q37_ivf_topk" -> (q37IvfTopK _))
 
   // ---- oracle SQL ----
 
@@ -83,6 +93,32 @@ object SimQueries {
          qs AS (SELECT vec_id AS q_id, qe AS q_emb, bucket FROM cb WHERE vec_id < 10),
          s AS (SELECT q.q_id, c.vec_id, ${cosSql("q.q_emb", "c.qe")} AS cos_e4
                FROM qs q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
+         r AS (SELECT q_id, vec_id, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "q37_ivf_topk" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         ca AS (SELECT vec_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent) WHERE r <= 1),
+         qa AS (SELECT vec_id AS q_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent WHERE e.vec_id < 10) WHERE r <= 2),
+         s AS (SELECT qa.q_id, ca.vec_id, ${cosSql("qq.qe", "cc.qe")} AS cos_e4
+               FROM qa JOIN ca ON qa.label = ca.label AND qa.q_id <> ca.vec_id
+               JOIN e qq ON qq.vec_id = qa.q_id
+               JOIN e cc ON cc.vec_id = ca.vec_id),
          r AS (SELECT q_id, vec_id, cos_e4,
                row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
          SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
