@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/first-scan costs land here, not on
+    // whichever query happens to run first
+    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune non-grouping columns out of aggs).
     // Queries run in sorted name order for stable warmup attribution.
