@@ -29,11 +29,15 @@ object CurationQueries {
     langs = Set("en", "und"), minQualityE4 = 4000L,
     minChars = 50, maxChars = 100000, minJaccard = 0.5)
 
-  /** q36: curated doc ids after the full funnel. */
+  /** q36: curated doc ids after the full funnel. The exact-deduped stage
+    * is materialized: the near-dup stage reads it for signatures AND for
+    * the final anti-join (a production funnel checkpoints here anyway). */
   def q36CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val docs = Tables(spark, dir, "documents")
     val filtered = CorpusCuration.qualityFilter(docs, P)
     val exact = CorpusCuration.exactDeduped(filtered, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     CorpusCuration.nearDupRemoved(exact, "doc_id", P.minJaccard)
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
