@@ -13,18 +13,19 @@ import graft.functions.TextFunctions._
   * Scale notes (the 100 TB contract):
   *   - exact dedup: one shuffle on the 128-bit fingerprint; fingerprints are
   *     uniformly distributed so no skew.
-  *   - MinHash/LSH: cost is dominated by the shingle explode (|text| rows per
-  *     doc) and one shuffle per groupBy; candidate generation joins on
-  *     (band, band_hash) — uniform md5 keys, so the join partitions evenly.
-  *     This is THE near-dup path at scale: no all-pairs stage ever
-  *     materializes; the verify stage only touches LSH candidates.
-  *   - SimHash: banded by pigeonhole (4 chunks of 15 bits ⇒ hamming ≤ 3
-  *     guarantees a shared chunk); candidates join on chunk value, the
-  *     all-pairs comparison is never built.
-  *   - n-gram Jaccard: the shingle-join candidate generator degrades on very
-  *     common shingles (stopword 5-grams); at scale prefer lshCandidatePairs
-  *     then jaccardFor(candidates) — provided here as the composed
-  *     `nearDupPairs`.
+  *   - MinHash/LSH: signatures and hashed shingle sets are ROW-LOCAL array
+  *     expressions (signatureFrame) — zero shuffle before candidate
+  *     generation, which joins on (band, band_hash) — uniform md5 keys, so
+  *     the join partitions evenly. This is THE near-dup path at scale: no
+  *     all-pairs stage ever materializes; the verify stage only touches
+  *     LSH candidates.
+  *   - SimHash: row-local 60-bit signatures (codegen'd SimHash60), banded
+  *     by pigeonhole (4 chunks of 15 bits ⇒ hamming ≤ 3 guarantees a
+  *     shared chunk); candidates join on chunk value, the all-pairs
+  *     comparison is never built.
+  *   - n-gram Jaccard: the bare shingle-join candidate generator degrades on
+  *     very common shingles (stopword 5-grams); at scale always go through
+  *     LSH candidates first — provided composed as `nearDupPairs`.
   */
 object Dedup {
 

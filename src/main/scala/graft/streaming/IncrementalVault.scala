@@ -71,14 +71,19 @@ object IncrementalVault {
     else wh.overwrite("raw_vault", s"sat_${name}_history", sat)
   }
 
-  /** Periodic close-off over the accumulated history: recompute
-    * load_end_date windows (the satellite contract) — run like compaction,
-    * scoped to keys touched since the last run at scale. */
+  /** Periodic close-off over the accumulated history: re-apply change
+    * compression ACROSS batches (a key re-arriving with unchanged attrs in
+    * a later delta must not open a new version) and recompute load_end_date
+    * windows — run like compaction, scoped to keys touched since the last
+    * run at scale. */
   def closeOff(spark: SparkSession, wh: Warehouse, name: String): Long = {
     import org.apache.spark.sql.expressions.Window
     val hk = s"sat_${name}_hash_key"
     val w = Window.partitionBy(col(hk)).orderBy(col("load_date"))
     val closed = wh.read("raw_vault", s"sat_${name}_history")
+      .withColumn("__prev", lag(col("hash_diff"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("hash_diff"))
+      .drop("__prev")
       .withColumn("load_end_date", lead(col("load_date"), 1).over(w))
     wh.overwrite("raw_vault", s"sat_$name", closed)
   }

@@ -48,6 +48,9 @@ class IncrementalVaultSpec extends SparkSpec {
     assert(sat.filter(col("status") === "A").select("load_end_date").as[String].head()
       === "2024-01-02")
     assert(sat.filter(col("status") === "B").select("load_end_date").as[String].head() === null)
+    // cross-batch compression: k2's unchanged X arriving again in batch2
+    // must NOT open a second version
+    assert(sat.filter(col("status") === "X").count() === 1)
 
     // third run with no new files: nothing changes (checkpoint)
     val hubV = wh.currentVersion("raw_vault", "hub_cust")
