@@ -22,9 +22,13 @@ object Bench {
     // Queries run in sorted name order for stable warmup attribution.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // release intermediates operators persisted (e.g. near-dup stages) so
+      // queries are timed independently and caches don't accumulate
+      spark.catalog.clearCache()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0) // -1 = failed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

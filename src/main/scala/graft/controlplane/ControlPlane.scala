@@ -37,9 +37,12 @@ object ControlPlane {
   def closeEtlDate(etlDates: DataFrame, runs: DataFrame, etlDate: String): DataFrame = {
     val latest = Relational.latestPerGroup(
       runs.filter(col("etl_date") === etlDate), Seq("source_name"), "created_at", Seq("run_id"))
-    val allOk = latest.agg(
-      Relational.boolAllExpr(col("status") === "success").as("ok"))
-      .collect().head.getBoolean(0)
+    // a date with ZERO runs must stay open — the empty-set-is-success parity
+    // applies to task lists within a run, not to "did anything run at all"
+    val head = latest.agg(
+      Relational.boolAllExpr(col("status") === "success").as("ok"),
+      count(lit(1)).as("n")).collect().head
+    val allOk = head.getBoolean(0) && head.getLong(1) > 0
     if (allOk)
       etlDates.withColumn("status",
         when(col("etl_date") === etlDate, lit("success")).otherwise(col("status")))

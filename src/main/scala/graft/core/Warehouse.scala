@@ -54,8 +54,21 @@ class Warehouse(spark: SparkSession, root: String) {
   }
 
   def currentVersion(schema: String, table: String): Long = {
-    val p = currentPath(tableDir(schema, table))
-    if (fs.exists(p)) readFile(p).trim.toLong else 0L
+    val dir = tableDir(schema, table)
+    val p = currentPath(dir)
+    if (fs.exists(p)) readFile(p).trim.toLong
+    else {
+      // recovery path: version lists are committed BEFORE the pointer swap
+      // (and their data dirs before them), so when a crash lands between
+      // delete and rename of `_current`, the max committed list is a fully
+      // readable version — `_current` is a fast-path cache, not the truth
+      val logDir = new Path(s"$dir/_log")
+      if (!fs.exists(logDir)) 0L
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toLong }
+        .foldLeft(0L)(math.max)
+    }
   }
 
   def exists(schema: String, table: String): Boolean =
@@ -94,15 +107,33 @@ class Warehouse(spark: SparkSession, root: String) {
     fs.rename(tmp, cur)
   }
 
+  /** Registered hive-partition columns for the table (sticky: rewrites —
+    * compaction, MERGE — re-apply them so the layout survives). */
+  def partitioning(schema: String, table: String): Seq[String] = {
+    val p = new Path(s"${tableDir(schema, table)}/_partitioning")
+    if (fs.exists(p)) readFile(p).trim.split(",").toSeq.filter(_.nonEmpty) else Seq.empty
+  }
+
+  private def resolvePartitioning(schema: String, table: String,
+                                  requested: Seq[String]): Seq[String] = {
+    val effective = if (requested.nonEmpty) requested else partitioning(schema, table)
+    if (effective.nonEmpty)
+      writeFile(new Path(s"${tableDir(schema, table)}/_partitioning"), effective.mkString(","))
+    effective
+  }
+
   /** Overwrite: new version referencing only the new data dir.
     * `partitionBy`: hive-style partition columns (the reference warehouse
     * partitions fact tables by etl_date/source_name — etl_manager.py:80-87
-    * filters on both, so scans prune partitions for free; SURVEY §4). */
+    * filters on both, so scans prune partitions for free; SURVEY §4).
+    * Omitting it KEEPS the table's registered partitioning — otherwise a
+    * compaction or MERGE rewrite would silently flatten the layout. */
   def overwrite(schema: String, table: String, df: DataFrame,
                 partitionBy: Seq[String] = Nil): Long = {
     val dir = tableDir(schema, table)
+    val parts = resolvePartitioning(schema, table, partitionBy)
     val v = currentVersion(schema, table) + 1
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s"$dir/data/v$v")
+    df.write.mode("overwrite").partitionBy(parts: _*).parquet(s"$dir/data/v$v")
     commit(dir, v, Seq(s"data/v$v"))
     v
   }
@@ -112,9 +143,10 @@ class Warehouse(spark: SparkSession, root: String) {
   def append(schema: String, table: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Long = {
     val dir = tableDir(schema, table)
+    val parts = resolvePartitioning(schema, table, partitionBy)
     val v = currentVersion(schema, table) + 1
     val prev = if (v == 1) Seq.empty else dataDirs(schema, table).map(_.stripPrefix(s"$dir/"))
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s"$dir/data/v$v")
+    df.write.mode("overwrite").partitionBy(parts: _*).parquet(s"$dir/data/v$v")
     commit(dir, v, prev :+ s"data/v$v")
     v
   }

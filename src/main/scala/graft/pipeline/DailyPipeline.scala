@@ -119,15 +119,27 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
 
     val result = Workflow.run(tasks, resumeDone = done)
 
+    // explicit task → source map built at construction time (suffix
+    // matching would misattribute when one source name suffixes another)
+    val taskOwner: Map[String, String] = sources.flatMap { s =>
+      Seq(s"staging_${s.name}", s"drift_check_${s.name}",
+        s"notify_drift_${s.name}", s"vault_${s.name}").map(_ -> s.name)
+    }.toMap
     // persist task statuses (the status_etlpipeline_task_airflow table)
     appendRows("op_metadata", "task_log",
-      result.runs.map(r => (etlDate, taskSource(r.taskId, sources), r.taskId, r.status))
+      result.runs.map(r => (etlDate, taskOwner.getOrElse(r.taskId, "pipeline"),
+        r.taskId, r.status))
         .toDF("etl_date", "source_name", "task_id", "status"))
-    // roll up to run rows and close the date when all sources succeeded
+    // roll up to run rows and close the date when all sources succeeded.
+    // run_id is a fresh uuid and created_at a real timestamp: re-runs of a
+    // failed date must produce a strictly NEWER run row, or the
+    // latest-run-per-source dedup in closeEtlDate could pick the old one.
+    val now = System.currentTimeMillis()
     val runRows = sources.map { s =>
-      val srcTasks = result.runs.filter(r => r.taskId.endsWith(s"_${s.name}"))
+      val srcTasks = result.runs.filter(r => taskOwner.get(r.taskId).contains(s.name))
       val ok = srcTasks.forall(r => r.status == "success" || r.status == "skipped")
-      (etlDate, s.name, "run_" + s.name, 1L, if (ok) "success" else "failed")
+      (etlDate, s.name, java.util.UUID.randomUUID().toString, now,
+        if (ok) "success" else "failed")
     }.toDF("etl_date", "source_name", "run_id", "created_at", "status")
     appendRows("op_metadata", "run_log", runRows)
     wh.overwrite("op_metadata", "etl_dates",
@@ -135,7 +147,4 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
         wh.read("op_metadata", "run_log"), etlDate))
     (etlDate, result)
   }
-
-  private def taskSource(taskId: String, sources: Seq[SourceSpec]): String =
-    sources.map(_.name).find(n => taskId.endsWith(s"_$n")).getOrElse("pipeline")
 }

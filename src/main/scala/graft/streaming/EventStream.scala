@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   *
   * At scale this is the 100 TB ingest pattern: new parquet files land in a
   * directory; each AvailableNow run processes only files the checkpoint
-  * hasn't seen; the 1-hour watermark bounds state for the windowed
-  * aggregation, so state size tracks the watermark horizon, not history.
+  * hasn't seen. A production sink runs `hourlyAgg` in APPEND mode to files,
+  * where the 1-hour watermark closes windows and purges their state (state
+  * tracks the watermark horizon, not history). `runAvailableNow` below
+  * instead uses COMPLETE mode into a memory table — that mode retains all
+  * window state and emits open windows too, which is exactly what the
+  * batch-equivalence verification needs (and only suits verification).
   */
 object EventStream {
 

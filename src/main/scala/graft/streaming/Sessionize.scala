@@ -44,41 +44,46 @@ object Sessionize {
   }
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
-  case class OpenSession(startMicros: Long, lastMicros: Long, nEvents: Long)
+  case class OpenSession(startMicros: Long, lastMicros: Long, nEvents: Long,
+                         emitted: Long = 0L)
   case class Session(user_id: Long, session_id: Long, session_start_us: Long,
                      session_end_us: Long, n_events: Long)
 
-  /** Per-group session fold — shared by the streaming operator and its
-    * unit tests. Emits closed sessions; the final open session flushes too
-    * (AvailableNow semantics: the batch IS the stream's end). */
+  /** Per-group session fold with CONTINUOUS semantics: emits sessions
+    * CLOSED by a gap in this batch's events; the trailing open session (and
+    * the count of sessions already emitted, for session_id continuity)
+    * stays in state, so a session spanning a micro-batch boundary is one
+    * session, not two, and ids never collide across batches. The user's
+    * final session is emitted only when a later event closes it (a real
+    * deployment adds an event-time timeout to flush idle users). */
   private[streaming] def foldSessions(userId: Long, evs: Iterator[Ev],
                                       state: GroupState[OpenSession],
                                       gapSeconds: Long): Iterator[Session] = {
     val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
     val out = scala.collection.mutable.ListBuffer.empty[Session]
     var open = state.getOption
-    var sid = 0L
+    var emitted = open.map(_.emitted).getOrElse(0L)
     sorted.foreach { e =>
       open match {
         case Some(s) if e.tsMicros - s.lastMicros <= gapSeconds * 1000000L =>
           open = Some(s.copy(lastMicros = e.tsMicros, nEvents = s.nEvents + 1))
         case Some(s) =>
-          sid += 1
-          out += Session(userId, sid, s.startMicros, s.lastMicros, s.nEvents)
-          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+          emitted += 1
+          out += Session(userId, emitted, s.startMicros, s.lastMicros, s.nEvents)
+          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, emitted))
         case None =>
-          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+          open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, emitted))
       }
     }
-    open.foreach { s =>
-      sid += 1
-      out += Session(userId, sid, s.startMicros, s.lastMicros, s.nEvents)
+    open match {
+      case Some(s) => state.update(s.copy(emitted = emitted))
+      case None => state.remove()
     }
-    state.remove()
     out.iterator
   }
 
-  /** Streaming sessionize over a typed event stream. */
+  /** Streaming sessionize over a typed event stream (closed sessions only;
+    * see foldSessions for the cross-batch contract). */
   def streaming(events: Dataset[Ev], gapSeconds: Long = DefaultGapSeconds): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

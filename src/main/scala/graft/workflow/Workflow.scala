@@ -93,7 +93,10 @@ object Workflow {
     }
 
     def execute(t: TaskSpec): Status = {
-      if (resumeDone.contains(t.id)) return Success
+      // branch tasks are never resume-skipped: the branch DECIDES which
+      // dependents run, and skipping it would silently run all of them
+      // (Airflow re-evaluates branches on re-run for the same reason)
+      if (resumeDone.contains(t.id) && t.branch.isEmpty) return Success
       var attempt = 0
       while (true) {
         attempt += 1

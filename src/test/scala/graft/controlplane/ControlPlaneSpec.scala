@@ -46,6 +46,14 @@ class ControlPlaneSpec extends SparkSpec {
       .select("status").as[String].head() === null)
   }
 
+  test("closeEtlDate keeps a date with ZERO runs open") {
+    val noRuns = Seq.empty[(String, String, String, Long, String)]
+      .toDF("etl_date", "source_name", "run_id", "created_at", "status")
+    val out = ControlPlane.closeEtlDate(calendar, noRuns, "2024-01-03")
+    assert(out.filter(col("etl_date") === "2024-01-03")
+      .select("status").as[String].head() === null)
+  }
+
   test("rollupRunStatus: all success/skipped → success; empty set → success (all([]) parity)") {
     val tasks = Seq(
       ("r1", "t1", "success"), ("r1", "t2", "skipped"),

@@ -113,4 +113,27 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.readAt("s", "t", 2).as[(Int, String)].collect().toSet === Set((2, "b")))
     assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((2, "b"), (3, "c")))
   }
+
+  test("missing _current recovers from the committed log (crash window)") {
+    val wh = freshWh()
+    wh.overwrite("s", "t", Seq((1, "a")).toDF("id", "v"))
+    wh.overwrite("s", "t", Seq((2, "b")).toDF("id", "v"))
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(wh.tableDir("s", "t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(wh.tableDir("s", "t") + "/_current"), false) // crash between delete+rename
+    assert(wh.currentVersion("s", "t") === 2)
+    assert(wh.read("s", "t").as[(Int, String)].collect().toSet === Set((2, "b")))
+  }
+
+  test("partitioning is sticky across rewrites (compaction keeps the layout)") {
+    val wh = freshWh()
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("etl_date", "v")
+    wh.overwrite("s", "t", df, partitionBy = Seq("etl_date"))
+    // a rewrite WITHOUT partitionBy (e.g. compaction, MERGE) keeps the layout
+    wh.overwrite("s", "t", wh.read("s", "t"))
+    assert(wh.partitioning("s", "t") === Seq("etl_date"))
+    val plan = wh.read("s", "t").filter(col("etl_date") === "2024-01-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("etl_date"))
+  }
 }

@@ -61,7 +61,7 @@ class SessionizeSpec extends SparkSpec {
     assert(folded.exceptAll(batchResult).isEmpty && batchResult.exceptAll(folded).isEmpty)
   }
 
-  test("streaming operator runs end-to-end over the events stream") {
+  test("streaming operator emits exactly the gap-closed sessions") {
     import java.nio.file.Files
     val typedStream = EventStream.readEvents(spark, sf)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
@@ -73,7 +73,22 @@ class SessionizeSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val streamed = spark.table("sessions_out")
-    val expected = Sessionize.batch(Tables(spark, sf, "events")).count()
-    assert(streamed.count() === expected)
+    // continuous semantics: each user's trailing session stays open in
+    // state (no later event closes it), so streamed = batch minus exactly
+    // one (the last) session per user
+    val batch = Sessionize.batch(Tables(spark, sf, "events"))
+    val nUsers = batch.select("user_id").distinct().count()
+    assert(streamed.count() === batch.count() - nUsers)
+    // closed sessions match the batch result exactly (ids, bounds, counts)
+    val batchClosed = batch.join(
+      batch.groupBy("user_id").agg(max(col("session_id")).as("last_sid")), "user_id")
+      .filter(col("session_id") < col("last_sid"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+    val streamedFmt = streamed.select(col("user_id"), col("session_id"),
+      date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      date_format(timestamp_micros(col("session_end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+      col("n_events"))
+    assert(streamedFmt.exceptAll(batchClosed).isEmpty && batchClosed.exceptAll(streamedFmt).isEmpty)
   }
 }

@@ -82,4 +82,14 @@ class WorkflowSpec extends AnyFunSuite {
       Workflow.run(Seq(spec("a", Seq("b")), spec("b", Seq("a"))))
     }
   }
+
+  test("resume never skips a branch task: the branch re-decides on re-run") {
+    val log = new StringBuilder
+    val r = Workflow.run(Seq(
+      TaskSpec("check", branch = Some(() => Seq.empty)), // chooses NO dependent
+      spec("work", Seq("check"), log = log)),
+      resumeDone = Set("check")) // a prior run recorded the branch as done
+    assert(r.status("work") === "skipped") // branch ran and skipped it
+    assert(log.isEmpty)
+  }
 }
