@@ -102,6 +102,24 @@ object TextFunctions {
   def stableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): hash every
+    * character n-gram (positional, NOT deduplicated — windows must see the
+    * true sequence), slide a window of `w` hashes, keep each window's
+    * minimum, distinct the kept mins. Guarantees any shared substring of
+    * length ≥ n+w-1 contributes a shared fingerprint — the standard
+    * containment/plagiarism detector. Entirely row-local; ~|text|/(w/2)
+    * fingerprints per doc. */
+  def winnowingFingerprints(c: Column, n: Int, w: Int): Column = {
+    val grams = when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - n + 1), i => c.substr(i, lit(n))))
+      .otherwise(array(c))
+    val hs = transform(grams, g => stableHash60(g))
+    array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + lit(1), lit(w)))))
+        .otherwise(array(array_min(hs))))
+  }
+
   /** Salted portable hash family: hashK(i, s) = md5(i ':' s), compared as
     * hex strings (lexicographic order == value order for fixed width). */
   def saltedMd5(i: Int, c: Column): Column = md5(concat(lit(s"$i:"), c))

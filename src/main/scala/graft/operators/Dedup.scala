@@ -191,6 +191,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard_e4"))
   }
 
+  /** Containment/plagiarism pairs via winnowing fingerprints: docs sharing
+    * ≥ minShared selected-min fingerprints after dropping "stop
+    * fingerprints" that occur in more than maxDocFreq docs (boilerplate
+    * n-grams would otherwise pair everything — the standard winnowing
+    * deployment step, and the join-size bound at scale: the per-fingerprint
+    * fan-out is capped at maxDocFreq²). Fingerprint extraction is
+    * row-local; the only shuffles are the doc-frequency groupBy and the
+    * pair join on uniform 60-bit keys. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, w: Int = 4, minShared: Long = 10L,
+                     maxDocFreq: Long = 30L): DataFrame = {
+    val fps = df.select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df))
+      .select(col(idCol), explode(winnowingFingerprints(col(textCol), n, w)).as("fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    val scoped = fps.join(keep, Seq("fp"))
+    scoped.select(col("fp"), col(idCol).as("a_id"))
+      .join(scoped.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 60-bit SimHash over distinct whitespace tokens: bit j of the signature
     * is set iff the sum over tokens of (±1 by token-hash bit j) is positive.
     * Entirely row-local (codegen'd SimHash60 over the token-hash array) —

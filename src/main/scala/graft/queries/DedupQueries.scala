@@ -31,9 +31,16 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q38: winnowing-fingerprint containment pairs (n=5, w=4, ≥10 shared,
+    * stop-fingerprints above doc-freq 30 dropped). */
+  def q38WinnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lsh_near_dup" -> (q20LshNearDup _),
-    "q21_simhash_pairs" -> (q21SimhashPairs _))
+    "q21_simhash_pairs" -> (q21SimhashPairs _),
+    "q38_winnowing_pairs" -> (q38WinnowingPairs _))
 
   // ---- oracle SQL (generated to mirror the Scala parameters) ----
 
@@ -71,6 +78,21 @@ object DedupQueries {
              CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
            FROM scored)
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
+    "q38_winnowing_pairs" ->
+      raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
+           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+           ELSE [text] END AS grams FROM documents),
+         hsx AS (SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+           FROM g),
+         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+             ELSE [list_min(hs)] END)) AS fp FROM hsx),
+         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
+         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2""",
     "q21_simhash_pairs" ->
       raw"""WITH toks AS (SELECT doc_id,
            list_distinct(CASE WHEN len(trim(text)) = 0 THEN []

@@ -112,4 +112,18 @@ class DedupSimSpec extends SparkSpec {
     assert(s.forall(x => x >= 0.0 && x <= 1.0))
     assert(s(0) > s(1))
   }
+
+  test("winnowing guarantees shared fingerprints for long shared substrings") {
+    val common = "the quick brown fox jumps over the extremely lazy dog again"
+    val docs2 = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"other start text $common different ending here"),
+      (3L, "totally unrelated content with nothing in common at all xyzzy")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs2, "doc_id", "text",
+      minShared = 5L, maxDocFreq = 3L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
