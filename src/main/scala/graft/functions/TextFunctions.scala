@@ -114,10 +114,10 @@ object TextFunctions {
       transform(sequence(lit(1), length(c) - n + 1), i => c.substr(i, lit(n))))
       .otherwise(array(c))
     val hs = transform(grams, g => stableHash60(g))
-    array_distinct(
-      when(size(hs) >= w,
-        transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + lit(1), lit(w)))))
-        .otherwise(array(array_min(hs))))
+    // codegen'd one-pass sliding minima: a transform(sequence,
+    // i -> array_min(slice(hs, ...))) formulation captures the whole hash
+    // chain in the lambda and re-evaluates it PER WINDOW (O(n·w) md5s/doc)
+    org.apache.spark.sql.graft.MinHashExprs.winnowMins(hs, w)
   }
 
   /** Salted portable hash family: hashK(i, s) = md5(i ':' s), compared as

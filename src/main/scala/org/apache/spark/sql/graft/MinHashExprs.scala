@@ -161,6 +161,53 @@ case class SimHash60(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** Codegen'd winnowing selector: sliding-window minima (window w) over a
+  * hash array, deduplicated, in one pass. The composable form —
+  * `transform(sequence(...), i -> array_min(slice(hs, i, w)))` — captures
+  * the entire upstream hash chain inside the lambda, and the interpreter
+  * re-evaluates it per window (O(n·w) md5 calls per document). This takes
+  * the hashed array ONCE and selects mins in primitive loops. */
+case class WinnowMins(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new java.util.LinkedHashSet[Long]()
+    if (n > 0) {
+      val windows = math.max(1, n - w + 1)
+      var i = 0
+      while (i < windows) {
+        var m = Long.MaxValue
+        var j = i
+        val end = math.min(i + w, n)
+        while (j < end) { val v = hs.getLong(j); if (v < m) m = v; j += 1 }
+        out.add(m)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[WinnowMins].getName
+    val ref = ctx.addReferenceObj("winnower", this, cls)
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($hs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
 object MinHashExprs {
   def minhashSigs(hs: Column, k: Int, p20: Long, p31: Long,
                   aBase: Long, aStep: Long, bBase: Long, bStep: Long): Column =
@@ -173,4 +220,7 @@ object MinHashExprs {
 
   def simhash60(hs: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(hs)))
+
+  def winnowMins(hs: Column, w: Int): Column =
+    ExpressionUtils.column(WinnowMins(ExpressionUtils.expression(hs), w))
 }
