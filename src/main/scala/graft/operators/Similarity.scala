@@ -113,6 +113,35 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("ce"))
 
+  /** Deterministic Lloyd's k-means over quantized vectors — real learned
+    * IVF centroids (no RNG: seeds are the k lowest-id vectors; fixed
+    * iteration count; integer-quantized means). Each iteration is one
+    * broadcast-assign scan + one element-wise mean shuffle on the label —
+    * O(iters · corpus) with no driver-side data beyond the k centroids.
+    * Empty clusters keep their previous centroid. */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedW = Window.orderBy(col(idCol))
+    var cent = df.select(col(idCol), quantize(col(embCol)).as("ce"))
+      .withColumn("__r", row_number().over(seedW)).filter(col("__r") <= k)
+      .select((col("__r") - 1).cast("int").as("label"), col("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(df, cent, probes = 1, idCol, embCol)
+      val means = assigned
+        .select(col("label"), posexplode(col("__qe")).as(Seq("d", "v")))
+        .groupBy(col("label"), col("d"))
+        .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          x => x.getField("c")).as("ce"))
+      // clusters that lost every member keep their previous centroid
+      val kept = cent.join(means.select(col("label")), Seq("label"), "left_anti")
+      cent = means.unionByName(kept).localCheckpoint(true) // cut the lineage per iteration
+    }
+    cent
+  }
+
   /** IVF assignment: nearest centroid(s) by cosine per vector (rank ≤
     * probes), deterministic tie-break on label. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, probes: Int,
