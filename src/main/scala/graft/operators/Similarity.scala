@@ -29,9 +29,11 @@ import graft.functions.TextFunctions.stableHash60
   */
 object Similarity {
 
-  /** Quantize a float/double array to longs: round(x * 1000). */
+  /** Quantize a float/double array to longs: floor(x·1000 + 0.5). Fixed-point
+    * floor, not round() — decimal round() disagrees across engines on
+    * representation ties (see TextFunctions.fixedPoint). */
   def quantize(a: Column): Column =
-    transform(a, x => round(x.cast("double") * 1000).cast("long"))
+    transform(a, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
   /** Exact integer dot product of two long-array columns — a native
     * codegen'd expression (org.apache.spark.sql.graft.ArrayLongDot): same

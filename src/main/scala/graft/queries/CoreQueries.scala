@@ -17,9 +17,12 @@ import graft.ops.Relational
 object CoreQueries {
 
   /** Money as exact cents — sums of doubles are order-dependent, sums of
-    * longs are not; both Spark and DuckDB agree bit-for-bit on BIGINT. */
+    * longs are not; both Spark and DuckDB agree bit-for-bit on BIGINT.
+    * floor(x*100 + 0.5), NOT round(): decimal round() implementations
+    * disagree on representation ties across engines (see
+    * TextFunctions.fixedPoint). */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    graft.functions.TextFunctions.fixedPoint(c, 2)
 
   /** q1: TPC-H Q1-shaped pricing summary — groupBy + sum/count/avg (A1/A5/A6).
     * Whole-stage-codegen'd partial agg (map-side combine) → one shuffle on
@@ -205,14 +208,14 @@ object CoreQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+         CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
          GROUP BY 1,2 ORDER BY 1,2""",
     "q2_revenue_by_nation" ->
       """SELECT n_name,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -249,7 +252,7 @@ object CoreQueries {
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q8_top10_orders" ->
       """SELECT o_orderkey, o_custkey,
-         CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_cents
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_cents
          FROM orders ORDER BY o_totalprice_cents DESC, o_orderkey LIMIT 10""",
     "q9_union_slices" ->
       """SELECT slice, count(*) AS n, count(DISTINCT o_custkey) AS n_cust FROM (

@@ -18,7 +18,7 @@ object CurationQueries {
   def q35SqlRevenueFilter(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
     spark.sql(
-      """SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT) AS revenue_cents,
+      """SELECT CAST(sum(floor(l_extendedprice * l_discount * 100 + 0.5)) AS BIGINT) AS revenue_cents,
          count(*) AS n_items
          FROM lineitem_v
          WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
@@ -70,7 +70,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q35_sql_revenue_filter" ->
-      """SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT) AS revenue_cents,
+      """SELECT CAST(sum(floor(l_extendedprice * l_discount * 100 + 0.5)) AS BIGINT) AS revenue_cents,
          count(*) AS n_items
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'

@@ -21,7 +21,7 @@ object EventQueries {
       .groupBy(col("k_mod"))
       .agg(
         count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.TextFunctions.fixedPoint(col("value"), 2)).as("value_cents"))
       .orderBy(col("k_mod"))
 
   /** q26: UTC→Asia/Bangkok display shift (reference send_email.py:778-779):
@@ -40,7 +40,7 @@ object EventQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.TextFunctions.fixedPoint(col("value"), 2)).as("value_cents"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("value_cents"))
@@ -73,7 +73,7 @@ object EventQueries {
     "q25_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          count(*) AS n,
-         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1 ORDER BY 1""",
     "q26_tz_hourly" ->
       """SELECT strftime(ts + INTERVAL 7 HOUR, '%H') AS hour_ict,
@@ -82,7 +82,7 @@ object EventQueries {
     "q27_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n,
-         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q34_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tsus,

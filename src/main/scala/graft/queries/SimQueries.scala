@@ -60,7 +60,7 @@ object SimQueries {
   // ---- oracle SQL ----
 
   private val quantSql =
-    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
 
   private def cosSql(a: String, b: String) =
     s"CAST(floor(list_dot_product($a,$b)/(sqrt(CAST(list_dot_product($a,$a) AS DOUBLE))" +

@@ -46,7 +46,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.TextFunctions.fixedPoint(col("value"), 2)).as("value_cents"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("value_cents"))

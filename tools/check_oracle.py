@@ -61,8 +61,8 @@ def main():
             print(f"  [FAIL-ROWS] {name}: got {len(g)} vs oracle {len(e)}")
             continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False,
-                                          rtol=1e-9, atol=1e-9)
+            # exact, like the driver's hash compare (floats pre-rounded in canon)
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             n_pass += 1
             print(f"  [PASS] {name} ({len(g)} rows)")
         except AssertionError as ex:
