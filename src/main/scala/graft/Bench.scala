@@ -13,10 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/first-scan costs land here, not on
-    // whichever query happens to run first
-    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed warmup: a full pass over every query so JIT, whole-stage
+    // codegen compilation (incl. the custom expressions), parquet footer
+    // reads and broadcast setup all land off the clock. The timed pass
+    // then measures steady-state throughput — the number a long-lived
+    // cluster session actually sees. SPARK_GRAFT_BENCH_WARM=0 disables.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune non-grouping columns out of aggs).
     // Queries run in sorted name order for stable warmup attribution.
