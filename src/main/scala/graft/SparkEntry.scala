@@ -19,5 +19,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles ++
-      CurationQueries.oracles
+      MiscQueries.oracles ++ CurationQueries.oracles
 }

@@ -36,11 +36,13 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake: 16 floats from md5(bytes ++ salt).
     * A real implementation decodes/resamples here (JNI/FFI), consuming the
-    * same per-partition iterator. */
+    * same per-partition iterator. Salt 0 appends nothing and salt > 0 its
+    * decimal ASCII form, so every feature is reproducible from plain
+    * `md5(text [|| salt])` in any engine — the q32 oracle depends on it. */
   private def fakeDecode(bytes: Array[Byte], salt: Int): Array[Float] = {
     val d = MessageDigest.getInstance("MD5")
     d.update(bytes)
-    d.update(BigInt(salt).toByteArray)
+    if (salt != 0) d.update(salt.toString.getBytes("UTF-8"))
     val h = d.digest() // 16 bytes → 16 floats in [-1, 1)
     h.map(b => b.toFloat / 128.0f)
   }
@@ -110,7 +112,10 @@ object Multimodal {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("content_md5"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        // first feature surfaced as exact e4 fixed point (f = byte/128 is a
+        // dyadic rational — bit-identical in any engine; see fixedPoint)
+        floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+          .cast("long").as("f0_e4"))
       .orderBy(col("media_id"))
   }
 }

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.Multimodal
+import graft.operators.Sketches
 
-/** Capability demos without a cross-engine oracle (driver records the
-  * weaker rows-only check): multimodal featurization and sketch-based
-  * approximate aggregation (engine-specific HLL internals). */
+/** Multimodal featurization and sketch-based approximate distincts — both
+  * fully oracle-checked: the q32 stub codec derives features from portable
+  * md5, and q33 uses the from-scratch portable HLL (Sketches.hllDistinct)
+  * whose integer-exact register math DuckDB reproduces bit-for-bit. */
 object MiscQueries {
 
   /** q32: multimodal decode pipeline over the demo media table — binary
@@ -16,24 +18,45 @@ object MiscQueries {
   def q32MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(spark, dir)
 
-  /** q33: sketch aggregates — approx_count_distinct (HLL++) next to the
-    * exact count per group, with the relative error surfaced. At 100 TB the
-    * sketch is the only affordable distinct; the exact column is the test. */
-  def q33ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        countDistinct(col("o_custkey")).as("exact_custs"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
-      .withColumn("rel_err",
-        round(abs(col("approx_custs") - col("exact_custs")) /
-          col("exact_custs"), 4))
+  /** q33: sketch aggregates — portable HLL estimate next to the exact
+    * count per group, with the relative error surfaced as exact e4 fixed
+    * point. At 100 TB the sketch is the only affordable distinct; the
+    * exact column is the test. */
+  def q33ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    val est = Sketches.hllDistinct(orders, Seq("o_orderpriority"), "o_custkey")
+    exact.join(broadcast(est), Seq("o_orderpriority"))
+      .withColumn("rel_err_e4",
+        floor(abs(col("hll_est_e2") - col("exact_custs") * 100) /
+          (col("exact_custs") * lit(100.0)) * 10000 + 0.5).cast("long"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _))
 
-  /** No oracles: q32's stub codec and q33's HLL sketch are engine-specific. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q32_media_features" ->
+      """SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5,
+         CAST(floor((CASE WHEN b0 >= 128 THEN b0 - 256 ELSE b0 END)/128.0*10000 + 0.5)
+              AS BIGINT) AS f0_e4
+         FROM (SELECT *, CAST('0x'||substr(md5(text),1,2) AS INT) AS b0 FROM documents)
+         ORDER BY media_id""",
+    "q33_approx_distinct" -> {
+      val hll = Sketches.hllOracleSql("orders", "o_orderpriority", "o_custkey")
+      s"""WITH hll AS ($hll),
+         ex AS (SELECT o_orderpriority,
+             count(DISTINCT o_custkey) AS exact_custs FROM orders GROUP BY 1)
+         SELECT ex.o_orderpriority, exact_custs, hll_est_e2,
+           CAST(floor(abs(hll_est_e2 - exact_custs*100) /
+             (exact_custs*100.0) * 10000 + 0.5) AS BIGINT) AS rel_err_e4
+         FROM ex JOIN hll ON ex.o_orderpriority = hll.o_orderpriority
+         ORDER BY 1"""
+    })
 }
