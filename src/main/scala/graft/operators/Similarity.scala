@@ -124,10 +124,7 @@ object Similarity {
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seedW = Window.orderBy(col(idCol))
-    var cent = df.select(col(idCol), quantize(col(embCol)).as("ce"))
-      .withColumn("__r", row_number().over(seedW)).filter(col("__r") <= k)
-      .select((col("__r") - 1).cast("int").as("label"), col("ce"))
+    var cent = kmeansSeeds(df, k, idCol, embCol)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(df, cent, probes = 1, idCol, embCol)
       val means = assigned
@@ -143,6 +140,18 @@ object Similarity {
     }
     cent
   }
+
+  /** k-means seeds: the k lowest-id vectors via orderBy(...).limit(k) —
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows).
+    * The labeling window indexes ONLY those k rows; the corpus never
+    * passes through a single partition. */
+  def kmeansSeeds(df: DataFrame, k: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), quantize(col(embCol)).as("ce"))
+      .orderBy(col(idCol)).limit(k)
+      .withColumn("label",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("label"), col("ce"))
 
   /** IVF assignment: nearest centroid(s) by cosine per vector (rank ≤
     * probes), deterministic tie-break on label. */

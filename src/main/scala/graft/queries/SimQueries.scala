@@ -51,11 +51,30 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q39: deterministic Lloyd's k-means (k=8, 2 iterations, lowest-id
+    * seeds) — learned IVF centroids, fingerprinted exactly: md5 of the
+    * comma-joined quantized centroid plus its integer self-dot, with final
+    * cluster sizes. Every value is integer/string-exact cross-engine. */
+  def q39Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val sizes = Similarity.ivfAssign(emb, cent, probes = 1)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    cent.join(sizes, Seq("label"), "left")
+      .select(
+        col("label"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        md5(concat_ws(",", col("ce"))).as("ce_md5"),
+        Similarity.qdot(col("ce"), col("ce")).as("ce_norm2"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
-    "q37_ivf_topk" -> (q37IvfTopK _))
+    "q37_ivf_topk" -> (q37IvfTopK _),
+    "q39_kmeans" -> (q39Kmeans _))
 
   // ---- oracle SQL ----
 
@@ -65,6 +84,26 @@ object SimQueries {
   private def cosSql(a: String, b: String) =
     s"CAST(floor(list_dot_product($a,$b)/(sqrt(CAST(list_dot_product($a,$a) AS DOUBLE))" +
       s"*sqrt(CAST(list_dot_product($b,$b) AS DOUBLE)))*10000 + 0.5) AS BIGINT)"
+
+  /** Nearest-centroid assignment (probes=1) of `e` against centroid CTE
+    * `cent` — same expression shape as Similarity.ivfAssign. */
+  private def assignSql(cent: String) =
+    s"""SELECT vec_id, qe, label FROM (
+        SELECT e.vec_id, e.qe, c.label,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.qe, c.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+              *sqrt(CAST(list_dot_product(c.ce,c.ce) AS DOUBLE))) DESC, c.label) AS r
+        FROM e, $cent c) WHERE r = 1"""
+
+  /** Element-wise integer mean per label over an assignment CTE `a`;
+    * clusters that lost every member keep their centroid from `prev`. */
+  private def stepSql(a: String, prev: String) =
+    s"""SELECT label, list(c ORDER BY d) AS ce FROM (
+          SELECT label, d, CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c
+          FROM (SELECT label, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM $a)
+          GROUP BY 1, 2) GROUP BY 1
+        UNION ALL SELECT p.label, p.ce FROM $prev p
+        WHERE p.label NOT IN (SELECT DISTINCT label FROM $a)"""
 
   private val planesCte =
     raw"""planes AS (SELECT p,
@@ -129,5 +168,19 @@ object SimQueries {
          SELECT a_id, b_id, cos_e4 FROM (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos_e4
            FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         WHERE cos_e4 >= 3500 ORDER BY 1, 2""")
+         WHERE cos_e4 >= 3500 ORDER BY 1, 2""",
+    "q39_kmeans" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
+                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (${assignSql("seeds")}),
+         c1 AS (${stepSql("a1", "seeds")}),
+         a2 AS (${assignSql("c1")}),
+         c2 AS (${stepSql("a2", "c1")}),
+         af AS (${assignSql("c2")}),
+         sizes AS (SELECT label, count(*) AS n_members FROM af GROUP BY 1)
+         SELECT c2.label, coalesce(n_members, 0) AS n_members,
+           md5(array_to_string(c2.ce, ',')) AS ce_md5,
+           CAST(list_dot_product(c2.ce, c2.ce) AS BIGINT) AS ce_norm2
+         FROM c2 LEFT JOIN sizes USING (label) ORDER BY c2.label""")
 }

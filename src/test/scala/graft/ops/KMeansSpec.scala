@@ -38,6 +38,13 @@ class KMeansSpec extends SparkSpec {
       .sameElements(cent2.collect().map(_.toString).sorted))
   }
 
+  test("seed selection is top-k, not a global single-partition window") {
+    val seeds = Similarity.kmeansSeeds(planted, k = 3)
+    val plan = seeds.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seeds should use per-partition top-k heaps:\n$plan")
+  }
+
   test("ivfTopK with learned centroids returns same-cluster neighbors") {
     val cent = Similarity.kmeansCentroids(planted, k = 3, iters = 4)
     val top = Similarity.ivfTopK(planted.filter(col("vec_id") < 3), planted, cent,
