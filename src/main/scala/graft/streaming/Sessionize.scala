@@ -53,12 +53,21 @@ object Sessionize {
     * CLOSED by a gap in this batch's events; the trailing open session (and
     * the count of sessions already emitted, for session_id continuity)
     * stays in state, so a session spanning a micro-batch boundary is one
-    * session, not two, and ids never collide across batches. The user's
-    * final session is emitted only when a later event closes it (a real
-    * deployment adds an event-time timeout to flush idle users). */
+    * session, not two, and ids never collide across batches. When the
+    * event-time timeout fires (watermark passed last_event + gap), the open
+    * session is emitted and the user's state removed — idle users neither
+    * lose their final session nor leak state. */
   private[streaming] def foldSessions(userId: Long, evs: Iterator[Ev],
                                       state: GroupState[OpenSession],
                                       gapSeconds: Long): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // watermark passed lastMicros + gap with no new events: the open
+      // session can never be extended — flush it and drop the state
+      val s = state.get
+      state.remove()
+      return Iterator.single(
+        Session(userId, s.emitted + 1, s.startMicros, s.lastMicros, s.nEvents))
+    }
     val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
     val out = scala.collection.mutable.ListBuffer.empty[Session]
     var open = state.getOption
@@ -76,19 +85,39 @@ object Sessionize {
       }
     }
     open match {
-      case Some(s) => state.update(s.copy(emitted = emitted))
+      case Some(s) =>
+        state.update(s.copy(emitted = emitted))
+        // flush the open session once the watermark proves no event can
+        // extend it (event-time, not wall-clock: replays behave identically).
+        // If the watermark already passed (very late group), fire next batch
+        // — setTimeoutTimestamp rejects values at or behind the watermark.
+        state.setTimeoutTimestamp(
+          math.max(s.lastMicros / 1000L + gapSeconds * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
       case None => state.remove()
     }
     out.iterator
   }
 
-  /** Streaming sessionize over a typed event stream (closed sessions only;
-    * see foldSessions for the cross-batch contract). */
-  def streaming(events: Dataset[Ev], gapSeconds: Long = DefaultGapSeconds): Dataset[Session] = {
+  /** Ev plus the timestamp column the watermark needs. */
+  case class EvT(user_id: Long, event_id: Long, tsMicros: Long, ts: java.sql.Timestamp)
+
+  /** Streaming sessionize over a typed event stream. Sessions closed by a
+    * gap emit immediately; open sessions of idle users emit when the event
+    * -time watermark passes last_event + gap (EventTimeTimeout), so state
+    * is bounded by genuinely-active users. `watermarkDelay` is the allowed
+    * out-of-orderness of the source. */
+  def streaming(events: Dataset[Ev], gapSeconds: Long = DefaultGapSeconds,
+                watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (uid: Long, evs: Iterator[Ev], st: GroupState[OpenSession]) =>
-          foldSessions(uid, evs, st, gapSeconds))
+    events
+      .map(e => EvT(e.user_id, e.event_id, e.tsMicros,
+        new java.sql.Timestamp(e.tsMicros / 1000L)))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, evs: Iterator[EvT], st: GroupState[OpenSession]) =>
+          foldSessions(uid, evs.map(e => Ev(e.user_id, e.event_id, e.tsMicros)),
+            st, gapSeconds))
   }
 }

@@ -61,6 +61,32 @@ class SessionizeSpec extends SparkSpec {
     assert(folded.exceptAll(batchResult).isEmpty && batchResult.exceptAll(folded).isEmpty)
   }
 
+  test("event-time timeout flushes the open session and clears state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // a user with one open session (2 events) and 3 sessions already emitted
+    val st = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.of(
+        Sessionize.OpenSession(micros(0), micros(10), 2, emitted = 3)),
+      org.apache.spark.sql.catalyst.plans.logical.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(micros(50) / 1000),
+      hasTimedOut = true)
+    val out = Sessionize.foldSessions(7L, Iterator.empty, st, 1800L).toList
+    assert(out === List(Sessionize.Session(7L, 4L, micros(0), micros(10), 2)))
+    assert(st.isRemoved, "timed-out state must be removed")
+  }
+
+  test("fold sets an event-time timeout at last_event + gap") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.empty[Sessionize.OpenSession](),
+      org.apache.spark.sql.catalyst.plans.logical.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    val evs = Iterator(Sessionize.Ev(7L, 1L, micros(0)), Sessionize.Ev(7L, 2L, micros(10)))
+    assert(Sessionize.foldSessions(7L, evs, st, 1800L).isEmpty)
+    assert(st.getTimeoutTimestampMs.get() === micros(10) / 1000 + 1800L * 1000)
+  }
+
   test("streaming operator emits exactly the gap-closed sessions") {
     import java.nio.file.Files
     val typedStream = EventStream.readEvents(spark, sf)
@@ -73,22 +99,28 @@ class SessionizeSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val streamed = spark.table("sessions_out")
-    // continuous semantics: each user's trailing session stays open in
-    // state (no later event closes it), so streamed = batch minus exactly
-    // one (the last) session per user
+    // continuous semantics with event-time timeout: every gap-closed
+    // session emits, plus the open session of each user the final
+    // watermark (max ts - 10 min delay) proved idle past the gap. Users
+    // still active near the end of input keep their session in state.
     val batch = Sessionize.batch(Tables(spark, sf, "events"))
-    val nUsers = batch.select("user_id").distinct().count()
-    assert(streamed.count() === batch.count() - nUsers)
-    // closed sessions match the batch result exactly (ids, bounds, counts)
     val batchClosed = batch.join(
       batch.groupBy("user_id").agg(max(col("session_id")).as("last_sid")), "user_id")
       .filter(col("session_id") < col("last_sid"))
       .select(col("user_id"), col("session_id"),
         col("session_start"), col("session_end"), col("n_events"))
+    val batchAll = batch.select(col("user_id"), col("session_id"),
+      col("session_start"), col("session_end"), col("n_events"))
     val streamedFmt = streamed.select(col("user_id"), col("session_id"),
       date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
       date_format(timestamp_micros(col("session_end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
       col("n_events"))
-    assert(streamedFmt.exceptAll(batchClosed).isEmpty && batchClosed.exceptAll(streamedFmt).isEmpty)
+    // every streamed session is a batch session (flush never invents rows)
+    assert(streamedFmt.exceptAll(batchAll).isEmpty)
+    // every gap-closed session was emitted
+    assert(batchClosed.exceptAll(streamedFmt).isEmpty)
+    // and the timeout actually flushed idle users' final sessions
+    assert(streamedFmt.count() > batchClosed.count(),
+      "no idle-user session was flushed by the event-time timeout")
   }
 }
