@@ -152,37 +152,70 @@ object Dedup {
     * verify. One corpus scan computes signatures AND hashed shingle sets
     * row-locally (signatureFrame, zero shuffle); it is materialized once
     * (MEMORY_AND_DISK — the stage a production run would checkpoint) and
-    * reused by the band join and both verify sides. */
+    * reused by the band join and both verify sides. The result is
+    * materialized eagerly (localCheckpoint) so both intermediates are
+    * unpersisted before returning — repeated calls in a long-lived session
+    * do not accumulate cached stages. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, b: Int = 4, shingleN: Int = 5,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val enriched = signatureFrame(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(lshBands(enriched, idCol, b, k / b), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    jaccardFromSets(enriched.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard, cands)
+    val pairs = jaccardFromSets(
+      enriched.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard,
+      cands, verifyBroadcastBytes)
+    // pairs are O(candidates) — tiny next to the inputs; checkpointing them
+    // lets the heavyweight caches go before the caller even runs an action
+    val out = pairs.localCheckpoint(true)
+    enriched.unpersist()
+    cands.unpersist()
+    out
   }
+
+  /** ~64 MB: the executor-memory-friendly ceiling for broadcasting the
+    * candidate shingle sets in the verify stage. */
+  val DefaultVerifyBroadcastBytes: Long = 64L << 20
 
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:
     * sets are md5-60bit long arrays (intersection cardinality identical to
     * string sets, collision odds ~2^-60 per pair), scoped to docs that
-    * appear in a candidate pair and broadcast — the verify working set is
-    * O(candidate docs), a tiny slice of the corpus under LSH, so neither
-    * the pair list nor the corpus is ever shuffled with arrays attached.
-    * (If candidates outgrow broadcast size at extreme scale, shard the
-    * candidate list and verify per shard.) The intermediate is O(|pairs|)
-    * rows — never |pairs| × |shingles| join rows. */
-  private def jaccardFromSets(sets0: DataFrame, idCol: String, minJaccard: Double,
-                              candidates: DataFrame): DataFrame = {
-    // broadcast the id list: strictly smaller than the sets we broadcast
-    // below, and it turns the scoping semi-join into a map-side probe
-    val candidateIds = broadcast(candidates.select(col("a_id").as(idCol))
-      .union(candidates.select(col("b_id").as(idCol))).distinct())
-    val sets = sets0.join(candidateIds, Seq(idCol), "left_semi")
-    candidates.select(col("a_id"), col("b_id"))
-      .join(broadcast(sets.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))), Seq("a_id"))
-      .join(broadcast(sets.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))), Seq("b_id"))
+    * appear in a candidate pair. The intermediate is O(|pairs|) rows —
+    * never |pairs| × |shingles| join rows.
+    *
+    * Size-gated join strategy: the scoped sets' size is measured (8 bytes
+    * per hash + per-row overhead); under `broadcastBudgetBytes` both verify
+    * sides broadcast (zero shuffle — the common case when LSH candidates
+    * are a tiny corpus slice), above it every join runs as a shuffle hash
+    * join on uniform id keys — a boilerplate-heavy 100 TB corpus degrades
+    * to shuffles instead of a driver OOM. */
+  private[graft] def jaccardFromSets(sets0: DataFrame, idCol: String,
+                                         minJaccard: Double, candidates: DataFrame,
+                                         broadcastBudgetBytes: Long = DefaultVerifyBroadcastBytes): DataFrame = {
+    val candidateIds = candidates.select(col("a_id").as(idCol))
+      .union(candidates.select(col("b_id").as(idCol))).distinct()
+    val scoped = sets0.join(candidateIds, Seq(idCol), "left_semi")
+    // one cheap agg decides the strategy (reads only sz from the — usually
+    // persisted — sets frame)
+    val stats = scoped.agg(
+      coalesce(sum(col("sz")), lit(0L)).as("hashes"),
+      count(lit(1)).as("docs")).head()
+    val estBytes = stats.getLong(0) * 8L + stats.getLong(1) * 48L
+    val small = estBytes <= broadcastBudgetBytes
+    val aSide = scoped.select(col(idCol).as("a_id"), col("shs").as("sh_a"), col("sz").as("sz_a"))
+    val bSide = scoped.select(col(idCol).as("b_id"), col("shs").as("sh_b"), col("sz").as("sz_b"))
+    val joined =
+      if (small)
+        candidates.select(col("a_id"), col("b_id"))
+          .join(broadcast(aSide), Seq("a_id")).join(broadcast(bSide), Seq("b_id"))
+      else
+        candidates.select(col("a_id"), col("b_id"))
+          .join(aSide.hint("shuffle_hash"), Seq("a_id"))
+          .join(bSide.hint("shuffle_hash"), Seq("b_id"))
+    joined
       .withColumn("inter", // allocation-free |A∩B| (vs array_intersect+size)
         org.apache.spark.sql.graft.MinHashExprs.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard_e4", graft.functions.TextFunctions.fixedPoint(

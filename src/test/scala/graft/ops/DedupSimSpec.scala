@@ -42,6 +42,45 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never paired
   }
 
+  test("jaccard verify size gate: broadcast under budget, shuffle join above") {
+    // hand-built hashed shingle sets: (1,2) near-identical, (3,4) disjoint
+    val sets = Seq(
+      (1L, Array(10L, 11L, 12L, 13L), 4L),
+      (2L, Array(10L, 11L, 12L, 14L), 4L),
+      (3L, Array(20L, 21L), 2L),
+      (4L, Array(30L, 31L), 2L)
+    ).toDF("doc_id", "shs", "sz")
+    val cands = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+
+    val broad = Dedup.jaccardFromSets(sets, "doc_id", 0.5, cands,
+      broadcastBudgetBytes = Long.MaxValue)
+    assert(broad.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "under-budget verify should broadcast the sets")
+
+    val shuffled = Dedup.jaccardFromSets(sets, "doc_id", 0.5, cands,
+      broadcastBudgetBytes = 0L)
+    val shuffledPlan = shuffled.queryExecution.sparkPlan.toString
+    assert(!shuffledPlan.contains("BroadcastExchange"),
+      s"over-budget verify must not broadcast:\n$shuffledPlan")
+    assert(shuffledPlan.contains("ShuffledHashJoin"),
+      s"over-budget verify should shuffle-hash join:\n$shuffledPlan")
+
+    // both strategies compute the same pairs
+    val a = broad.orderBy("a_id", "b_id").collect().toSeq
+    val b = shuffled.orderBy("a_id", "b_id").collect().toSeq
+    assert(a === b)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+  }
+
+  test("nearDupPairs releases its caches before returning") {
+    spark.catalog.clearCache()
+    Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5).collect()
+    // localCheckpoint retains exactly one RDD (the result); the persisted
+    // signature/candidate intermediates must be gone
+    val stillCached = spark.sparkContext.getPersistentRDDs.size
+    assert(stillCached <= 1, s"expected at most the checkpoint RDD, got $stillCached")
+  }
+
   test("simhash: identical docs hamming 0; banded pairs ⊆ hamming ≤ 3") {
     val sim = Dedup.simhash(docs, "doc_id", "text")
     val byId = sim.as[(Long, Long)].collect().toMap
