@@ -24,9 +24,15 @@ object Vault {
 
   /** Data Vault hash key: md5 of '||'-joined business key columns, cast to
     * string — matches Trino to_hex(md5(to_utf8(...)))'s hex-string shape
-    * (reference backup_nessie_postgres.py:88). */
+    * (reference backup_nessie_postgres.py:88).
+    *
+    * NULL columns serialize as a NUL (U+0000) sentinel (concat_ws silently SKIPS
+    * nulls, which would make (NULL,'x') and ('x',NULL) collide — standard
+    * DV hashing keeps null, empty, and absent distinguishable). DuckDB
+    * mirror: md5(coalesce(CAST(c AS VARCHAR), chr(0)) || '||' || ...). */
   def hashKey(cols: Seq[Column]): Column =
-    md5(concat_ws("||", cols.map(_.cast("string")): _*))
+    md5(concat_ws("||",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
 
   /** Hash-diff over attribute columns for satellite change detection. */
   def hashDiff(cols: Seq[Column]): Column = hashKey(cols)
