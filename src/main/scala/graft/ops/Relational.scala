@@ -74,8 +74,11 @@ object Relational {
 
   /** MERGE INTO as full-outer join-and-rewrite (no ACID table format;
     * single-writer batch semantics are identical). Matched rows take the
-    * source's values; unmatched keep the target's; source-only rows insert.
-    * Reference: etl_manager.py:617-635,687-711 (J5).
+    * source's values — INCLUDING intentional NULLs (a row-presence marker
+    * distinguishes "source row matched" from "source column null", matching
+    * MERGE INTO UPDATE SET semantics; plain coalesce would silently keep
+    * the target's old value). Unmatched rows keep the target's values;
+    * source-only rows insert. Reference: etl_manager.py:617-635,687-711 (J5).
     *
     * At 100 TB this is a single shuffle on the merge keys of both sides —
     * same cost class as any MERGE implementation; pre-bucketing both tables
@@ -87,9 +90,13 @@ object Relational {
     // Rename-before-join (not alias-based resolution): target may itself be
     // derived from source, and unique names sidestep self-join ambiguity.
     val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, "__s_" + c))
+      .withColumn("__s_hit", lit(true)) // non-null iff a source row matched
     val cond = keys.map(k => col(k) <=> col("__s_" + k)).reduce(_ && _)
     target.join(s, cond, "full_outer")
-      .select(target.columns.map(c => coalesce(col("__s_" + c), col(c)).as(c)): _*)
+      .select(target.columns.map { c =>
+        if (keys.contains(c)) coalesce(col("__s_" + c), col(c)).as(c)
+        else when(col("__s_hit"), col("__s_" + c)).otherwise(col(c)).as(c)
+      }: _*)
   }
 
   /** Skew-safe inner equi-join: salts the skewed probe side into `salts`

@@ -287,7 +287,8 @@ object CoreQueries {
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q15_merge_upsert" ->
       """SELECT o_orderstatus, count(*) AS n FROM (
-           SELECT coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+           SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                       ELSE t.o_orderstatus END AS o_orderstatus
            FROM orders t FULL OUTER JOIN
              (SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
               WHERE o_orderpriority = '1-URGENT') s

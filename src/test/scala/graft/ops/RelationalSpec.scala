@@ -68,6 +68,15 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("mergeAsRewrite: a matched source NULL nulls out the target value") {
+    val target = Seq((1, Option("a")), (2, Option("b"))).toDF("k", "v")
+    val source = Seq((2, None: Option[String]), (3, Option("C"))).toDF("k", "v")
+    val got = Relational.mergeAsRewrite(target, source, Seq("k"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    // UPDATE SET v = NULL must land as NULL, not keep 'b'
+    assert(got == Set((1, Option("a")), (2, None), (3, Option("C"))))
+  }
+
   test("mergeAsRewrite is idempotent") {
     val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val source = Seq((2, "B")).toDF("k", "v")
