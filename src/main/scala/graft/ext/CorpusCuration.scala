@@ -55,22 +55,40 @@ object CorpusCuration {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** The full pipeline. Returns (curated docs, per-stage counts). */
+  /** The full pipeline. Returns (curated docs, per-stage counts).
+    *
+    * Single materialization per stage: filtered and exact are persisted,
+    * one action (curated.count) populates the whole lineage, the input
+    * count rides the same pass as an `observe` metric (no separate input
+    * scan), and the remaining stage counts read the caches. The
+    * intermediates unpersist before returning; `curated` stays persisted —
+    * the caller reads it without re-deriving the funnel and owns its
+    * lifecycle. */
   def curate(spark: SparkSession, docs: DataFrame, p: Params = Params()):
       (DataFrame, DataFrame) = {
     import spark.implicits._
-    val filtered = qualityFilter(docs, p)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.storage.StorageLevel
+    val obs = Observation()
+    val filtered = qualityFilter(docs.observe(obs, count(lit(1)).as("n")), p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // action #1 runs the observed plan directly while building the filtered
+    // cache: the input count rides the same scan as an observe metric
+    val nFiltered = filtered.count()
+    val nInput = obs.get("n").asInstanceOf[Long]
     val exact = exactDeduped(filtered, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val curated = nearDupRemoved(exact, "doc_id", p.minJaccard)
-    // counts are actions — the pipeline is materialized once per stage here
-    // because the funnel report is part of the contract (curation runs
-    // always log survival); callers wanting laziness use the stages directly
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCurated = curated.count() // materializes the remaining stages once
     val counts = Seq(
-      ("0_input", docs.count()),
-      ("1_quality_filtered", filtered.count()),
-      ("2_exact_deduped", exact.count()),
-      ("3_near_dup_removed", curated.count()))
+      ("0_input", nInput),
+      ("1_quality_filtered", nFiltered),
+      ("2_exact_deduped", exact.count()), // served from cache
+      ("3_near_dup_removed", nCurated))
       .toDF("stage", "n_docs")
+    filtered.unpersist()
+    exact.unpersist()
     (curated, counts)
   }
 }

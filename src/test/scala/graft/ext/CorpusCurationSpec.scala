@@ -25,6 +25,29 @@ class CorpusCurationSpec extends SparkSpec {
       .distinct().count() === n)
   }
 
+  test("curate scans its input exactly once (persist + observe, no re-derive)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      Row(2L, "the quick brown fox jumps over the lazy dog again and again"),
+      Row(3L, "some other english sentence with enough words to pass the bar"),
+      Row(4L, "yet another unique document body that is long enough to keep"))
+    val acc = spark.sparkContext.longAccumulator("source_scans")
+    val rdd = spark.sparkContext.parallelize(rows, 1)
+      .mapPartitions { it => acc.add(1); it }
+    val docs = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    val (curated, counts) = CorpusCuration.curate(spark, docs,
+      CorpusCuration.Params(langs = Set("en", "und"), minQualityE4 = 0L,
+        minChars = 1, minJaccard = 0.5))
+    curated.count() // caller-side consumption reads the persisted result
+    assert(counts.as[(String, Long)].collect().toMap.apply("0_input") === 4L)
+    assert(acc.value === 1L,
+      s"funnel evaluated its input ${acc.value} times; persist+observe should make it 1")
+    curated.unpersist()
+  }
+
   test("near-dup removal keeps the smaller id of a planted dup pair") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
