@@ -35,14 +35,41 @@ object Workflow {
   /** One task: `run` does the work (a Spark job); `branch`, when set, runs
     * instead and returns the dependent task ids to follow — all other
     * dependents are skipped (BranchPythonOperator semantics, reference
-    * dag_etlpipeline__datavault.py:112-118). */
+    * dag_etlpipeline__datavault.py:112-118).
+    *
+    * `retryDelayMs` waits between attempts (reference retry_delay=10–60 s,
+    * dag_etlpipeline__root.py:38); `timeoutMs` bounds one attempt
+    * (execution_timeout) — a timed-out attempt fails and retries like any
+    * other failure. */
   final case class TaskSpec(
       id: String,
       deps: Seq[String] = Nil,
       run: () => Unit = () => (),
       retries: Int = 0,
       triggerRule: TriggerRule = AllSuccess,
-      branch: Option[() => Seq[String]] = None)
+      branch: Option[() => Seq[String]] = None,
+      retryDelayMs: Long = 0L,
+      timeoutMs: Option[Long] = None)
+
+  /** TriggerDagRunOperator(wait_for_completion=True, allowed_states=
+    * ['success']) as a task: runs the child graph inline, records its
+    * result, and fails the trigger task unless the child run reaches an
+    * allowed overall state (reference dag_etlpipeline__root.py:62-68).
+    * The child's result is retrievable from `childResults` after the run. */
+  def triggerTask(id: String, deps: Seq[String],
+                  child: () => RunResult,
+                  childResults: mutable.Map[String, RunResult],
+                  retries: Int = 0, retryDelayMs: Long = 0L,
+                  triggerRule: TriggerRule = NoneSkipped): TaskSpec =
+    TaskSpec(id, deps, run = () => {
+      val res = child()
+      childResults(id) = res
+      if (!res.allSuccess)
+        throw new IllegalStateException(
+          s"sub-workflow $id not in allowed states: " +
+            res.runs.filter(r => r.status != "success" && r.status != "skipped")
+              .map(r => s"${r.taskId}=${r.status}").mkString(", "))
+    }, retries = retries, retryDelayMs = retryDelayMs, triggerRule = triggerRule)
 
   final case class TaskRun(taskId: String, status: String, attempts: Int, error: Option[String])
 
@@ -62,8 +89,14 @@ object Workflow {
 
   /** Execute the graph. `resumeDone`: task ids with a prior success for this
     * (etl_date, source) — they are marked success without running
-    * (check_conditions skip-if-succeeded, reference etl_manager.py:435-468). */
-  def run(tasks: Seq[TaskSpec], resumeDone: Set[String] = Set.empty): RunResult = {
+    * (check_conditions skip-if-succeeded, reference etl_manager.py:435-468).
+    * `runTimeoutMs` is the dagrun_timeout (reference 90–360 min,
+    * dag_etlpipeline__root.py:27): once the run exceeds it, no further task
+    * starts — each remaining runnable task is marked failed with
+    * `dagrun_timeout`, so the end-of-run rollup raises. */
+  def run(tasks: Seq[TaskSpec], resumeDone: Set[String] = Set.empty,
+          runTimeoutMs: Option[Long] = None): RunResult = {
+    val deadline = runTimeoutMs.map(System.currentTimeMillis() + _)
     val byId = tasks.map(t => t.id -> t).toMap
     require(byId.size == tasks.size, "duplicate task ids")
     tasks.foreach(t => t.deps.foreach(d =>
@@ -92,27 +125,49 @@ object Workflow {
       }
     }
 
+    // one attempt, bounded by the task's execution timeout when set. The
+    // attempt runs on a pooled thread only in the timeout case; on timeout
+    // the attempt is abandoned (recorded failed — the thread itself cannot
+    // be safely killed, same as Airflow's zombie-task reality).
+    def attemptOnce(t: TaskSpec, body: () => Unit): Unit = t.timeoutMs match {
+      case None => body()
+      case Some(ms) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        try Await.result(Future(body()), Duration(ms, "ms"))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(s"task ${t.id} exceeded ${ms}ms execution timeout")
+        }
+    }
+
     def execute(t: TaskSpec): Status = {
       // branch tasks are never resume-skipped: the branch DECIDES which
       // dependents run, and skipping it would silently run all of them
       // (Airflow re-evaluates branches on re-run for the same reason)
       if (resumeDone.contains(t.id) && t.branch.isEmpty) return Success
+      if (deadline.exists(System.currentTimeMillis() > _)) {
+        errors(t.id) = "dagrun_timeout"
+        return Failed
+      }
       var attempt = 0
       while (true) {
         attempt += 1
         attempts(t.id) = attempt
         try {
-          t.branch match {
+          attemptOnce(t, () => t.branch match {
             case Some(b) =>
               val chosen = b().toSet
               val dependents = tasks.filter(_.deps.contains(t.id)).map(_.id)
               notChosen ++= dependents.filterNot(chosen)
             case None => t.run()
-          }
+          })
           return Success
         } catch {
           case e: Exception =>
             if (attempt > t.retries) { errors(t.id) = e.toString; return Failed }
+            if (t.retryDelayMs > 0) Thread.sleep(t.retryDelayMs)
         }
       }
       Failed // unreachable

@@ -92,4 +92,49 @@ class WorkflowSpec extends AnyFunSuite {
     assert(r.status("work") === "skipped") // branch ran and skipped it
     assert(log.isEmpty)
   }
+
+  test("execution timeout: hung task fails, dependents upstream_failed, rollup raises") {
+    val r = Workflow.run(Seq(
+      TaskSpec("hung", run = () => Thread.sleep(60000), timeoutMs = Some(100L)),
+      TaskSpec("after", deps = Seq("hung")),
+      TaskSpec("end", deps = Seq("after"), triggerRule = AllDone)))
+    assert(r.status("hung") === "failed")
+    assert(r.runs.find(_.taskId == "hung").get.error.get.contains("execution timeout"))
+    assert(r.status("after") === "upstream_failed")
+    assert(r.status("end") === "success") // all_done still runs
+    intercept[IllegalStateException](r.assertAllSuccess())
+  }
+
+  test("a timed-out attempt retries like any failure") {
+    var calls = 0
+    val r = Workflow.run(Seq(TaskSpec("flaky_slow",
+      run = () => { calls += 1; if (calls == 1) Thread.sleep(60000) },
+      retries = 1, timeoutMs = Some(100L))))
+    assert(calls === 2)
+    assert(r.status("flaky_slow") === "success")
+    assert(r.runs.head.attempts === 2)
+  }
+
+  test("retry delay waits between attempts") {
+    var calls = 0
+    val t0 = System.nanoTime()
+    val r = Workflow.run(Seq(TaskSpec("flaky",
+      run = () => { calls += 1; if (calls <= 2) sys.error("boom") },
+      retries = 2, retryDelayMs = 120L)))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(r.status("flaky") === "success")
+    assert(elapsedMs >= 240L, s"two retry delays of 120ms each, got ${elapsedMs}ms")
+  }
+
+  test("dagrun timeout: tasks past the deadline fail with dagrun_timeout") {
+    val r = Workflow.run(Seq(
+      TaskSpec("slow", run = () => Thread.sleep(150)),
+      TaskSpec("late", deps = Seq("slow")),
+      TaskSpec("end", deps = Seq("late"), triggerRule = AllDone)),
+      runTimeoutMs = Some(50L))
+    assert(r.status("slow") === "success") // already running when deadline hit
+    assert(r.status("late") === "failed")
+    assert(r.runs.find(_.taskId == "late").get.error === Some("dagrun_timeout"))
+    intercept[IllegalStateException](r.assertAllSuccess())
+  }
 }
