@@ -113,6 +113,56 @@ object ControlPlane {
     rows.unionByName(totals)
   }
 
+  /** Drift-detail report (send_email.py:26-63): the schemadrift rows of one
+    * run split into DELETED (status D) and ADDED (status I) sections,
+    * rendered as HTML rows ordered by table, column. Output: (section,
+    * table_name, column_name, html_row). */
+  def renderDriftReport(drift: DataFrame, runId: String): DataFrame =
+    drift.filter(col("run_id") === runId && col("status").isin("D", "I"))
+      .select(
+        when(col("status") === "D", lit("deleted")).otherwise(lit("added")).as("section"),
+        col("table_name"), col("column_name"),
+        format_string("<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>",
+          col("table_name"), col("source_name"), col("column_name"),
+          col("data_type")).as("html_row"))
+      .orderBy(col("section"), col("table_name"), col("column_name"))
+
+  /** Error-summary report (send_email.py:654-667): one row per task not in
+    * (success, skipped), per source. */
+  def renderErrorSummary(tasks: DataFrame): DataFrame =
+    tasks.filter(!col("status").isin("success", "skipped"))
+      .select(col("source_name"), col("task_id"), col("status"),
+        format_string("<tr><td>%s</td><td>%s</td><td>%s</td></tr>",
+          col("source_name"), col("task_id"), col("status")).as("html_row"))
+      .orderBy(col("source_name"), col("task_id"))
+
+  /** Run-detail report (send_email.py:751-833): for each source's LATEST
+    * run of `etlDate` (argmax created_at from the run log), the failed
+    * tasks with start/end shifted to ICT (+7, F13) and the dag type
+    * extracted from the '__'-split dag_id (F1/F2). Expects task rows
+    * (run_id, source_name, dag_id, task_id, status, start_time, end_time)
+    * and run-log rows (etl_date, source_name, run_id, created_at). */
+  def renderRunDetail(tasks: DataFrame, runLog: DataFrame, etlDate: String): DataFrame = {
+    val latest = Relational.argmax(
+      runLog.filter(col("etl_date") === etlDate), Seq("source_name"), "created_at")
+      .select(col("source_name"), col("run_id"))
+    tasks.join(broadcast(latest), Seq("source_name", "run_id"))
+      .filter(!col("status").isin("success", "skipped"))
+      .select(
+        col("source_name"),
+        Relational.tryElementAt(col("dag_id"), "__", 3).as("dag_type"),
+        col("task_id"),
+        date_format(from_utc_timestamp(col("start_time"), "Asia/Bangkok"),
+          "yyyy-MM-dd HH:mm:ss").as("start_ict"),
+        date_format(from_utc_timestamp(col("end_time"), "Asia/Bangkok"),
+          "yyyy-MM-dd HH:mm:ss").as("end_ict"))
+      .withColumn("html_row",
+        format_string("<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>",
+          col("source_name"), col("dag_type"), col("task_id"),
+          col("start_ict"), col("end_ict")))
+      .orderBy(col("source_name"), col("task_id"))
+  }
+
   // ---- Registry lifecycle (etl_manager.py:779-866,983-1069,1120-1379) ----
 
   /** Rows of `incoming` not yet in `registry` → to insert with

@@ -44,7 +44,8 @@ class MultiSourcePipeline(spark: SparkSession, wh: Warehouse) {
       prefix: String,
       load: () => DataFrame,
       businessKeys: Seq[String],
-      attrs: Seq[String])
+      attrs: Seq[String],
+      waitTimeMs: Long = 0L) // TimeSensor stagger offset (C8)
 
   private def appendRows(schema: String, table: String, df: DataFrame): Unit =
     if (wh.exists(schema, table)) wh.append(schema, table, df)
@@ -104,8 +105,11 @@ class MultiSourcePipeline(spark: SparkSession, wh: Warehouse) {
     * by trigger-task id). Child runs carry conf triggered_by='group', so
     * they reuse the root-assigned run ids. */
   def run(entity: String, sources: Seq[MultiSource], etlDate: String,
-          runTimeoutMs: Option[Long] = None): (RunResult, Map[String, RunResult]) = {
+          runTimeoutMs: Option[Long] = None,
+          clock: () => Long = () => System.currentTimeMillis()):
+      (RunResult, Map[String, RunResult]) = {
     require(sources.map(_.name).distinct.size == sources.size, "duplicate source names")
+    val runStartMs = clock()
     val assigned: Map[String, String] =
       sources.map(s => s.name -> java.util.UUID.randomUUID().toString).toMap
     val childResults = mutable.Map.empty[String, RunResult]
@@ -121,7 +125,12 @@ class MultiSourcePipeline(spark: SparkSession, wh: Warehouse) {
     val groups = sources.flatMap { s =>
       val runId = fetchRunId(s.name, "root", etlDate, assigned, Some("master_dag"))
       Seq(
-        Workflow.triggerTask(s"trigger_staging_${s.name}", deps = Seq("start"),
+        // per-source stagger (reference wait_time minutes): spreads the 19
+        // source chains' cluster load; a virtual clock keeps tests instant
+        Workflow.timeSensor(s"wait_time_${s.name}", deps = Seq("start"),
+          targetMs = runStartMs + s.waitTimeMs, clock = clock),
+        Workflow.triggerTask(s"trigger_staging_${s.name}",
+          deps = Seq(s"wait_time_${s.name}"),
           child = () => Workflow.run(stagingGraph(s, etlDate, runId)),
           childResults = childResults, retries = 1),
         Workflow.triggerTask(s"trigger_vault_${s.name}",

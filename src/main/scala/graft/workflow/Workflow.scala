@@ -51,6 +51,18 @@ object Workflow {
       retryDelayMs: Long = 0L,
       timeoutMs: Option[Long] = None)
 
+  /** TimeSensor (reference dag_etlpipeline__root.py:81-85): blocks until
+    * `clock()` reaches `targetMs`, polling at `pollMs`. The reference
+    * staggers source groups by wait_time minutes to spread cluster load;
+    * with the default real clock this does exactly that, and tests inject
+    * a virtual clock so the semantics stay deterministic. */
+  def timeSensor(id: String, deps: Seq[String], targetMs: Long,
+                 clock: () => Long = () => System.currentTimeMillis(),
+                 pollMs: Long = 50L): TaskSpec =
+    TaskSpec(id, deps, run = () => {
+      while (clock() < targetMs) Thread.sleep(pollMs)
+    }, triggerRule = NoneSkipped)
+
   /** TriggerDagRunOperator(wait_for_completion=True, allowed_states=
     * ['success']) as a task: runs the child graph inline, records its
     * result, and fails the trigger task unless the child run reaches an

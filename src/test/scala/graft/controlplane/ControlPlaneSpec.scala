@@ -94,6 +94,48 @@ class ControlPlaneSpec extends SparkSpec {
     ("m3", 0, "2024-01-02", "2024-01-01") // previously retired
   ).toDF("model", "active_status", "retire_date", "load_date")
 
+  test("drift report splits deleted/added sections for one run") {
+    val drift = Seq(
+      ("r1", "t1", "s1", "gone_col", "varchar", "D"),
+      ("r1", "t1", "s1", "new_col", "bigint", "I"),
+      ("r1", "t2", "s1", "id", "varchar", "I"),
+      ("r2", "t1", "s1", "other_run", "varchar", "D"))
+      .toDF("run_id", "table_name", "source_name", "column_name", "data_type", "status")
+    val out = ControlPlane.renderDriftReport(drift, "r1").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getString(0)).toSeq === Seq("added", "added", "deleted"))
+    assert(out.head.getAs[String]("html_row").contains("<td>new_col</td>"))
+  }
+
+  test("error summary lists only non-success, non-skipped tasks") {
+    val tasks = Seq(
+      ("s1", "stage", "success"), ("s1", "vault", "failed"),
+      ("s2", "stage", "skipped"), ("s2", "vault", "upstream_failed"))
+      .toDF("source_name", "task_id", "status")
+    val out = ControlPlane.renderErrorSummary(tasks).collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("s1", "failed"), ("s2", "upstream_failed")))
+  }
+
+  test("run detail: latest run per source, failed tasks, ICT shift, dag type") {
+    val runLog = Seq(
+      ("2024-01-01", "s1", "old_run", 1L), ("2024-01-01", "s1", "new_run", 2L))
+      .toDF("etl_date", "source_name", "run_id", "created_at")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val tasks = Seq(
+      ("new_run", "s1", "10_01__s1__staging", "load", "failed", ts, ts),
+      ("new_run", "s1", "10_01__s1__staging", "typed", "success", ts, ts),
+      ("old_run", "s1", "10_01__s1__staging", "stale", "failed", ts, ts))
+      .toDF("run_id", "source_name", "dag_id", "task_id", "status",
+        "start_time", "end_time")
+    val out = ControlPlane.renderRunDetail(tasks, runLog, "2024-01-01").collect()
+    assert(out.length === 1) // only the latest run's failed task
+    val r = out.head
+    assert(r.getAs[String]("task_id") === "load")
+    assert(r.getAs[String]("dag_type") === "staging")
+    assert(r.getAs[String]("start_ict") === "2024-01-01 17:00:00") // +7h
+  }
+
   test("syncRegistry: add new, retire missing, reactivate returning") {
     val incoming = Seq("m1", "m3", "m4").toDF("model")
     val (merged, changes) = ControlPlane.syncRegistry(

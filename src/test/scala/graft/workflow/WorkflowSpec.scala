@@ -126,6 +126,18 @@ class WorkflowSpec extends AnyFunSuite {
     assert(elapsedMs >= 240L, s"two retry delays of 120ms each, got ${elapsedMs}ms")
   }
 
+  test("time sensor blocks until the (virtual) clock reaches its target") {
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    var observedAtRun = -1L
+    val r = Workflow.run(Seq(
+      Workflow.timeSensor("wait", deps = Nil, targetMs = 500L,
+        clock = () => clock.addAndGet(100L), pollMs = 1L),
+      TaskSpec("work", deps = Seq("wait"),
+        run = () => observedAtRun = clock.get())))
+    assert(r.allSuccess)
+    assert(observedAtRun >= 500L, s"work ran at virtual time $observedAtRun, before the sensor target")
+  }
+
   test("dagrun timeout: tasks past the deadline fail with dagrun_timeout") {
     val r = Workflow.run(Seq(
       TaskSpec("slow", run = () => Thread.sleep(150)),
