@@ -180,6 +180,52 @@ object Dedup {
     * candidate shingle sets in the verify stage. */
   val DefaultVerifyBroadcastBytes: Long = 64L << 20
 
+  /** Public signature surface for incremental dedup: (id, sz, shs, mh_*)
+    * per doc, row-locally computed — persist this (e.g. in the warehouse)
+    * between batches so the corpus is never re-signed. */
+  def signDocuments(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, shingleN: Int = 5): DataFrame =
+    signatureFrame(df, idCol, textCol, k, shingleN)
+
+  /** Incremental near-dup: verify a NEW batch against an already-signed
+    * corpus without re-signing it — the production shape for a growing
+    * training corpus (batch N+1 arrives; batch 1..N's signatures are on
+    * disk). Candidates are new×new plus new×prior band collisions —
+    * prior×prior pairs were found when the prior batches landed, so the
+    * per-batch cost is O(new batch), not O(corpus).
+    *
+    * Returns (verified pairs touching ≥1 new doc with a_id < b_id, the
+    * combined signature frame to persist for the next batch). */
+  def nearDupPairsIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                              priorSig: DataFrame,
+                              k: Int = 16, b: Int = 4, shingleN: Int = 5,
+                              minJaccard: Double = 0.5,
+                              verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes):
+      (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val newSig = signatureFrame(newDocs, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBands = lshBands(newSig, idCol, b, k / b)
+    val priorBands = lshBands(priorSig, idCol, b, k / b)
+    val newNew = lshCandidatePairs(newBands, idCol)
+    // new×prior collisions, normalized to the a_id < b_id convention
+    val cross = newBands.select(col("band"), col("band_hash"), col(idCol).as("n_id"))
+      .join(priorBands.select(col("band"), col("band_hash"), col(idCol).as("p_id")),
+        Seq("band", "band_hash"))
+      .select(least(col("n_id"), col("p_id")).as("a_id"),
+        greatest(col("n_id"), col("p_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    val cands = newNew.unionByName(cross).distinct()
+    val sets = priorSig.select(col(idCol), col("shs"), col("sz"))
+      .unionByName(newSig.select(col(idCol), col("shs"), col("sz")))
+    val pairs = jaccardFromSets(sets, idCol, minJaccard, cands, verifyBroadcastBytes)
+      .localCheckpoint(true)
+    // newSig stays cached so writing `combined` to storage doesn't re-sign
+    // the batch; the caller unpersists (or clears) after materializing it
+    (pairs, priorSig.unionByName(newSig))
+  }
+
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:
     * sets are md5-60bit long arrays (intersection cardinality identical to
     * string sets, collision odds ~2^-60 per pair), scoped to docs that

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
 
@@ -70,6 +71,26 @@ class DedupSimSpec extends SparkSpec {
     val b = shuffled.orderBy("a_id", "b_id").collect().toSeq
     assert(a === b)
     assert(a.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+  }
+
+  test("incremental near-dup over two batches equals the full-corpus run") {
+    val docs10k = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val batch1 = docs10k.filter(col("doc_id") % 2 === 0)
+    val batch2 = docs10k.filter(col("doc_id") % 2 === 1)
+    // full run over everything at once
+    val full = Dedup.nearDupPairs(docs10k, "doc_id", "text", minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // batch 1 lands: sign + self-dedup; batch 2 arrives: incremental
+    val sig1 = Dedup.signDocuments(batch1, "doc_id", "text")
+    val pairs1 = Dedup.nearDupPairs(batch1, "doc_id", "text", minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val (pairs2df, combined) = Dedup.nearDupPairsIncremental(
+      batch2, "doc_id", "text", sig1, minJaccard = 0.5)
+    val pairs2 = pairs2df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs1.union(pairs2) === full,
+      s"missing=${full.diff(pairs1.union(pairs2))} extra=${pairs1.union(pairs2).diff(full)}")
+    // the combined frame signs every doc exactly once
+    assert(combined.select("doc_id").distinct().count() === docs10k.count())
   }
 
   test("nearDupPairs releases its caches before returning") {
