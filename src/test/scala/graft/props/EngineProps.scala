@@ -95,4 +95,31 @@ object EngineProps extends Properties("engine") {
       val hashed = df.select(Vault.hashKey(Seq(col("k"))).as("h"), col("k")).collect()
       Prop.propBoolean(hashed.map(_.getString(0)).distinct.length == keys.distinct.length)
     }
+
+  property("merge NULL-out: matched source NULLs override, unmatched keep target") =
+    forAll(genKV, Gen.listOfN(8, Gen.zip(Gen.choose(1, 6), Gen.option(Gen.oneOf("X", "Y"))))) {
+      (t0, s0) =>
+        val t = t0.distinctBy(_._1).toDF("k", "v")
+        val s = s0.distinctBy(_._1).toDF("k", "v")
+        val merged = Relational.mergeAsRewrite(t, s, Seq("k"))
+          .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+        val tm = t0.distinctBy(_._1).map(kv => kv._1 -> Option(kv._2)).toMap
+        val sm = s0.distinctBy(_._1).toMap
+        merged.forall { case (k, v) =>
+          sm.get(k) match {
+            case Some(sv) => v == sv // matched: source value, even when NULL
+            case None => v == tm(k) // unmatched: target value survives
+          }
+        }
+    }
+
+  property("HLL estimate within 3·σ for any cardinality, invariant to duplication") =
+    forAll(Gen.choose(100, 5000), Gen.choose(1, 3)) { (n, dup) =>
+      import graft.operators.Sketches
+      val base = (1 to n).flatMap(v => Seq.fill(dup)(("g", v))).toDF("g", "v")
+      val est = Sketches.hllDistinct(base, Seq("g"), "v")
+        .select(col("hll_est_e2")).as[Long].head() / 100.0
+      // σ ≈ 1.04/√4096 ≈ 1.6%; linear counting below 2.5m is tighter
+      math.abs(est - n) / n.toDouble < 0.05
+    }
 }
