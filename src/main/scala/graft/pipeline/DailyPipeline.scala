@@ -54,6 +54,12 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
         if (rows.nonEmpty) {
           appendRows("check", "schemadrift_tablechangedetail",
             rows.toDF().withColumn("etl_date", lit(etlDate)))
+          // table-level summary (reference schemadrift_tablechange,
+          // send_email.py:43-56); is_updated=1 — the overwrite below
+          // applies the new schema in the same run
+          appendRows("check", "schemadrift_tablechange",
+            Seq((etlDate, src.name, src.name, 1))
+              .toDF("etl_date", "table_name", "source_name", "is_updated"))
           true
         } else false
       } else false

@@ -77,6 +77,10 @@ class DailyPipelineSpec extends SparkSpec {
     assert(r2.status("notify_drift_customer") === "success")
     val drift = wh.read("check", "schemadrift_tablechangedetail")
     assert(drift.filter(col("column_name") === "new_col" && col("status") === "I").count() === 1)
+    // table-level summary row, applied in the same run (is_updated=1)
+    val summary = wh.read("check", "schemadrift_tablechange")
+    assert(summary.filter(col("table_name") === "customer" &&
+      col("is_updated") === 1).count() === 1)
     assert(wh.read("check", "email_notification").count() === 1)
   }
 }
