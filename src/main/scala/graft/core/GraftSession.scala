@@ -32,6 +32,12 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     // native expressions available to spark.sql users out of the box
     org.apache.spark.sql.graft.GraftFunctions.register(s)
+    // HOF-pattern → codegen'd-kernel rewrites for live sessions (the
+    // spark.sql.extensions path injects the same rule at session build)
+    if (!s.experimental.extraOptimizations.contains(
+        org.apache.spark.sql.graft.GraftKernelRules))
+      s.experimental.extraOptimizations ++=
+        Seq(org.apache.spark.sql.graft.GraftKernelRules)
     s
   }
 }

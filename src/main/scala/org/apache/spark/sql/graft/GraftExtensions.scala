@@ -18,8 +18,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // declarative HOF kernels → codegen'd expressions (see GraftKernelRules)
+    ext.injectOptimizerRule(_ => GraftKernelRules)
+  }
 }
 
 object GraftFunctions {

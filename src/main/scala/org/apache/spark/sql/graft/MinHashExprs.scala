@@ -84,15 +84,23 @@ case class ArrayLongIntersectCount(left: Expression, right: Expression)
   private def count(a: ArrayData, b: ArrayData): Long = {
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val set = new java.util.HashSet[Long](small.numElements() * 2)
+    // null elements participate with SQL array_intersect set semantics:
+    // null appears in the intersection iff present on both sides
+    var smallNull = false
+    var bigNull = false
     var i = 0
-    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    while (i < small.numElements()) {
+      if (small.isNullAt(i)) smallNull = true else set.add(small.getLong(i))
+      i += 1
+    }
     var c = 0L
     i = 0
     while (i < big.numElements()) {
-      if (set.remove(big.getLong(i))) c += 1 // remove: set semantics w/ dup elems
+      if (big.isNullAt(i)) bigNull = true
+      else if (set.remove(big.getLong(i))) c += 1 // remove: set semantics w/ dup elems
       i += 1
     }
-    c
+    if (smallNull && bigNull) c + 1 else c
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
