@@ -42,6 +42,19 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         val k = children(1).eval().asInstanceOf[Number].intValue()
         MinHashSigs(children(0), k, 1048573L, 2147483647L, 1000003L, 7919L, 12345L, 104729L)
+      }),
+    (FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "_FUNC_(text, merges) - BPE token count; merges = array(array(a,b), ...) ranked"),
+      (children: Seq[Expression]) => {
+        // merge table must be a foldable literal: array of 2-element arrays
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val pair = arr.getArray(i)
+          (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+        }
+        BpeTokenCount(children(0), merges)
       }))
 
   /** Register into a live session's function registry. */

@@ -20,6 +20,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(2) === (7L * 1000003L + 12345L) % 2147483647L)
   }
 
+  test("bpe_token_count evaluates from spark.sql with a literal merge table") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT bpe_token_count('low lower',
+           array(array('l','o'), array('lo','w'))) AS n""").head()
+    assert(r.getLong(0) === 4L) // [low] + [low,e,r]
+  }
+
   test("kernel rule rewrites HOF patterns to the codegen'd expressions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
