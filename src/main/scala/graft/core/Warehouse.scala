@@ -207,6 +207,28 @@ class Warehouse(spark: SparkSession, root: String) {
         r.getAs[scala.collection.Seq[String]]("data_dirs").toSeq)
     }
 
+  /** Publish the table's CURRENT version as a catalog-registered BUCKETED
+    * mart (`graft_mart` database) — the repeated-join layout: two marts
+    * bucketed on the same keys with the same bucket count sort-merge join
+    * with ZERO exchanges (BucketedJoinSpec proves the plan). The versioned
+    * warehouse stays the write-side source of truth; marts are read-
+    * optimized projections a scheduler refreshes after each close
+    * (write once bucketed, join many times shuffle-free — the 100 TB
+    * answer to fact-fact joins that re-shuffle every query).
+    * Returns the catalog table name. */
+  def publishBucketedMart(schema: String, table: String, bucketKeys: Seq[String],
+                          nBuckets: Int): String = {
+    val mart = s"graft_mart.${schema}_$table"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_mart")
+    spark.sql(s"DROP TABLE IF EXISTS $mart")
+    read(schema, table).write
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(mart)
+    mart
+  }
+
   /** information_schema.tables equivalent: scan the warehouse directory
     * tree for committed tables (reference utlis/clean_data.py:79-81). */
   def listTables(): DataFrame = {

@@ -136,4 +136,30 @@ class WarehouseSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("etl_date"))
   }
+
+  test("published bucketed marts join with zero exchanges") {
+    import spark.implicits._
+    val wh = freshWh()
+    // clear any leftover managed locations from a crashed prior run
+    val whDir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "graft_mart.db")
+    if (whDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(whDir)
+    wh.overwrite("mart", "orders",
+      (1 to 500).map(i => (i.toLong, s"o$i")).toDF("k", "ov"))
+    wh.overwrite("mart", "lineitem",
+      (1 to 1500).map(i => ((i % 500 + 1).toLong, s"l$i")).toDF("k", "lv"))
+    val mo = wh.publishBucketedMart("mart", "orders", Seq("k"), 8)
+    val ml = wh.publishBucketedMart("mart", "lineitem", Seq("k"), 8)
+    // mart content equals the versioned table
+    assert(spark.table(mo).count() === 500)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(mo).join(spark.table(ml), "k")
+      assert(joined.count() === 1500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed mart join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
