@@ -132,6 +132,32 @@ class DedupSimSpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("ANN recall on clustered data: bucketing keeps true neighbors") {
+    // three tight clusters around axis directions — the regime approximate
+    // search exists for. (The random fixture embeddings have NO neighbor
+    // structure: any bucketing method degrades toward random there, which
+    // is a property of the data, not the operator.)
+    val clustered = (0 until 60).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f
+      base(3 + i % 3) = 0.02f * (i / 3) // small within-cluster spread
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") < 6)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = topSet(Similarity.bruteForceTopK(queries, clustered, 5,
+      embCol = "embedding"))
+    val planes = Similarity.hyperplanes(spark, 4, 8)
+    val ann = topSet(Similarity.annTopK(queries, clustered, planes, 5))
+    val cent = Similarity.kmeansCentroids(clustered, k = 3, iters = 3)
+    val ivf = topSet(Similarity.ivfTopK(queries, clustered, cent, 5, probes = 1))
+    val annRecall = ann.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(annRecall >= 0.8, s"LSH recall@5 on clustered data: $annRecall")
+    assert(ivfRecall >= 0.8, s"IVF recall@5 on clustered data: $ivfRecall")
+  }
+
   test("bruteForceTopK ranks by cosine: parallel > orthogonal > opposite") {
     val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0L), vecs, 3)
       .orderBy("rank").select("neighbor_id").as[Long].collect()
