@@ -52,13 +52,22 @@ object Sketches {
     * (ln's input domain is the finite set {m/V}, so cross-engine agreement
     * is a checkable finite property, not a per-row gamble). */
   def hllDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
-                  estCol: String = "hll_est_e2"): DataFrame = {
+                  estCol: String = "hll_est_e2"): DataFrame =
+    estimateFromRegisters(hllRegisters(df, keys, valueCol), keys, estCol)
+
+  /** Estimate from a register frame — the merge path: union register
+    * frames from independent partitions/batches, re-max per bucket, then
+    * estimate. This is what makes the sketch distributable: registers are
+    * the only state that ever moves. */
+  def estimateFromRegisters(registers: DataFrame, keys: Seq[String],
+                            estCol: String = "hll_est_e2"): DataFrame = {
     val raw = rawEstimate(
       (lit(M) - col("used")) * lit(TwoPow49) + col("s_present"))
     val v = lit(M) - col("used") // empty buckets
     val est = when(raw <= lit(2.5 * M) && v > 0,
       lit(4096.0) * log(lit(4096.0) / v)).otherwise(raw)
-    hllRegisters(df, keys, valueCol)
+    registers
+      .groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("m")).as("m"))
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("used"),

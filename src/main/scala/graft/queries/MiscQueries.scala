@@ -34,9 +34,27 @@ object MiscQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q40: distributed-sketch merge — HLL registers built INDEPENDENTLY
+    * over two disjoint halves of orders, merged by per-bucket max, must
+    * estimate exactly what the single-pass sketch (and the DuckDB oracle)
+    * computes. This is the contract that lets 1000 executors sketch
+    * locally and merge tiny register frames instead of shuffling rows. */
+  def q40HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val halves = Seq(0, 1).map(p =>
+      Sketches.hllRegisters(orders.filter(col("o_orderkey") % 2 === p),
+        Seq("o_orderpriority"), "o_custkey"))
+    val merged = Sketches.estimateFromRegisters(
+      halves.reduce(_ unionByName _), Seq("o_orderpriority"), "merged_e2")
+    val direct = Sketches.hllDistinct(orders, Seq("o_orderpriority"), "o_custkey")
+      .withColumnRenamed("hll_est_e2", "direct_e2")
+    merged.join(direct, Seq("o_orderpriority")).orderBy(col("o_orderpriority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_features" -> (q32MediaFeatures _),
-    "q33_approx_distinct" -> (q33ApproxDistinct _))
+    "q33_approx_distinct" -> (q33ApproxDistinct _),
+    "q40_hll_merge" -> (q40HllMerge _))
 
   val oracles: Map[String, String] = Map(
     "q32_media_features" ->
@@ -58,5 +76,13 @@ object MiscQueries {
              (exact_custs*100.0) * 10000 + 0.5) AS BIGINT) AS rel_err_e4
          FROM ex JOIN hll ON ex.o_orderpriority = hll.o_orderpriority
          ORDER BY 1"""
+    },
+    "q40_hll_merge" -> {
+      // register-merge is associative/idempotent, so BOTH columns equal the
+      // single-pass estimate the oracle computes once
+      val hll = Sketches.hllOracleSql("orders", "o_orderpriority", "o_custkey")
+      s"""WITH hll AS ($hll)
+         SELECT o_orderpriority, hll_est_e2 AS merged_e2, hll_est_e2 AS direct_e2
+         FROM hll ORDER BY 1"""
     })
 }
