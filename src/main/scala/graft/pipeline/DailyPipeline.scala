@@ -132,10 +132,16 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
         s"notify_drift_${s.name}", s"vault_${s.name}").map(_ -> s.name)
     }.toMap
     // persist task statuses (the status_etlpipeline_task_airflow table)
-    appendRows("op_metadata", "task_log",
-      result.runs.map(r => (etlDate, taskOwner.getOrElse(r.taskId, "pipeline"),
-        r.taskId, r.status))
-        .toDF("etl_date", "source_name", "task_id", "status"))
+    val taskRows = result.runs.map(r =>
+      (etlDate, taskOwner.getOrElse(r.taskId, "pipeline"), r.taskId, r.status))
+      .toDF("etl_date", "source_name", "task_id", "status")
+    appendRows("op_metadata", "task_log", taskRows)
+    // failed runs also persist the rendered error-summary report rows
+    // (send_email.py:654-667 — the email body's source of truth)
+    val errorReport = ControlPlane.renderErrorSummary(taskRows)
+    if (!errorReport.isEmpty)
+      appendRows("check", "error_report",
+        errorReport.withColumn("etl_date", lit(etlDate)))
     // roll up to run rows and close the date when all sources succeeded.
     // run_id is a fresh uuid and created_at a real timestamp: re-runs of a
     // failed date must produce a strictly NEWER run row, or the

@@ -68,6 +68,22 @@ class DailyPipelineSpec extends SparkSpec {
       Tables(spark, sf, "customer").select("c_custkey").distinct().count())
   }
 
+  test("a failing source persists rendered error-report rows") {
+    val (wh, p) = freshSetup()
+    val bad = p.SourceSpec("broken",
+      load = () => throw new RuntimeException("source down"),
+      businessKeys = Seq("k"), attrs = Seq("v"))
+    val (_, r) = p.run(Seq(customersSpec(p), bad))
+    intercept[IllegalStateException](r.assertAllSuccess())
+    val report = wh.read("check", "error_report")
+    assert(report.filter(col("source_name") === "broken" &&
+      col("task_id") === "staging_broken").count() === 1)
+    assert(report.select("html_row").as[String].collect()
+      .forall(_.startsWith("<tr>")))
+    // healthy source untouched by the neighbor's failure
+    assert(wh.read("raw_vault", "hub_customer").count() > 0)
+  }
+
   test("schema drift routes to the notification branch and still completes") {
     val (wh, p) = freshSetup()
     val (_, r1) = p.run(Seq(customersSpec(p)))
