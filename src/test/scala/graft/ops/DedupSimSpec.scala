@@ -94,12 +94,14 @@ class DedupSimSpec extends SparkSpec {
   }
 
   test("nearDupPairs releases its caches before returning") {
-    spark.catalog.clearCache()
+    // delta-based: other suites sharing the session may hold their own
+    // caches (getPersistentRDDs is session-global)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5).collect()
     // localCheckpoint retains exactly one RDD (the result); the persisted
     // signature/candidate intermediates must be gone
-    val stillCached = spark.sparkContext.getPersistentRDDs.size
-    assert(stillCached <= 1, s"expected at most the checkpoint RDD, got $stillCached")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"expected at most the checkpoint RDD, got ${added.size} new cached RDDs")
   }
 
   test("simhash: identical docs hamming 0; banded pairs ⊆ hamming ≤ 3") {
