@@ -125,7 +125,9 @@ object ControlPlane {
         format_string("<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>",
           col("table_name"), col("source_name"), col("column_name"),
           col("data_type")).as("html_row"))
-      .orderBy(col("section"), col("table_name"), col("column_name"))
+      // deleted section first, as the reference email lays it out
+      .orderBy(when(col("section") === "deleted", 0).otherwise(1),
+        col("table_name"), col("column_name"))
 
   /** Error-summary report (send_email.py:654-667): one row per task not in
     * (success, skipped), per source. */

@@ -216,11 +216,16 @@ object Dedup {
         greatest(col("n_id"), col("p_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
+    // persisted: the verify stage runs multiple actions (size-gate stats +
+    // eager checkpoint) and references the candidates both directly and
+    // via its id-scoping — without this the band joins recompute ~4×
     val cands = newNew.unionByName(cross).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sets = priorSig.select(col(idCol), col("shs"), col("sz"))
       .unionByName(newSig.select(col(idCol), col("shs"), col("sz")))
     val pairs = jaccardFromSets(sets, idCol, minJaccard, cands, verifyBroadcastBytes)
       .localCheckpoint(true)
+    cands.unpersist()
     // newSig stays cached so writing `combined` to storage doesn't re-sign
     // the batch; the caller unpersists (or clears) after materializing it
     (pairs, priorSig.unionByName(newSig))

@@ -87,7 +87,10 @@ object Sketches {
          FROM (SELECT $keyCol, md5(CAST($valueCol AS VARCHAR)) AS h FROM $table)),
        mx AS (SELECT $keyCol, bucket, max(rho) AS m FROM br GROUP BY 1, 2),
        ag AS (SELECT $keyCol, count(*) AS used,
-           CAST(sum(CAST(2 AS HUGEINT)**(49 - m)) AS BIGINT) AS s_present
+           -- power(2,k) is double-EXACT for k <= 49 and the per-term CAST
+           -- keeps the sum in HUGEINT; ** would sum doubles and round
+           -- once the register spread exceeds 53 bits
+           CAST(sum(CAST(power(2, 49 - m) AS BIGINT)) AS BIGINT) AS s_present
          FROM mx GROUP BY 1),
        es AS (SELECT $keyCol,
            0.7213/(1.0+1.079/4096.0)*9444732965739290427392.0 /

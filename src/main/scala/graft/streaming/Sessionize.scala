@@ -62,16 +62,21 @@ object Sessionize {
                                       gapSeconds: Long): Iterator[Session] = {
     if (state.hasTimedOut) {
       // watermark passed lastMicros + gap with no new events: the open
-      // session can never be extended — flush it and drop the state
+      // session can never be extended — flush it. State collapses to a
+      // TOMBSTONE (nEvents = 0) carrying only the emitted counter, so a
+      // user who returns later continues session numbering instead of
+      // restarting at 1 (4 longs per historical user — the memory global
+      // numbering inherently requires; tombstones register no timeout).
       val s = state.get
-      state.remove()
+      state.update(OpenSession(0L, 0L, 0L, s.emitted + 1))
       return Iterator.single(
         Session(userId, s.emitted + 1, s.startMicros, s.lastMicros, s.nEvents))
     }
     val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
     val out = scala.collection.mutable.ListBuffer.empty[Session]
-    var open = state.getOption
-    var emitted = open.map(_.emitted).getOrElse(0L)
+    // nEvents == 0 marks a tombstone: no open session, counter only
+    var open = state.getOption.filter(_.nEvents > 0)
+    var emitted = state.getOption.map(_.emitted).getOrElse(0L)
     sorted.foreach { e =>
       open match {
         case Some(s) if e.tsMicros - s.lastMicros <= gapSeconds * 1000000L =>
@@ -94,7 +99,9 @@ object Sessionize {
         state.setTimeoutTimestamp(
           math.max(s.lastMicros / 1000L + gapSeconds * 1000L,
             state.getCurrentWatermarkMs() + 1L))
-      case None => state.remove()
+      case None =>
+        if (emitted > 0) state.update(OpenSession(0L, 0L, 0L, emitted))
+        else state.remove()
     }
     out.iterator
   }

@@ -20,18 +20,21 @@ object StreamingDedup {
 
   /** Dedup a stream on the canonical text fingerprint. `eventTimeCol` must
     * be a timestamp column; rows older than `watermarkDelay` behind the
-    * max seen event time may no longer dedup (state already reclaimed). */
+    * max seen event time may no longer dedup (state already reclaimed).
+    * dropDuplicatesWithinWatermark — NOT plain dropDuplicates, which only
+    * evicts state when the event-time column is itself a dedup key and
+    * would otherwise grow one state row per distinct fingerprint forever. */
   def byFingerprint(stream: DataFrame, textCol: String, eventTimeCol: String,
                     watermarkDelay: String): DataFrame =
     stream
       .withColumn("__fp", fingerprint(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** Dedup on explicit key columns (e.g. event_id) with bounded state. */
   def byKeys(stream: DataFrame, keys: Seq[String], eventTimeCol: String,
              watermarkDelay: String): DataFrame =
     stream.withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -168,13 +168,16 @@ object Workflow {
         attempt += 1
         attempts(t.id) = attempt
         try {
-          attemptOnce(t, () => t.branch match {
+          t.branch match {
             case Some(b) =>
+              // branches run on the caller thread, timeout or not: they are
+              // decision lambdas, and an abandoned timed-out thread would
+              // mutate notChosen concurrently with this scheduler loop
               val chosen = b().toSet
               val dependents = tasks.filter(_.deps.contains(t.id)).map(_.id)
               notChosen ++= dependents.filterNot(chosen)
-            case None => t.run()
-          })
+            case None => attemptOnce(t, () => t.run())
+          }
           return Success
         } catch {
           case e: Exception =>

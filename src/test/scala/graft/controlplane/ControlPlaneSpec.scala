@@ -103,8 +103,9 @@ class ControlPlaneSpec extends SparkSpec {
       .toDF("run_id", "table_name", "source_name", "column_name", "data_type", "status")
     val out = ControlPlane.renderDriftReport(drift, "r1").collect()
     assert(out.length === 3)
-    assert(out.map(_.getString(0)).toSeq === Seq("added", "added", "deleted"))
-    assert(out.head.getAs[String]("html_row").contains("<td>new_col</td>"))
+    // deleted section renders first (reference email layout)
+    assert(out.map(_.getString(0)).toSeq === Seq("deleted", "added", "added"))
+    assert(out.exists(_.getAs[String]("html_row").contains("<td>new_col</td>")))
   }
 
   test("error summary lists only non-success, non-skipped tasks") {

@@ -72,7 +72,25 @@ class SessionizeSpec extends SparkSpec {
       hasTimedOut = true)
     val out = Sessionize.foldSessions(7L, Iterator.empty, st, 1800L).toList
     assert(out === List(Sessionize.Session(7L, 4L, micros(0), micros(10), 2)))
-    assert(st.isRemoved, "timed-out state must be removed")
+    // state collapses to a counter tombstone so numbering survives the flush
+    assert(!st.isRemoved && st.get === Sessionize.OpenSession(0L, 0L, 0L, 4L))
+  }
+
+  test("a user returning after an idle flush continues session numbering") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.of(
+        Sessionize.OpenSession(0L, 0L, 0L, 4L)), // tombstone: 4 sessions emitted
+      org.apache.spark.sql.catalyst.plans.logical.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // two events separated by more than the gap → the first closes as #5
+    val evs = Iterator(Sessionize.Ev(7L, 1L, micros(100)), Sessionize.Ev(7L, 2L, micros(200)))
+    val out = Sessionize.foldSessions(7L, evs, st, 1800L).toList
+    assert(out === List(Sessionize.Session(7L, 5L, micros(100), micros(100), 1)),
+      s"numbering must continue at 5, got $out")
+    assert(st.get.emitted === 5L && st.get.nEvents === 1L)
   }
 
   test("fold sets an event-time timeout at last_event + gap") {
