@@ -12,12 +12,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimQueries.all ++ EventQueries.all ++ VaultQueries.all ++
-      MiscQueries.all ++ CurationQueries.all
+      MiscQueries.all ++ CurationQueries.all ++ CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles ++
-      MiscQueries.oracles ++ CurationQueries.oracles
+      MiscQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles
 }

@@ -123,4 +123,67 @@ object TextFunctions {
   /** Salted portable hash family: hashK(i, s) = md5(i ':' s), compared as
     * hex strings (lexicographic order == value order for fixed width). */
   def saltedMd5(i: Int, c: Column): Column = md5(concat(lit(s"$i:"), c))
+
+  /** Distinct word n-grams (space-joined token windows); docs with fewer
+    * than n tokens yield none. Row-local — the decontamination join key. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val tks = wsTokens(c)
+    when(size(tks) >= n,
+      array_distinct(transform(sequence(lit(0), size(tks) - n),
+        i => concat_ws(" ", slice(tks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // --- Gopher-style repetition / shape statistics (row-local, integer-
+  // derived doubles → engine-exact; surface via fixedPoint e4) ---
+
+  /** Fraction of tokens that repeat an earlier token: 1 - distinct/total. */
+  def dupTokenFracE4(c: Column): Column = {
+    val tks = wsTokens(c)
+    when(size(tks) > 0, fixedPoint(
+      (size(tks) - size(array_distinct(tks))).cast("double")
+        / size(tks).cast("double"), 4)).otherwise(lit(0L))
+  }
+
+  /** Share of the single most frequent token (Gopher's top-2-gram cousin):
+    * max per-token frequency / token count. O(distinct·n) per row — bounded
+    * by the row, never a shuffle. */
+  def topTokenFracE4(c: Column): Column = {
+    val tks = wsTokens(c)
+    when(size(tks) > 0, fixedPoint(
+      array_max(transform(array_distinct(tks),
+        t => size(filter(tks, x => x === t)))).cast("double")
+        / size(tks).cast("double"), 4)).otherwise(lit(0L))
+  }
+
+  /** Mean token length (e4) — Gopher's word-shape filter. */
+  def meanTokenLenE4(c: Column): Column = {
+    val tks = wsTokens(c)
+    when(size(tks) > 0, fixedPoint(
+      aggregate(tks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(tks).cast("double"), 4)).otherwise(lit(0L))
+  }
+
+  // --- PII detection/redaction. Patterns stay inside the Java-regex ∩ RE2
+  // common subset (\b, \d, bounded repeats, character classes) so the
+  // DuckDB oracle applies the byte-identical regex. ---
+  val EmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  val Ipv4Re = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  val PhoneRe = raw"\+1-\d{3}-\d{4}"
+
+  /** Redact emails → <EMAIL>, IPv4 → <IP>, then phones → <PHONE>.
+    * Email first: its pattern overlaps dotted hosts, the placeholders
+    * themselves match none of the later patterns. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Deterministic per-key sampling hash in [0, 10000): md5-derived, so the
+    * same row is kept by every engine and every run — the primitive under
+    * stratified corpus sampling (keep iff sampleBucket < rate_e4). */
+  def sampleBucket(key: Column): Column =
+    stableHash60(concat(lit("samp:"), key.cast("string"))) % 10000
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the step that turns
+  * near-duplicate PAIRS (MinHash/SimHash/embedding output) into dedup
+  * CLUSTERS so a curation pipeline can keep one canonical document per
+  * group. (The reference's dedup surface stops at pairs; any production
+  * corpus pipeline needs the component step to actually drop rows.)
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round every node takes the minimum of its label
+  * and its neighbors' labels; converged when a full round changes nothing.
+  * Rounds needed = graph diameter — near-dup clusters are dense and
+  * shallow (a cluster is usually one document plus its variants), so this
+  * terminates in 2-4 rounds in practice; `maxIters` bounds pathological
+  * chains.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - each round is ONE shuffle: edges join labels on src (broadcast-or-
+  *     SMJ picked by AQE from actual sizes), then a groupBy(dst) min.
+  *     Nothing ever funnels through the driver; per-round state is the
+  *     (id, label) frame, linear in |V|.
+  *   - `localCheckpoint(eager)` after each round cuts the lineage so round
+  *     N+1 rescans a materialized frame instead of re-deriving N rounds.
+  *   - convergence test is a `limit(1).count()` on the changed-rows frame —
+  *     an early-exit existence probe, not a full count.
+  *   - the label invariant (label ≤ id, monotonically non-increasing)
+  *     means propagating only labels smaller than the receiving node is
+  *     sound; the oracle's recursive CTE uses the same prune.
+  */
+object Clusters {
+
+  /** (id, cluster) for every node that appears in `edges`; cluster = the
+    * minimum node id reachable in the undirected graph. */
+  def connectedComponents(edges: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIters: Int = 20): DataFrame = {
+    // symmetric closure: propagate along both directions of each pair
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true) // scanned every round — materialize once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // min neighbor label arriving at each node, one shuffle
+      val inbound = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lab")).as("nlab"))
+      val updated = labels.join(inbound, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("lab", "prev"), "id")
+        .filter(col("lab") < col("prev")).limit(1).count() == 0L
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id"), col("lab").as("cluster"))
+  }
+
+  /** Per-document dedup verdict for every doc in a near-dup component of
+    * size ≥ 2: (cluster, doc id, canonical?) where the canonical doc is
+    * the cluster minimum (deterministic keep-lowest-id policy, matching
+    * `Dedup.exactDedup`). Documents in no pair are implicitly their own
+    * canonical singleton and are not emitted. */
+  def dedupClusters(pairs: DataFrame, aCol: String = "a_id",
+                    bCol: String = "b_id"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("cluster"), col("id").as("doc_id"),
+        (col("id") === col("cluster")).as("is_canonical"))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Okapi BM25 keyword retrieval over a document table — the standard
+  * relevance ranking for corpus triage (find the docs about X before
+  * curating them). For a fixed query-term list the whole computation is two
+  * scans: one tiny global aggregate for corpus stats (N, Σdl, per-term df),
+  * broadcast back over a second scoring scan — no per-term inverted index
+  * materialization, no shuffle of the corpus itself.
+  *
+  * Determinism (cross-engine contract): tf, dl, df, N are exact integers;
+  * the classic `ln`-based idf is replaced by its rational core
+  * `(N - df + 0.5) / (df + 0.5)` — a monotone transform of the same
+  * quantity, so rankings are unchanged, but every operation is a correctly-
+  * rounded IEEE +,*,/ on integer-derived doubles → bit-identical in any
+  * engine that evaluates the same expression shape (the DuckDB oracle
+  * mirrors the association order exactly).
+  *
+  * Scale: at 100 TB the stats aggregate is a partial-agg tree (bytes to the
+  * driver), the scoring pass is embarrassingly parallel, and the final
+  * top-k is TakeOrderedAndProject (per-partition heaps, k rows merged on
+  * the driver) — no global sort, no single-partition window.
+  */
+object Search {
+
+  /** Per-document BM25 score (e4-quantized) for `terms`, top `k` rows by
+    * (score desc, id asc). Output: (idCol, bm25_e4). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val perDoc = docs.select(
+      Seq(col(idCol),
+        size(TextFunctions.wsTokens(col(textCol))).cast("double").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(TextFunctions.wsTokens(col(textCol)),
+            x => x === lit(t))).cast("double").as(s"tf_$i")
+        }: _*)
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double").as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // one broadcast row; BNLJ of a single row is a free "attach constants"
+    val scored = perDoc.join(broadcast(stats), lit(true))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score: Column = terms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
+      // k1 = 1.2, b = 0.75; constants written as the same decimal literals
+      // the oracle parses, never derived arithmetic (2.2, not 1.2 + 1)
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    scored.select(col(idCol), TextFunctions.fixedPoint(score, 4).as("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col(idCol)).limit(k)
+  }
+}

@@ -123,7 +123,6 @@ object Similarity {
     * Empty clusters keep their previous centroid. */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var cent = kmeansSeeds(df, k, idCol, embCol)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(df, cent, probes = 1, idCol, embCol)
@@ -143,15 +142,16 @@ object Similarity {
 
   /** k-means seeds: the k lowest-id vectors via orderBy(...).limit(k) —
     * TakeOrderedAndProject (per-partition heaps + driver merge of k rows).
-    * The labeling window indexes ONLY those k rows; the corpus never
-    * passes through a single partition. */
+    * Labels come from sort_array(collect_list(...)) + posexplode over those
+    * k rows — a two-phase aggregate, so the corpus never funnels through a
+    * single-partition window (no WindowExec warning in any iteration). */
   def kmeansSeeds(df: DataFrame, k: Int,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     df.select(col(idCol), quantize(col(embCol)).as("ce"))
       .orderBy(col(idCol)).limit(k)
-      .withColumn("label",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-      .select(col("label"), col("ce"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"), col("ce")))).as("__arr"))
+      .select(posexplode(col("__arr")).as(Seq("label", "s")))
+      .select(col("label").cast("int").as("label"), col("s.ce").as("ce"))
 
   /** IVF assignment: nearest centroid(s) by cosine per vector (rank ≤
     * probes), deterministic tie-break on label. */

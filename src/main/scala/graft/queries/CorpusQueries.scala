@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Clusters, Decontaminate, Dedup, Search}
+
+/** Corpus-assembly query surface — the operators a training-data pipeline
+  * runs AFTER pair-finding: near-dup clustering + canonical selection,
+  * benchmark decontamination, Gopher-style shape filtering, BM25 retrieval,
+  * stratified sampling, and PII redaction. Every query is oracle-checked
+  * (the DuckDB SQL mirrors each expression tree exactly; all arithmetic is
+  * integer-derived, see TextFunctions).
+  */
+object CorpusQueries {
+
+  // near-dup parameters shared with q20 (DedupQueries) and its oracle CTEs
+  private val K = 16; private val B = 4; private val N = 5
+
+  /** Regex/HOF-heavy per-doc stages: spread byte-small fixture files across
+    * cores (explicit so AQE can't coalesce the tiny input to one task). */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** q41: near-dup pairs → connected components → canonical doc per
+    * cluster. The step that turns q20's PAIRS into droppable rows. */
+  def q41DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Clusters.dedupClusters(
+      Dedup.nearDupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+      .orderBy(col("cluster"), col("doc_id"))
+
+  /** q42: benchmark decontamination — corpus docs sharing any word 4-gram
+    * with the eval slice (doc_id ≡ 0 mod 97), with the leaked-gram count. */
+  def q42Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    Decontaminate.contaminated(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q43: Gopher-style repetition/shape stats + the composite keep flag. */
+  def q43GopherStats(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        dupTokenFracE4(col("text")).as("dup_frac_e4"),
+        topTokenFracE4(col("text")).as("top_frac_e4"),
+        meanTokenLenE4(col("text")).as("mean_len_e4"))
+      .withColumn("gopher_pass",
+        col("n_tokens") >= 30 && col("dup_frac_e4") <= 6000 &&
+          col("top_frac_e4") <= 1200 &&
+          col("mean_len_e4").between(40000, 50000))
+      .orderBy(col("doc_id"))
+
+  /** q44: BM25 top-20 for a fixed term mix (one rare + two common terms). */
+  def q44Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(docsWide(spark, dir), "doc_id", "text",
+      terms = Seq("dup", "table", "join"), k = 20)
+
+  /** Per-language sampling rates (e4) for q45 — a training-mixture spec. */
+  private val sampleRates: Seq[(String, Int)] =
+    Seq("en" -> 5000, "de" -> 2500, "fr" -> 2500, "es" -> 1000, "zh" -> 1000)
+
+  /** q45: deterministic stratified sampling — per-language keep rates over
+    * an md5 bucket of the doc id; every engine keeps the same rows. */
+  def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldRight(lit(500)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables(spark, dir, "documents")
+      .withColumn("rate_e4", rate)
+      .withColumn("keep", TextFunctions.sampleBucket(col("doc_id")) < col("rate_e4"))
+      .groupBy(col("lang"), col("rate_e4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** q46: PII detection + redaction. The fixture corpus carries no PII, so
+    * the query plants deterministic synthetic PII (email/IP/phone derived
+    * from doc_id) and then proves the redactor removes exactly that — the
+    * oracle rebuilds the same dirty text and applies the same regexes. */
+  def q46PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" from 10."), (id % 200).cast("string"),
+        lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    docsWide(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(dirty, lit(TextFunctions.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(dirty, lit(TextFunctions.Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(dirty, lit(TextFunctions.PhoneRe)).cast("long").as("n_phones"),
+        md5(redactPii(dirty)).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_dedup_clusters" -> (q41DedupClusters _),
+    "q42_decontaminate" -> (q42Decontaminate _),
+    "q43_gopher_stats" -> (q43GopherStats _),
+    "q44_bm25_topk" -> (q44Bm25TopK _),
+    "q45_stratified_sample" -> (q45StratifiedSample _),
+    "q46_pii_redact" -> (q46PiiRedact _))
+
+  // ---- oracle SQL ----
+
+  private val tksSql =
+    raw"CASE WHEN len(trim(text))=0 THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END"
+
+  private val gramsSql =
+    raw"""CASE WHEN len(tks) >= 4
+         THEN list_distinct([array_to_string(tks[i+1:i+4],' ') for i in range(0, len(tks)-3)])
+         ELSE [] END"""
+
+  val oracles: Map[String, String] = Map(
+    "q41_dedup_clusters" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d)
+         SELECT min(lab) AS cluster, id AS doc_id, min(lab) = id AS is_canonical
+         FROM reach GROUP BY id ORDER BY 1, 2""",
+    "q42_decontaminate" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         g AS (SELECT doc_id, $gramsSql AS grams FROM t),
+         eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+         SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+         FROM cg JOIN eg USING (gram) GROUP BY 1 ORDER BY 1""",
+    "q43_gopher_stats" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         s AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tks) > 0 THEN CAST(floor(
+             CAST(len(tks)-len(list_distinct(tks)) AS DOUBLE)/CAST(len(tks) AS DOUBLE)*10000 + 0.5) AS BIGINT)
+             ELSE 0 END AS dup_frac_e4,
+           CASE WHEN len(tks) > 0 THEN CAST(floor(
+             CAST(list_max(list_transform(list_distinct(tks), t -> len(list_filter(tks, x -> x = t)))) AS DOUBLE)
+             /CAST(len(tks) AS DOUBLE)*10000 + 0.5) AS BIGINT)
+             ELSE 0 END AS top_frac_e4,
+           CASE WHEN len(tks) > 0 THEN CAST(floor(
+             CAST(list_sum(list_transform(tks, x -> len(x))) AS DOUBLE)/CAST(len(tks) AS DOUBLE)*10000 + 0.5) AS BIGINT)
+             ELSE 0 END AS mean_len_e4
+           FROM t)
+         SELECT doc_id, n_tokens, dup_frac_e4, top_frac_e4, mean_len_e4,
+           (n_tokens >= 30 AND dup_frac_e4 <= 6000 AND top_frac_e4 <= 1200
+            AND mean_len_e4 BETWEEN 40000 AND 50000) AS gopher_pass
+         FROM s ORDER BY doc_id""",
+    "q44_bm25_topk" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         d AS (SELECT doc_id, CAST(len(tks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(tks, x -> x = 'table')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(tks, x -> x = 'join')) AS DOUBLE) AS tf2
+           FROM t),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM d)
+         SELECT doc_id, CAST(floor((
+             ((n_docs - df0 + 0.5)/(df0 + 0.5))*(tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
+           + ((n_docs - df1 + 0.5)/(df1 + 0.5))*(tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
+           + ((n_docs - df2 + 0.5)/(df2 + 0.5))*(tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
+           )*10000 + 0.5) AS BIGINT) AS bm25_e4
+         FROM d, s ORDER BY bm25_e4 DESC, doc_id LIMIT 20""",
+    "q45_stratified_sample" ->
+      raw"""WITH r AS (SELECT lang, doc_id,
+           CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500
+             WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000 ELSE 500 END AS rate_e4,
+           CAST(('0x'||substr(md5('samp:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 AS bucket
+           FROM documents)
+         SELECT lang, CAST(rate_e4 AS INT) AS rate_e4, count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < rate_e4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM r GROUP BY 1, 2 ORDER BY 1""",
+    "q46_pii_redact" ->
+      raw"""WITH t AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           AS dirty FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(dirty, '\+1-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+1-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM t ORDER BY doc_id""")
+}

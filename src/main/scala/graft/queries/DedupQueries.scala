@@ -55,9 +55,11 @@ object DedupQueries {
     s"SELECT doc_id, $j AS band, md5($cc) AS bh FROM sig"
   }.mkString(" UNION ALL ")
 
-  val oracles: Map[String, String] = Map(
-    "q20_lsh_near_dup" ->
-      raw"""WITH d AS (SELECT doc_id, CASE WHEN len(text) >= $N
+  /** The full MinHash→LSH→Jaccard pair derivation as a reusable CTE chain
+    * ending in `pairs(a_id, b_id, jaccard_e4)` — shared by the q20 oracle
+    * and the q41 connected-components oracle. */
+  private[queries] val nearDupPairsCtes: String =
+    raw"""d AS (SELECT doc_id, CASE WHEN len(text) >= $N
            THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
            ELSE [text] END AS shs0 FROM documents),
          h AS (SELECT doc_id, len(shs0) AS sz,
@@ -72,11 +74,15 @@ object DedupQueries {
              len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
            FROM cand c
            JOIN sig sa ON sa.doc_id = c.a_id
-           JOIN sig sb ON sb.doc_id = c.b_id)
-         SELECT a_id, b_id, jaccard_e4 FROM (
-           SELECT a_id, b_id,
+           JOIN sig sb ON sb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id,
              CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
-           FROM scored)
+           FROM scored)"""
+
+  val oracles: Map[String, String] = Map(
+    "q20_lsh_near_dup" ->
+      raw"""WITH $nearDupPairsCtes
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     "q38_winnowing_pairs" ->
       raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5

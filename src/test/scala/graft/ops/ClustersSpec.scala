@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Clusters
+
+/** Connected components: hand-built graphs with known component structure,
+  * convergence past the per-round horizon, and canonical selection. */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components of a forest with two trees and a singleton-free edge set") {
+    // {1,2,3,4} via 1-2, 2-3, 3-4 (a chain); {10,11} via 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Clusters.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain needs multiple propagation rounds and still converges") {
+    // path 0-1-2-...-12: diameter 12, min label must walk the whole chain
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Clusters.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length === 13 && got.forall(_._2 == 0L))
+  }
+
+  test("two cliques bridged by one edge merge into one component") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ ((4L, 20L))).toDF("a_id", "b_id")
+    val got = Clusters.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length === 8 && got.forall(_._2 == 1L))
+  }
+
+  test("dedupClusters marks exactly one canonical (the min id) per cluster") {
+    val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("a_id", "b_id")
+    val got = Clusters.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._2)
+    assert(got === Array((5L, 5L, true), (5L, 7L, false), (5L, 9L, false),
+      (30L, 30L, true), (30L, 31L, false)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, Search}
+
+/** BM25 retrieval, decontamination, Gopher stats, PII redaction — math
+  * pinned on tiny hand-computed fixtures. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks the rare-term doc above common-term docs") {
+    val docs = Seq(
+      (1L, "dup dup alpha"),        // rare term twice
+      (2L, "table table table table table alpha"),
+      (3L, "alpha beta gamma"),
+      (4L, "table join alpha")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("dup", "table"), 4)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).head === 1L, s"rare-term doc must rank first: ${got.toSeq}")
+    assert(got.length === 4 && got.map(_._2).toSeq === got.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("bm25 score matches the hand formula on a one-doc corpus") {
+    // N=1, term df=1, tf=2, dl=3 → idf=(1-1+0.5)/(1+0.5)=1/3
+    // w = idf * (2*2.2)/(2 + 1.2*(0.25+0.75*3/3)) = (1/3)*4.4/3.2
+    val docs = Seq((7L, "x y x")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("x"), 1)
+      .as[(Long, Long)].head()
+    val expected = math.floor((1.0 / 3.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)) * 10000 + 0.5).toLong
+    assert(got === ((7L, expected)))
+  }
+
+  test("decontamination flags exactly the docs sharing a word 4-gram") {
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz one two three four yyy"), // shares 'one two three four'
+      (2L, "two three four six"),         // no shared 4-gram
+      (3L, "one two three")).toDF("doc_id", "text") // too short to match
+    val got = Decontaminate.contaminated(corpus, eval, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L))
+    val kept = Decontaminate.clean(corpus, eval, "doc_id", "text", 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L))
+  }
+
+  test("gopher stats on a fully repeated doc") {
+    val df = Seq((1L, "aa aa aa aa")).toDF("doc_id", "text")
+    val r = df.select(
+      TextFunctions.dupTokenFracE4(col("text")),
+      TextFunctions.topTokenFracE4(col("text")),
+      TextFunctions.meanTokenLenE4(col("text"))).as[(Long, Long, Long)].head()
+    assert(r === ((7500L, 10000L, 20000L)))
+  }
+
+  test("pii redaction replaces email, ip, and phone but not plain text") {
+    val df = Seq((1L, "write bob.smith+x@corp.example.org or 192.168.0.1 or +1-555-0199 v1.2 end"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextFunctions.redactPii(col("text"))).as[String].head()
+    assert(got === "write <EMAIL> or <IP> or <PHONE> v1.2 end")
+  }
+
+  test("sampleBucket is stable and in range") {
+    val b = spark.range(1000).select(TextFunctions.sampleBucket(col("id")).as("b"))
+      .agg(min(col("b")), max(col("b"))).as[(Long, Long)].head()
+    assert(b._1 >= 0L && b._2 < 10000L)
+  }
+}
