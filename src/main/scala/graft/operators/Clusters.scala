@@ -45,16 +45,18 @@ object Clusters {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      // min neighbor label arriving at each node, one shuffle
+      // min neighbor label arriving at each node, one shuffle; the changed
+      // flag rides the same row so the convergence probe is a local filter
+      // over the checkpointed frame, not another join
       val inbound = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lab")).as("nlab"))
       val updated = labels.join(inbound, Seq("id"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("newlab"),
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("lab", "prev"), "id")
-        .filter(col("lab") < col("prev")).limit(1).count() == 0L
-      labels = updated
+      converged = updated.filter(col("__changed")).limit(1).count() == 0L
+      labels = updated.select(col("id"), col("newlab").as("lab"))
       it += 1
     }
     labels.select(col("id"), col("lab").as("cluster"))

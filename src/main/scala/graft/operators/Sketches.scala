@@ -76,6 +76,38 @@ object Sketches {
         floor(est * 100 + 0.5).cast("long").as(estCol): _*)
   }
 
+  // --- Count-min sketch: the frequency-estimation sibling of the HLL.
+  // depth salted-md5 rows × width integer counters; counters are the only
+  // state that moves (mergeable by +), estimates are min over the probed
+  // counters — overestimates only, never under. Everything is integer
+  // arithmetic on md5-derived hashes, so any engine reproduces the sketch
+  // exactly. At 100 TB: one pass + one (r,c) groupBy that collapses to
+  // ≤ width·depth rows — the counter frame broadcasts for probing. ---
+
+  private def cmsCol(v: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), v.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Counter frame (r, c, n): occurrences hashed into `width` cells per
+    * salted row. Union counter frames from independent batches and re-sum
+    * per (r, c) to merge — same contract as hllRegisters. */
+  def cmsCounters(df: DataFrame, valueCol: String,
+                  width: Int = 1024, depth: Int = 4): DataFrame =
+    df.select(posexplode(array((0 until depth).map(r =>
+        cmsCol(col(valueCol), r, width)): _*)).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+
+  /** Estimated frequency per probe value: min over depth rows of the
+    * counter each row hashes the value into (0 when the cell is empty). */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: String,
+                  width: Int = 1024, depth: Int = 4,
+                  estCol: String = "cms_est"): DataFrame =
+    probes.select(col(valueCol), posexplode(array((0 until depth).map(r =>
+        cmsCol(col(valueCol), r, width)): _*)).as(Seq("r", "c")))
+      .join(broadcast(counters), Seq("r", "c"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as(estCol))
+
   /** The oracle-side mirror of hllDistinct as DuckDB SQL, kept adjacent to
     * the Scala so the two formulations stay in lockstep. */
   def hllOracleSql(table: String, keyCol: String, valueCol: String,

@@ -84,14 +84,21 @@ object Relational {
     * same cost class as any MERGE implementation; pre-bucketing both tables
     * on the keys would make it shuffle-free.
     */
-  def mergeAsRewrite(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+  def mergeAsRewrite(target: DataFrame, source: DataFrame, keys: Seq[String],
+                     nullSafe: Boolean = true): DataFrame = {
     require(source.columns.sorted.sameElements(target.columns.sorted),
       s"merge schema mismatch: ${source.columns.mkString(",")} vs ${target.columns.mkString(",")}")
     // Rename-before-join (not alias-based resolution): target may itself be
     // derived from source, and unique names sidestep self-join ambiguity.
     val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, "__s_" + c))
       .withColumn("__s_hit", lit(true)) // non-null iff a source row matched
-    val cond = keys.map(k => col(k) <=> col("__s_" + k)).reduce(_ && _)
+    // nullSafe=false is ANSI MERGE `ON t.k = s.k` (NULL keys never match —
+    // what Trino executes for the reference) AND the bucket-aligned form:
+    // `<=>` rewrites the join keys to (coalesce(k), isnull(k)), which a
+    // table bucketed on k cannot satisfy, forcing a target-side Exchange.
+    val cond = keys.map(k =>
+      if (nullSafe) col(k) <=> col("__s_" + k) else col(k) === col("__s_" + k))
+      .reduce(_ && _)
     target.join(s, cond, "full_outer")
       .select(target.columns.map { c =>
         if (keys.contains(c)) coalesce(col("__s_" + c), col(c)).as(c)

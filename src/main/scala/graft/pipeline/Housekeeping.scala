@@ -71,4 +71,24 @@ object Housekeeping {
     Workflow.run(perTableGraph(wh, "sweep") { (s, t) =>
       Maintenance.orphanSweep(spark, wh, s, t, retainMs); ()
     })
+
+  /** A bucketed read-side projection of a warehouse table: bucket keys +
+    * count (Warehouse.publishBucketedMart / mergeBucketedMart). */
+  case class MartSpec(schema: String, table: String,
+                      bucketKeys: Seq[String], nBuckets: Int)
+
+  /** Post-close mart refresh: republish each configured mart from the
+    * versioned warehouse's current version, one isolated task per mart
+    * (one mart's failure doesn't stop the rest, same contract as the
+    * other housekeeping graphs). Write once bucketed → every downstream
+    * fact-fact join runs shuffle-free until the next refresh. */
+  def runMartRefresh(spark: SparkSession, wh: Warehouse,
+                     marts: Seq[MartSpec]): Workflow.RunResult =
+    Workflow.run(Seq(TaskSpec("start")) ++ marts.map { m =>
+      TaskSpec(s"mart_${m.schema}_${m.table}", deps = Seq("start"),
+        run = () => { wh.publishBucketedMart(m.schema, m.table, m.bucketKeys, m.nBuckets); () },
+        retries = 1)
+    } ++ Seq(TaskSpec("end",
+      deps = marts.map(m => s"mart_${m.schema}_${m.table}"),
+      triggerRule = AllDone)))
 }

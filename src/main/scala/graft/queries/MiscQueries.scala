@@ -51,10 +51,29 @@ object MiscQueries {
     merged.join(direct, Seq("o_orderpriority")).orderBy(col("o_orderpriority"))
   }
 
+  /** q47: count-min sketch over token occurrences — estimated vs exact
+    * frequency per token, with the overcount surfaced. Width 8 × depth 2 is
+    * fixture-scale ON PURPOSE: it forces hash collisions so the sketch's
+    * ≥-overestimate property is actually exercised (the operator defaults,
+    * 1024×4, would make est == exact trivially here); production keeps the
+    * defaults. */
+  def q47CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("token"))
+    val counters = Sketches.cmsCounters(occ, "token", width = 8, depth = 2)
+    val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    Sketches.cmsEstimate(counters, exact.select(col("token")), "token",
+      width = 8, depth = 2)
+      .join(exact, Seq("token"))
+      .withColumn("overcount", col("cms_est") - col("exact_n"))
+      .orderBy(col("token"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
-    "q40_hll_merge" -> (q40HllMerge _))
+    "q40_hll_merge" -> (q40HllMerge _),
+    "q47_cms_freq" -> (q47CmsFreq _))
 
   val oracles: Map[String, String] = Map(
     "q32_media_features" ->
@@ -84,5 +103,21 @@ object MiscQueries {
       s"""WITH hll AS ($hll)
          SELECT o_orderpriority, hll_est_e2 AS merged_e2, hll_est_e2 AS direct_e2
          FROM hll ORDER BY 1"""
-    })
+    },
+    "q47_cms_freq" ->
+      raw"""WITH occ AS (SELECT unnest(CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END) AS token FROM documents),
+         pr AS (SELECT token, r,
+             CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,15)) AS BIGINT) % 8 AS c
+           FROM occ, range(0,2) t(r)),
+         counters AS (SELECT r, c, count(*) AS n FROM pr GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT token FROM occ),
+         pp AS (SELECT token, r,
+             CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,15)) AS BIGINT) % 8 AS c
+           FROM probes, range(0,2) t(r)),
+         est AS (SELECT pp.token, min(coalesce(n, 0)) AS cms_est
+           FROM pp LEFT JOIN counters USING (r, c) GROUP BY 1),
+         ex AS (SELECT token, count(*) AS exact_n FROM occ GROUP BY 1)
+         SELECT est.token, cms_est, exact_n, cms_est - exact_n AS overcount
+         FROM est JOIN ex USING (token) ORDER BY 1""")
 }

@@ -50,4 +50,32 @@ class SketchesSpec extends SparkSpec {
     val direct = Sketches.hllRegisters(all, Seq("g"), "v")
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
+
+  test("cms never underestimates and is exact at default width") {
+    import spark.implicits._
+    val occ = (1 to 5000).map(i => s"tok${i % 40}").toDF("v")
+    val probes = occ.distinct()
+    val exact = occ.groupBy(col("v")).agg(count(lit(1)).as("exact_n"))
+    // tight sketch (collisions forced): est >= exact, always
+    val tight = Sketches.cmsEstimate(
+      Sketches.cmsCounters(occ, "v", width = 8, depth = 2), probes, "v",
+      width = 8, depth = 2).join(exact, "v")
+    assert(tight.filter(col("cms_est") < col("exact_n")).isEmpty)
+    // roomy sketch (default 1024x4): 40 keys never collide in all rows
+    val roomy = Sketches.cmsEstimate(
+      Sketches.cmsCounters(occ, "v"), probes, "v").join(exact, "v")
+    assert(roomy.filter(col("cms_est") =!= col("exact_n")).isEmpty)
+  }
+
+  test("cms counter frames merge by re-summing per cell") {
+    import spark.implicits._
+    val occ = (1 to 4000).map(i => s"w${i % 25}").toDF("v")
+    val halves = Seq(0, 1).map(p =>
+      Sketches.cmsCounters(occ.filter(crc32(col("v")) % 2 === p), "v",
+        width = 16, depth = 3))
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+    val direct = Sketches.cmsCounters(occ, "v", width = 16, depth = 3)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
 }

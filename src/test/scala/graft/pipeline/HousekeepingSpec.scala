@@ -63,4 +63,20 @@ class HousekeepingSpec extends SparkSpec {
     assert(rows.exists(_.contains("<td>src_a</td>")))
     assert(rows.exists(_.contains("<td>TOTAL</td>")))
   }
+
+  test("mart refresh publishes a bucketed mart per spec and rolls up") {
+    val wh = whWithTables()
+    spark.sql("DROP TABLE IF EXISTS graft_mart.s_a")
+    spark.sql("DROP TABLE IF EXISTS graft_mart.s_b")
+    val r = Housekeeping.runMartRefresh(spark, wh, Seq(
+      Housekeeping.MartSpec("s", "a", Seq("id"), 4),
+      Housekeeping.MartSpec("s", "b", Seq("id"), 4)))
+    r.assertAllSuccess()
+    assert(spark.table("graft_mart.s_a").count() === 3)
+    assert(spark.table("graft_mart.s_b").count() === 1)
+    // the published mart is genuinely bucketed (catalog metadata, not luck)
+    val desc = spark.sql("DESCRIBE EXTENDED graft_mart.s_a").collect()
+      .map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("4"), desc)
+  }
 }
