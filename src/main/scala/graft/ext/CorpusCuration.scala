@@ -31,8 +31,25 @@ object CorpusCuration {
       maxChars: Int = 100000,
       minJaccard: Double = 0.5)
 
+  /** Spread regex-heavy row-local work across cores when the input arrives
+    * in fewer partitions than the session's parallelism (the byte-small-
+    * fixture / few-fat-files case: a 2 MB parquet is ONE split, serializing
+    * 8 regex passes per doc onto one core). A 100 TB corpus already has
+    * thousands of input splits, so the shuffle is skipped there. */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Stage 1+2: annotate and filter. */
   def qualityFilter(docs: DataFrame, p: Params): DataFrame =
+    annotateAndFilter(spread(docs), p)
+
+  /** The filter body without the spread — curate() repartitions BEFORE
+    * attaching its Observation, because probing `.rdd` on an observed
+    * lineage silently swallows the metric (the CollectMetrics node ends up
+    * on a plan instance the action never runs). */
+  private def annotateAndFilter(docs: DataFrame, p: Params): DataFrame =
     docs
       .withColumn("pred_lang", langId(col("text")))
       .withColumn("quality_e4", fixedPoint(qualityScore(col("text")), 4))
@@ -70,7 +87,8 @@ object CorpusCuration {
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val obs = Observation()
-    val filtered = qualityFilter(docs.observe(obs, count(lit(1)).as("n")), p)
+    val filtered = annotateAndFilter(
+      spread(docs).observe(obs, count(lit(1)).as("n")), p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // action #1 runs the observed plan directly while building the filtered
     // cache: the input count rides the same scan as an observe metric
