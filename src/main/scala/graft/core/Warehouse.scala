@@ -236,10 +236,13 @@ class Warehouse(spark: SparkSession, root: String) {
     * to the fact), and the merged result lands back in the same bucket
     * layout — the SMJ preserves the target's hash partitioning, so the
     * bucketed write emits one file per bucket with no extra shuffle.
-    * Swap is DROP + RENAME of a staging table (`__next`), so a crash leaves
-    * either the old or the new mart fully readable, mirroring the
-    * versioned-warehouse commit protocol. BucketedMergeSpec pins the
-    * single-exchange plan and the post-merge shuffle-free join.
+    * Swap is DROP + RENAME of a fully-written staging table (`__next`);
+    * the merged data is durable before the old mart drops, so the worst
+    * crash window leaves the mart name briefly unbound with `__next`
+    * holding the complete result (re-run the rename to recover). The
+    * versioned warehouse remains the write-side source of truth either
+    * way. BucketedMergeSpec pins the single-exchange plan and the
+    * post-merge shuffle-free join.
     * Daily cost at scale: scan fact once + shuffle only the delta, versus
     * `merge()`'s shuffle of BOTH sides every run. */
   def mergeBucketedMart(schema: String, table: String, source: DataFrame,

@@ -108,6 +108,50 @@ object Sketches {
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("n"), lit(0L))).as(estCol))
 
+  // --- Fixed-width histogram quantiles: the percentile sketch. One pass
+  // buckets values into integer cells (floor(cents/width)), the per-group
+  // cell counts ARE the sketch (mergeable by +, like the CMS counters), and
+  // a quantile resolves to the first cell whose cumulative count reaches
+  // ceil(q·n) — error bounded by the cell width, cost bounded by
+  // groups × occupied cells. The at-scale answer to percentiles over
+  // 100 TB, where exact would mean a global sort; everything is integer
+  // arithmetic, so any engine reproduces the estimates exactly. ---
+
+  /** Histogram cells per group: (keys, cell, n) for cents-quantized
+    * `valueCol` with `cellWidthCents`-wide cells. */
+  def histogramCells(df: DataFrame, keys: Seq[String], valueCol: String,
+                     cellWidthCents: Long): DataFrame =
+    df.select(keys.map(col) :+
+        floor(floor(col(valueCol) * 100 + 0.5) / cellWidthCents)
+          .cast("long").as("cell"): _*)
+      .groupBy(keys.map(col) :+ col("cell"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from histogram cells: for each q in `qs` (e4 ints,
+    * e.g. 5000 = p50), the upper bound in cents of the first cell whose
+    * cumulative count reaches ceil(q·n). Output: keys + one
+    * `p{q}_cents` column per requested quantile. */
+  def histogramQuantiles(cells: DataFrame, keys: Seq[String],
+                         cellWidthCents: Long, qs: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("cell"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+    qs.map { q =>
+      // target rank = ceil(q·total / 10000), integer-exact
+      val target = floor((col("total") * q + 9999L) / 10000L)
+      cum.filter(col("cum") >= target)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("cell")).as("c"))
+        .select(keys.map(col) :+
+          ((col("c") + 1) * cellWidthCents).as(s"p${q}_cents"): _*)
+    }.reduce((a, b) => a.join(b, keys))
+  }
+
   /** The oracle-side mirror of hllDistinct as DuckDB SQL, kept adjacent to
     * the Scala so the two formulations stay in lockstep. */
   def hllOracleSql(table: String, keyCol: String, valueCol: String,

@@ -62,12 +62,81 @@ object EventQueries {
     graft.streaming.Sessionize.batch(Tables(spark, dir, "events"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** q48: as-of (point-in-time) join — every non-purchase event picks up
+    * the same user's latest purchase at or before its timestamp (id, exact
+    * epoch-μs, value). One shuffle on user_id via the union-tag window
+    * (operators.AsOf), never a range join. */
+  def q48AsofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val others = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    graft.operators.AsOf.asofJoin(others, purchases, Seq("user_id"),
+      "ts", "ts", "event_id", Seq("event_id", "ts", "value"), prefix = "p_")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("p_event_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        graft.functions.TextFunctions.fixedPoint(col("p_value"), 4).as("p_value_e4"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q50: interval join — activity inside each error's 10-minute blast
+    * window, per user, via bucket decomposition (operators.IntervalJoin):
+    * equi-join on (user, bucket) + range post-filter, never a
+    * BroadcastNestedLoopJoin range join. */
+  def q50IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val winUs = 600000000L // 10 min
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + winUs).as("e_us"))
+    val points = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val pairs = graft.operators.IntervalJoin.intervalJoin(
+      windows, points, Seq("user_id"), "s_us", "e_us", "t_us",
+      bucketUs = winUs)
+    windows.join(
+      pairs.groupBy(col("win_id")).agg(count(lit(1)).as("__n")),
+      Seq("win_id"), "left")
+      .select(col("win_id"), col("user_id"),
+        coalesce(col("__n"), lit(0L)).as("n_in_window"))
+      .orderBy(col("win_id"))
+  }
+
+  /** q51: anomaly detection — hourly event-count z-scores per event type,
+    * flagged at |z| ≥ 2. Mean/variance derive from exact integer sums
+    * (Σx, Σx², n), so the doubles are engine-identical. */
+  def q51HourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("cnt"))
+      .withColumn("sd", sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt")))
+    hourly.join(broadcast(stats.select(col("event_type"), col("mean"), col("sd"))),
+      Seq("event_type"))
+      .withColumn("z_e4", graft.functions.TextFunctions.fixedPoint(
+        (col("n").cast("double") - col("mean")) / col("sd"), 4))
+      .filter(abs(col("z_e4")) >= 20000L)
+      .select(col("event_type"), col("hour_start"), col("n"), col("z_e4"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_json_extract" -> (q25JsonExtract _),
     "q26_tz_hourly" -> (q26TzHourly _),
     "q27_window_hourly" -> (q27WindowHourly _),
     "q28_comment_words" -> (q28CommentWords _),
-    "q34_sessionize" -> (q34Sessionize _))
+    "q34_sessionize" -> (q34Sessionize _),
+    "q48_asof_purchase" -> (q48AsofPurchase _),
+    "q50_interval_join" -> (q50IntervalJoin _),
+    "q51_hourly_anomalies" -> (q51HourlyAnomalies _))
 
   val oracles: Map[String, String] = Map(
     "q25_json_extract" ->
@@ -103,5 +172,51 @@ object EventQueries {
                ELSE regexp_split_to_array(trim(lower(p_name)), '\s+') END) AS word
              FROM part)
            GROUP BY 1)
-         WHERE n >= 2 ORDER BY word""")
+         WHERE n >= 2 ORDER BY word""",
+    "q48_asof_purchase" ->
+      """WITH l AS (SELECT event_id, user_id, ts, event_type FROM events
+           WHERE event_type <> 'purchase'),
+         r AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         u AS (
+           SELECT user_id, ts AS t, 1 AS side, NULL::BIGINT AS tb,
+             NULL::BIGINT AS r_eid, NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_val,
+             event_id, event_type FROM l
+           UNION ALL
+           SELECT user_id, ts, 0, event_id, event_id, ts, value,
+             NULL::BIGINT, NULL::VARCHAR FROM r),
+         m AS (SELECT *,
+             last_value(r_eid IGNORE NULLS) OVER win AS p_event_id,
+             last_value(r_ts IGNORE NULLS) OVER win AS p_ts,
+             last_value(r_val IGNORE NULLS) OVER win AS p_val
+           FROM u WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, event_type, p_event_id,
+           epoch_us(p_ts) AS p_ts_us,
+           CAST(floor(p_val*10000 + 0.5) AS BIGINT) AS p_value_e4
+         FROM m WHERE side = 1 ORDER BY event_id""",
+    "q50_interval_join" ->
+      """WITH w AS (SELECT event_id AS win_id, user_id, epoch_us(ts) AS s_us,
+           epoch_us(ts) + 600000000 AS e_us
+           FROM events WHERE event_type = 'error'),
+         p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type <> 'error')
+         SELECT w.win_id, w.user_id, CAST(count(p.p_id) AS BIGINT) AS n_in_window
+         FROM w LEFT JOIN p ON p.user_id = w.user_id
+           AND p.t_us >= w.s_us AND p.t_us < w.e_us
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q51_hourly_anomalies" ->
+      """WITH h AS (SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS cnt, sum(n) AS s, sum(n*n) AS ss
+           FROM h GROUP BY 1),
+         z AS (SELECT h.event_type, hour_start, n,
+             CAST(floor((CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/cnt) /
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/cnt)/cnt)
+               * 10000 + 0.5) AS BIGINT) AS z_e4
+           FROM h JOIN st USING (event_type))
+         SELECT event_type, hour_start, n, z_e4 FROM z
+         WHERE abs(z_e4) >= 20000 ORDER BY 1, 2""")
 }

@@ -69,11 +69,23 @@ object MiscQueries {
       .orderBy(col("token"))
   }
 
+  /** q49: percentile sketch — p50/p90/p99 of l_extendedprice per return
+    * flag from a one-pass $100-cell histogram (Sketches.histogramCells).
+    * The sketch answer a 100 TB column gets instead of a global sort. */
+  def q49QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Sketches.histogramCells(Tables(spark, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice", cellWidthCents = 10000L)
+    Sketches.histogramQuantiles(cells, Seq("l_returnflag"), 10000L,
+      Seq(5000, 9000, 9900))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
     "q40_hll_merge" -> (q40HllMerge _),
-    "q47_cms_freq" -> (q47CmsFreq _))
+    "q47_cms_freq" -> (q47CmsFreq _),
+    "q49_quantile_sketch" -> (q49QuantileSketch _))
 
   val oracles: Map[String, String] = Map(
     "q32_media_features" ->
@@ -119,5 +131,24 @@ object MiscQueries {
            FROM pp LEFT JOIN counters USING (r, c) GROUP BY 1),
          ex AS (SELECT token, count(*) AS exact_n FROM occ GROUP BY 1)
          SELECT est.token, cms_est, exact_n, cms_est - exact_n AS overcount
-         FROM est JOIN ex USING (token) ORDER BY 1""")
+         FROM est JOIN ex USING (token) ORDER BY 1""",
+    "q49_quantile_sketch" ->
+      """WITH cells AS (SELECT l_returnflag,
+           CAST(floor(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)/10000) AS BIGINT) AS cell,
+           count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (SELECT *,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+           FROM cells),
+         q50 AS (SELECT l_returnflag, (min(cell)+1)*10000 AS p5000_cents FROM cum
+           WHERE cum >= floor((total*5000 + 9999)/10000) GROUP BY 1),
+         q90 AS (SELECT l_returnflag, (min(cell)+1)*10000 AS p9000_cents FROM cum
+           WHERE cum >= floor((total*9000 + 9999)/10000) GROUP BY 1),
+         q99 AS (SELECT l_returnflag, (min(cell)+1)*10000 AS p9900_cents FROM cum
+           WHERE cum >= floor((total*9900 + 9999)/10000) GROUP BY 1)
+         SELECT q50.l_returnflag, p5000_cents, p9000_cents, p9900_cents
+         FROM q50 JOIN q90 USING (l_returnflag) JOIN q99 USING (l_returnflag)
+         ORDER BY 1""")
 }

@@ -67,6 +67,32 @@ class SketchesSpec extends SparkSpec {
     assert(roomy.filter(col("cms_est") =!= col("exact_n")).isEmpty)
   }
 
+  test("histogram quantiles land within one cell of the exact percentile") {
+    import spark.implicits._
+    // values 1.00 .. 100.00 in cents; $1 cells
+    val df = (1 to 10000).map(i => ("g", i / 100.0)).toDF("g", "v")
+    val cells = Sketches.histogramCells(df, Seq("g"), "v", cellWidthCents = 100L)
+    val got = Sketches.histogramQuantiles(cells, Seq("g"), 100L, Seq(5000, 9900))
+      .select(col("p5000_cents"), col("p9900_cents")).as[(Long, Long)].head()
+    assert(math.abs(got._1 - 5000L) <= 100L, s"p50 ${got._1}")
+    assert(math.abs(got._2 - 9900L) <= 100L, s"p99 ${got._2}")
+  }
+
+  test("histogram cells merge by re-summing, quantiles unchanged") {
+    import spark.implicits._
+    val df = (1 to 8000).map(i => (if (i % 2 == 0) "a" else "b", (i % 997) / 10.0))
+      .toDF("g", "v")
+    val halves = Seq(0, 1).map(p =>
+      Sketches.histogramCells(df.filter(crc32(col("v").cast("string")) % 2 === p),
+        Seq("g"), "v", 50L))
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy(col("g"), col("cell")).agg(sum(col("n")).as("n"))
+    val a = Sketches.histogramQuantiles(merged, Seq("g"), 50L, Seq(5000)).collect().toSeq
+    val b = Sketches.histogramQuantiles(
+      Sketches.histogramCells(df, Seq("g"), "v", 50L), Seq("g"), 50L, Seq(5000)).collect().toSeq
+    assert(a.sortBy(_.getString(0)) === b.sortBy(_.getString(0)))
+  }
+
   test("cms counter frames merge by re-summing per cell") {
     import spark.implicits._
     val occ = (1 to 4000).map(i => s"w${i % 25}").toDF("v")
