@@ -52,6 +52,27 @@ class AsOfSpec extends SparkSpec {
     assert(got === ((9L, 2.0)))
   }
 
+  test("agrees with the naive range-join + argmax on random data") {
+    val rnd = new scala.util.Random(11)
+    val right = (1 to 300).map(i =>
+      ((i % 7).toLong, ts("2024-01-01 00:00:00").getTime / 1000 + rnd.nextInt(86400), i.toLong))
+      .map { case (k, sec, id) => (k, new Timestamp(sec * 1000), id, id * 1.5) }
+      .toDF("k", "t", "qid", "px")
+    val left = (1 to 500).map(i =>
+      ((i % 7).toLong, ts("2024-01-01 00:00:00").getTime / 1000 + rnd.nextInt(90000), s"e$i"))
+      .map { case (k, sec, tag) => (k, new Timestamp(sec * 1000), tag) }
+      .toDF("k", "t", "tag")
+    val fast = AsOf.asofJoin(left, right, Seq("k"), "t", "t", "qid", Seq("qid"))
+      .select(col("tag"), col("asof_qid"))
+    // naive: all at-or-before right rows, keep the (t, qid)-greatest
+    val naive = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.tag").as("tag"))
+      .agg(max(struct(col("r.t"), col("r.qid"))).as("m"))
+      .select(col("tag"), col("m.qid").as("asof_qid"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("left columns pass through untouched, in order") {
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 0.0)).toDF("k", "t", "qid", "px")
     val left = Seq((1L, ts("2024-01-02 00:00:00"), "keep", 42))
