@@ -57,11 +57,31 @@ object TextQueries {
     Dedup.exactDedup(t, "doc_id", "t40").orderBy(col("fp"))
   }
 
+  /** q52: unigram-LM commonness score — each doc's mean corpus frequency of
+    * its tokens, the deterministic proxy for LM-perplexity quality filters
+    * (log-prob would need transcendentals; mean probability ranks docs the
+    * same way for filtering rare-token noise). One integer sum per doc over
+    * a broadcast frequency table, one division at the end — engine-exact. */
+  def q52TokenCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val occ = docsWide(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    occ.join(broadcast(freq), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+      .join(broadcast(total), lit(true))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        fixedPoint(col("s") / (col("n") * col("total")), 4).as("commonness_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_quality_scores" -> (q17QualityScores _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
-    "q19_fingerprint_dedup" -> (q19FingerprintDedup _))
+    "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
+    "q52_token_commonness" -> (q52TokenCommonness _))
 
   private[queries] val tokCountSql =
     raw"CASE WHEN len(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END"
@@ -104,5 +124,15 @@ object TextQueries {
     "q19_fingerprint_dedup" ->
       raw"""SELECT md5(regexp_replace(lower(trim(substr(text,1,40))), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY 1 ORDER BY 1""")
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q52_token_commonness" ->
+      raw"""WITH occ AS (SELECT doc_id, unnest(CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS s, count(*) AS n
+           FROM occ JOIN freq USING (token) GROUP BY 1)
+         SELECT doc_id, n AS n_tokens,
+           CAST(floor(s/(n*total)*10000 + 0.5) AS BIGINT) AS commonness_e4
+         FROM d, tot ORDER BY doc_id""")
 }

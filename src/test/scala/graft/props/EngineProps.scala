@@ -122,4 +122,30 @@ object EngineProps extends Properties("engine") {
       // σ ≈ 1.04/√4096 ≈ 1.6%; linear counting below 2.5m is tighter
       math.abs(est - n) / n.toDouble < 0.05
     }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+
+  property("connected components agree with a local union-find") =
+    forAll(genEdges) { edges =>
+      import graft.operators.Clusters
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      // min-label invariant: union-find roots here ARE component minima
+      // (larger root always reparented onto smaller)
+      val got = Clusters.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      got == expected
+    }
 }
