@@ -249,7 +249,15 @@ class Warehouse(spark: SparkSession, root: String) {
                         keys: Seq[String], nBuckets: Int): String = {
     val mart = s"graft_mart.${schema}_$table"
     val next = s"graft_mart.${schema}_${table}__next"
-    spark.sql(s"DROP TABLE IF EXISTS $next")
+    // Crash recovery BEFORE touching the staging table: a prior run that
+    // died between DROP(mart) and RENAME left its complete result in
+    // `__next` and no mart — adopt it (then this merge re-applies its
+    // delta, which is idempotent for an upsert). Only when the mart
+    // exists is a leftover `__next` truly stale and safe to clear.
+    val martExists = spark.catalog.tableExists(mart)
+    val nextExists = spark.catalog.tableExists(next)
+    if (!martExists && nextExists) spark.sql(s"ALTER TABLE $next RENAME TO $mart")
+    else if (nextExists) spark.sql(s"DROP TABLE $next")
     val merged = Relational.mergeAsRewrite(spark.table(mart), source, keys,
       nullSafe = false)
     merged.write.bucketBy(nBuckets, keys.head, keys.tail: _*)

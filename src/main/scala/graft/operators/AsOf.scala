@@ -52,7 +52,9 @@ object AsOf {
     l.unionByName(r)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__lrow.$c").as(c)) ++
-        rightVals.map(v => col(s"__m.$v").as(s"$prefix$v")): _*)
+      // getField resolves literal field names — a dotted column name would
+      // make the "__lrow.a.b" path form resolve as a nested struct path
+      .select(left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+        rightVals.map(v => col("__m").getField(v).as(s"$prefix$v")): _*)
   }
 }

@@ -59,6 +59,11 @@ object Clusters {
       labels = updated.select(col("id"), col("newlab").as("lab"))
       it += 1
     }
+    // silent partial propagation would split components and elect several
+    // "canonical" docs per real cluster — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter exceeds maxIters — raise it for long chains)")
     labels.select(col("id"), col("lab").as("cluster"))
   }
 

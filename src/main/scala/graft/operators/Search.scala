@@ -14,11 +14,17 @@ import graft.functions.TextFunctions
   *
   * Determinism (cross-engine contract): tf, dl, df, N are exact integers;
   * the classic `ln`-based idf is replaced by its rational core
-  * `(N - df + 0.5) / (df + 0.5)` — a monotone transform of the same
-  * quantity, so rankings are unchanged, but every operation is a correctly-
+  * `(N - df + 0.5) / (df + 0.5)`, so every operation is a correctly-
   * rounded IEEE +,*,/ on integer-derived doubles → bit-identical in any
   * engine that evaluates the same expression shape (the DuckDB oracle
   * mirrors the association order exactly).
+  *
+  * Scoring caveat: dropping the ln preserves each TERM's ranking (the
+  * transform is monotone per term) but NOT the ranking of multi-term
+  * sums — rare terms weigh multiplicatively more than under Okapi BM25
+  * (idf 1000 vs ln≈6.9). This is a deliberate BM25 VARIANT trading
+  * exact Okapi mixing for cross-engine bit-exactness; for single-term
+  * queries the two rank identically.
   *
   * Scale: at 100 TB the stats aggregate is a partial-agg tree (bytes to the
   * driver), the scoring pass is embarrassingly parallel, and the final

@@ -129,7 +129,9 @@ object Sketches {
 
   /** Quantile estimates from histogram cells: for each q in `qs` (e4 ints,
     * e.g. 5000 = p50), the upper bound in cents of the first cell whose
-    * cumulative count reaches ceil(q·n). Output: keys + one
+    * cumulative count reaches ceil(q·n). One window pass + one groupBy for
+    * ALL requested quantiles (min-over-qualifying-cells per q — no
+    * per-quantile re-windowing, no join chain). Output: keys + one
     * `p{q}_cents` column per requested quantile. */
   def histogramQuantiles(cells: DataFrame, keys: Seq[String],
                          cellWidthCents: Long, qs: Seq[Int]): DataFrame = {
@@ -141,15 +143,14 @@ object Sketches {
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("total", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
-    qs.map { q =>
-      // target rank = ceil(q·total / 10000), integer-exact
+    val quantileCols = qs.map { q =>
+      // target rank = ceil(q·total / 10000), integer-exact (the +9999 floor
+      // form survives the double division's 1-ulp error; plain ceil doesn't)
       val target = floor((col("total") * q + 9999L) / 10000L)
-      cum.filter(col("cum") >= target)
-        .groupBy(keys.map(col): _*)
-        .agg(min(col("cell")).as("c"))
-        .select(keys.map(col) :+
-          ((col("c") + 1) * cellWidthCents).as(s"p${q}_cents"): _*)
-    }.reduce((a, b) => a.join(b, keys))
+      ((min(when(col("cum") >= target, col("cell"))) + 1) * cellWidthCents)
+        .as(s"p${q}_cents")
+    }
+    cum.groupBy(keys.map(col): _*).agg(quantileCols.head, quantileCols.tail: _*)
   }
 
   /** The oracle-side mirror of hllDistinct as DuckDB SQL, kept adjacent to

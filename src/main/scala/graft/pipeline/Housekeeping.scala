@@ -32,15 +32,21 @@ object Housekeeping {
 
   val OrphanRetentionMs: Long = 30L * 24 * 3600 * 1000 // clean_data.py:52
 
+  /** The shared housekeeping shape: start → one isolated task per item
+    * (retries=1; one failure doesn't stop the rest) → all_done end. */
+  private def fanOutGraph(ids: Seq[String])(body: String => Unit): Seq[TaskSpec] =
+    Seq(TaskSpec("start")) ++ ids.map { id =>
+      TaskSpec(id, deps = Seq("start"), run = () => body(id), retries = 1)
+    } ++ Seq(TaskSpec("end", deps = ids, triggerRule = AllDone))
+
   private def perTableGraph(wh: Warehouse, taskPrefix: String)
                            (body: (String, String) => Unit): Seq[TaskSpec] = {
     val tables = wh.listTables().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-    Seq(TaskSpec("start")) ++ tables.map { case (s, t) =>
-      TaskSpec(s"${taskPrefix}_${s}_$t", deps = Seq("start"),
-        run = () => body(s, t), retries = 1)
-    } ++ Seq(TaskSpec("end", deps = tables.map { case (s, t) => s"${taskPrefix}_${s}_$t" },
-      triggerRule = AllDone))
+    val byId = tables.map { case (s, t) => s"${taskPrefix}_${s}_$t" -> ((s, t)) }.toMap
+    fanOutGraph(byId.keys.toSeq.sorted) { id =>
+      val (s, t) = byId(id); body(s, t)
+    }
   }
 
   /** Monthly compaction run over every committed table. */
@@ -78,17 +84,15 @@ object Housekeeping {
                       bucketKeys: Seq[String], nBuckets: Int)
 
   /** Post-close mart refresh: republish each configured mart from the
-    * versioned warehouse's current version, one isolated task per mart
-    * (one mart's failure doesn't stop the rest, same contract as the
-    * other housekeeping graphs). Write once bucketed → every downstream
-    * fact-fact join runs shuffle-free until the next refresh. */
-  def runMartRefresh(spark: SparkSession, wh: Warehouse,
-                     marts: Seq[MartSpec]): Workflow.RunResult =
-    Workflow.run(Seq(TaskSpec("start")) ++ marts.map { m =>
-      TaskSpec(s"mart_${m.schema}_${m.table}", deps = Seq("start"),
-        run = () => { wh.publishBucketedMart(m.schema, m.table, m.bucketKeys, m.nBuckets); () },
-        retries = 1)
-    } ++ Seq(TaskSpec("end",
-      deps = marts.map(m => s"mart_${m.schema}_${m.table}"),
-      triggerRule = AllDone)))
+    * versioned warehouse's current version, with the same per-item
+    * isolation contract as the other housekeeping graphs. Write once
+    * bucketed → every downstream fact-fact join runs shuffle-free until
+    * the next refresh. */
+  def runMartRefresh(wh: Warehouse, marts: Seq[MartSpec]): Workflow.RunResult = {
+    val byId = marts.map(m => s"mart_${m.schema}_${m.table}" -> m).toMap
+    Workflow.run(fanOutGraph(marts.map(m => s"mart_${m.schema}_${m.table}")) { id =>
+      val m = byId(id)
+      wh.publishBucketedMart(m.schema, m.table, m.bucketKeys, m.nBuckets); ()
+    })
+  }
 }

@@ -185,6 +185,23 @@ object CoreQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q53: supplier-side revenue per nation — the supplier dim's twin of q2
+    * (completes fixture-table coverage: every driver table is queried).
+    * supplier/nation broadcast; lineitem is the only shuffled side. */
+  def q53SupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -201,6 +218,7 @@ object CoreQueries {
     "q13_events_by_month" -> (q13EventsByMonth _),
     "q14_scd2_orders" -> (q14Scd2Orders _),
     "q15_merge_upsert" -> (q15MergeUpsert _),
+    "q53_supplier_revenue" -> (q53SupplierRevenue _),
   )
 
   /** DuckDB oracle SQL — same column names, same determinism rules. */
@@ -293,6 +311,14 @@ object CoreQueries {
              (SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
               WHERE o_orderpriority = '1-URGENT') s
            ON t.o_orderkey = s.o_orderkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q53_supplier_revenue" ->
+      """SELECT n_name, count(*) AS n_items,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(DISTINCT s_suppkey) AS n_suppliers
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
   )
 }

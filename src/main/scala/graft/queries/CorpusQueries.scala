@@ -20,11 +20,9 @@ object CorpusQueries {
   // near-dup parameters shared with q20 (DedupQueries) and its oracle CTEs
   private val K = 16; private val B = 4; private val N = 5
 
-  /** Regex/HOF-heavy per-doc stages: spread byte-small fixture files across
-    * cores (explicit so AQE can't coalesce the tiny input to one task). */
+  /** Regex/HOF-heavy per-doc stages spread via the shared helper. */
   private def docsWide(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    TextQueries.docsWide(spark, dir)
 
   /** q41: near-dup pairs → connected components → canonical doc per
     * cluster. The step that turns q20's PAIRS into droppable rows. */

@@ -110,17 +110,24 @@ object EventQueries {
     * flagged at |z| ≥ 2. Mean/variance derive from exact integer sums
     * (Σx, Σx², n), so the doubles are engine-identical. */
   def q51HourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    // tiny after aggregation — materialize once so the stats pass and the
+    // z-score join don't each rescan the events table
     val hourly = Tables(spark, dir, "events")
       .groupBy(col("event_type"),
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("ss"))
       .withColumn("mean", col("s").cast("double") / col("cnt"))
       .withColumn("sd", sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt")))
+    // sd = 0 (a type with all-equal hourly counts) would make z NaN —
+    // Spark silently drops NaN on the filter but DuckDB errors casting
+    // NaN to BIGINT, so both sides exclude zero-variance types explicitly
     hourly.join(broadcast(stats.select(col("event_type"), col("mean"), col("sd"))),
       Seq("event_type"))
+      .filter(col("sd") > 0)
       .withColumn("z_e4", graft.functions.TextFunctions.fixedPoint(
         (col("n").cast("double") - col("mean")) / col("sd"), 4))
       .filter(abs(col("z_e4")) >= 20000L)
@@ -216,7 +223,8 @@ object EventQueries {
              CAST(floor((CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/cnt) /
                sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/cnt)/cnt)
                * 10000 + 0.5) AS BIGINT) AS z_e4
-           FROM h JOIN st USING (event_type))
+           FROM h JOIN st USING (event_type)
+           WHERE (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/cnt)/cnt > 0)
          SELECT event_type, hour_start, n, z_e4 FROM z
          WHERE abs(z_e4) >= 20000 ORDER BY 1, 2""")
 }

@@ -58,8 +58,11 @@ object MiscQueries {
     * 1024×4, would make est == exact trivially here); production keeps the
     * defaults. */
   def q47CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    // the tokenize+explode feeds three subtrees (counters, exact, probes) —
+    // materialize it once instead of re-running the regex split per branch
     val occ = Tables(spark, dir, "documents")
       .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("token"))
+      .localCheckpoint(true)
     val counters = Sketches.cmsCounters(occ, "token", width = 8, depth = 2)
     val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
     Sketches.cmsEstimate(counters, exact.select(col("token")), "token",

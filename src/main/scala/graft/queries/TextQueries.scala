@@ -28,8 +28,9 @@ object TextQueries {
       .orderBy(col("lang"))
 
   /** Regex-heavy per-doc stages: spread byte-small fixture files across
-    * cores (an explicit count so AQE can't coalesce the tiny shuffle). */
-  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    * cores (an explicit count so AQE can't coalesce the tiny shuffle).
+    * Shared by every documents-scanning query module. */
+  private[queries] def docsWide(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 

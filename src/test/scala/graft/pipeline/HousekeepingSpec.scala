@@ -68,7 +68,7 @@ class HousekeepingSpec extends SparkSpec {
     val wh = whWithTables()
     spark.sql("DROP TABLE IF EXISTS graft_mart.s_a")
     spark.sql("DROP TABLE IF EXISTS graft_mart.s_b")
-    val r = Housekeeping.runMartRefresh(spark, wh, Seq(
+    val r = Housekeeping.runMartRefresh(wh, Seq(
       Housekeeping.MartSpec("s", "a", Seq("id"), 4),
       Housekeeping.MartSpec("s", "b", Seq("id"), 4)))
     r.assertAllSuccess()
