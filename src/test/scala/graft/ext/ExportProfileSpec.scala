@@ -1,0 +1,52 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** JSONL shard export (stable membership, manifest counts, round-trip) and
+  * the one-pass profiler. */
+class ExportProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl shards round-trip, manifest counts match, membership is stable") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("graft_exp_").toString
+    val manifest = Export.writeJsonlShards(docs, out, nShards = 4,
+      shardKey = "doc_id", verifyCounts = true)
+    val rows = manifest.collect()
+    assert(rows.length >= 1 && rows.length <= 4)
+    assert(rows.map(_.getAs[Long]("rows")).sum === docs.count())
+    assert(rows.forall(_.getAs[Long]("bytes") > 0))
+    // round trip: nothing lost or duplicated
+    val back = spark.read.json(s"$out/part-*")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // stability: re-export to a second dir yields identical shard membership
+    val out2 = Files.createTempDirectory("graft_exp2_").toString
+    Export.writeJsonlShards(docs, out2, nShards = 4, shardKey = "doc_id")
+    def membership(dir: String) = spark.read.json(s"$dir/part-*")
+      .select(element_at(split(input_file_name(), "/"), -1).as("f"), col("doc_id"))
+      .withColumn("shard", regexp_extract(col("f"), "part-(\\d+)", 1))
+      .select("shard", "doc_id")
+    val a = membership(out).collect().toSet
+    val b = membership(out2).collect().toSet
+    assert(a === b, "shard membership must be content-defined, not run-defined")
+  }
+
+  test("profiler: one row per column with exact null counts and sane ranges") {
+    val df = Seq((1L, Some("a"), 1.5), (2L, None, 2.5), (3L, Some("c"), 2.5))
+      .toDF("id", "s", "v")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p.keySet === Set("id", "s", "v"))
+    assert(p("id").getAs[Long]("n_rows") === 3L)
+    assert(p("s").getAs[Long]("n_nulls") === 1L)
+    assert(p("id").getAs[String]("min") === "1" && p("id").getAs[String]("max") === "3")
+    assert(p("v").getAs[Long]("approx_distinct") === 2L)
+  }
+}
