@@ -64,4 +64,25 @@ class BucketedMergeSpec extends SparkSpec {
         s"mart lost its bucket layout after merge:\n$planAgain")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("a crash between DROP and RENAME is recovered, not destroyed, on retry") {
+    val wh = new Warehouse(spark, java.nio.file.Files
+      .createTempDirectory("graft_bm2_").toString)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_mart")
+    freshMart("facts_crash")
+    wh.overwrite("facts", "crash",
+      (1L to 100L).map(k => (k, "old")).toDF("k", "status"))
+    wh.publishBucketedMart("facts", "crash", Seq("k"), nBuckets = 4)
+    val delta = Seq((1L, "updated"), (500L, "inserted")).toDF("k", "status")
+    wh.mergeBucketedMart("facts", "crash", delta, Seq("k"), nBuckets = 4)
+
+    // simulate the crash window: merged result sits in __next, mart is gone
+    spark.sql("ALTER TABLE graft_mart.facts_crash RENAME TO graft_mart.facts_crash__next")
+    // a retry of the same merge must adopt __next and re-apply (idempotent)
+    wh.mergeBucketedMart("facts", "crash", delta, Seq("k"), nBuckets = 4)
+    val after = spark.table("graft_mart.facts_crash")
+    assert(after.count() === 101)
+    assert(after.filter(col("k") === 1L).select("status").as[String].head() === "updated")
+    assert(after.filter(col("k") === 500L).count() === 1)
+  }
 }

@@ -63,6 +63,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === "write <EMAIL> or <IP> or <PHONE> v1.2 end")
   }
 
+  test("edge inputs: blank text, empty corpus, PII-free text") {
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text")
+    // blank docs: no n-grams, zero stats — never NaN/null surprises
+    val grams = blank.select(col("doc_id"),
+      size(TextFunctions.wordNgrams(col("text"), 2)).as("n")).as[(Long, Int)]
+      .collect().toMap
+    assert(grams === Map(1L -> 0, 2L -> 0, 3L -> 2))
+    val stats = blank.filter(col("doc_id") === 1L).select(
+      TextFunctions.dupTokenFracE4(col("text")),
+      TextFunctions.topTokenFracE4(col("text")),
+      TextFunctions.meanTokenLenE4(col("text"))).as[(Long, Long, Long)].head()
+    assert(stats === ((0L, 0L, 0L)))
+    // redaction is identity on PII-free text, including empty
+    assert(blank.select(TextFunctions.redactPii(col("text"))).as[String]
+      .collect().toSeq === Seq("", "   ", "one two three"))
+    // bm25 over an empty corpus returns an empty frame, not a crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Search.bm25TopK(empty, "doc_id", "text", Seq("x"), 5).count() === 0L)
+  }
+
   test("sampleBucket is stable and in range") {
     val b = spark.range(1000).select(TextFunctions.sampleBucket(col("id")).as("b"))
       .agg(min(col("b")), max(col("b"))).as[(Long, Long)].head()
