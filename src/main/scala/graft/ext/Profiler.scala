@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 /** One-pass table profiler — the data-quality summary an ingest run logs
   * before committing a batch: per column, row/null counts, approximate
@@ -11,29 +12,40 @@ import org.apache.spark.sql.functions._
   * Cost model: ONE scan regardless of column count — every statistic is an
   * aggregate in a single wide agg row (partial aggregation everywhere),
   * pivoted to per-column rows on the driver (columns × 4 values — bytes).
-  * No per-column jobs, no sampling.
+  * No per-column jobs, no sampling. min/max aggregate on the NATIVE type
+  * (cast to string only at the end — string-cast-first would order
+  * numerics lexicographically, e.g. min(2, 10) = "10"); map columns are
+  * unorderable and report null bounds.
   */
 object Profiler {
+
+  /** Backtick-quote a column name so dots and backticks in messy source
+    * schemas resolve as the literal name, not a nested-field path. */
+  private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
 
   /** (column, n_rows, n_nulls, approx_distinct, min, max) per column. */
   def profile(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns.toSeq
+    val orderable = df.schema.fields.map(f =>
+      f.name -> !f.dataType.isInstanceOf[MapType]).toMap
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
-        cols.flatMap { c =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          val (mn, mx) =
+            if (orderable(c)) (min(q(c)).cast("string"), max(q(c)).cast("string"))
+            else (lit(null).cast("string"), lit(null).cast("string"))
           Seq(
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-            approx_count_distinct(col(c)).as(s"__dist_$c"),
-            min(col(c).cast("string")).as(s"__min_$c"),
-            max(col(c).cast("string")).as(s"__max_$c"))
+            sum(when(q(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+            approx_count_distinct(q(c)).as(s"__dist_$i"),
+            mn.as(s"__min_$i"), mx.as(s"__max_$i"))
         }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
-    cols.map { c =>
-      (c, n, row.getAs[Long](s"__nulls_$c"), row.getAs[Long](s"__dist_$c"),
-        Option(row.getAs[String](s"__min_$c")), Option(row.getAs[String](s"__max_$c")))
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, n, row.getAs[Long](s"__nulls_$i"), row.getAs[Long](s"__dist_$i"),
+        Option(row.getAs[String](s"__min_$i")), Option(row.getAs[String](s"__max_$i")))
     }.toDF("column", "n_rows", "n_nulls", "approx_distinct", "min", "max")
   }
 }

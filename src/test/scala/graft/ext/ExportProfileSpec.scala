@@ -49,4 +49,26 @@ class ExportProfileSpec extends SparkSpec {
     assert(p("id").getAs[String]("min") === "1" && p("id").getAs[String]("max") === "3")
     assert(p("v").getAs[Long]("approx_distinct") === 2L)
   }
+
+  test("profiler: numeric bounds are numeric (not lexicographic), dotted names and maps survive") {
+    val df = Seq((2L, Map("a" -> 1)), (10L, Map("b" -> 2)))
+      .toDF("user.id", "props")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    // lexicographic order would give min "10" / max "2"
+    assert(p("user.id").getAs[String]("min") === "2")
+    assert(p("user.id").getAs[String]("max") === "10")
+    // unorderable map column: null bounds, counts still real
+    assert(p("props").getAs[String]("min") === null)
+    assert(p("props").getAs[Long]("n_nulls") === 0L)
+  }
+
+  test("empty export with verifyCounts returns an empty manifest, no crash") {
+    val out = Files.createTempDirectory("graft_exp0_").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = Export.writeJsonlShards(empty, out, nShards = 4,
+      shardKey = "doc_id", verifyCounts = true)
+    assert(m.columns.toSeq === Seq("shard", "file", "bytes", "rows"))
+    assert(m.filter(col("rows") > 0).count() === 0L)
+  }
 }
