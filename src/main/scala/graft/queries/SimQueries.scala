@@ -69,10 +69,23 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** q54: embedding dedup clusters — the operators compose: LSH-scoped
+    * cosine near-dup pairs (q24's derivation) feed the same connected-
+    * components + canonical-selection step the text pipeline uses (q41).
+    * Semantic dedup of an embedded corpus in two library calls. */
+  def q54EmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clusters.dedupClusters(
+      Similarity.cosineNearDupPairs(
+        Tables(spark, dir, "embeddings"),
+        Similarity.hyperplanes(spark, Planes, Dim), 0.35))
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("cluster"), col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
+    "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
     "q39_kmeans" -> (q39Kmeans _))
 
@@ -169,6 +182,22 @@ object SimQueries {
            SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos_e4
            FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          WHERE cos_e4 >= 3500 ORDER BY 1, 2""",
+    "q54_embedding_clusters" ->
+      raw"""WITH RECURSIVE $planesCte, $bucketsCte,
+         cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id)),
+         epairs AS (SELECT a_id, b_id FROM (
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.qe", "b.qe")} AS cos_e4
+             FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           WHERE cos_e4 >= 3500),
+         edges AS (SELECT a_id AS s, b_id AS d FROM epairs
+                   UNION ALL SELECT b_id, a_id FROM epairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e2.d, r.lab FROM reach r JOIN edges e2 ON e2.s = r.id
+           WHERE r.lab < e2.d)
+         SELECT min(lab) AS cluster, id AS vec_id, min(lab) = id AS is_canonical
+         FROM reach GROUP BY id ORDER BY 1, 2""",
     "q39_kmeans" ->
       raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
