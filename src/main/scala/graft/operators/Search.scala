@@ -33,6 +33,36 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** "More like this": rank documents by tf-idf token overlap with one
+    * query document. The idf weight is e4-quantized to an INTEGER before
+    * scoring, so each doc's score is a pure integer sum — exact in any
+    * summation order and in any engine (a double Σ tf·tf·idf would depend
+    * on partial-aggregation order). Shape: per-(doc, token) tf counts, the
+    * query doc's vector broadcast, one join on token + one groupBy(doc) —
+    * cost bounded by the posting lists of the QUERY's tokens, never
+    * all-pairs. Output: (idCol, mlt_score) top `k`, score desc / id asc. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.wsTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(stats), lit(true))
+      // e4-quantized rational idf as an integer weight
+      .select(col("token"), TextFunctions.fixedPoint(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)), 4)
+        .as("idf_e4"))
+    val qvec = tf.filter(col(idCol) === queryId)
+      .select(col("token"), col("tf").as("q_tf"))
+    tf.filter(col(idCol) =!= queryId)
+      .join(broadcast(qvec), "token")
+      .join(idf, "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("q_tf") * col("idf_e4")).as("mlt_score"))
+      .orderBy(col("mlt_score").desc, col(idCol)).limit(k)
+  }
+
   /** Per-document BM25 score (e4-quantized) for `terms`, top `k` rows by
     * (score desc, id asc). Output: (idCol, bm25_e4). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

@@ -104,8 +104,15 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q55: "more like this" — top-10 docs by integer tf-idf token overlap
+    * with doc 0 (Search.moreLikeThis). */
+  def q55MoreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    Search.moreLikeThis(docsWide(spark, dir), "doc_id", "text",
+      queryId = 0L, k = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_dedup_clusters" -> (q41DedupClusters _),
+    "q55_more_like_this" -> (q55MoreLikeThis _),
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
@@ -123,6 +130,19 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q55_more_like_this" ->
+      raw"""WITH occ AS (SELECT doc_id, unnest($tksSql) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         idf AS (SELECT token,
+             CAST(floor((n_docs - df + 0.5)/(df + 0.5)*10000 + 0.5) AS BIGINT) AS idf_e4
+           FROM (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), st),
+         qv AS (SELECT token, tf AS q_tf FROM tf WHERE doc_id = 0),
+         s AS (SELECT tf.doc_id, CAST(sum(tf.tf * q_tf * idf_e4) AS BIGINT) AS mlt_score
+           FROM tf JOIN qv USING (token) JOIN idf USING (token)
+           WHERE tf.doc_id <> 0 GROUP BY 1)
+         SELECT doc_id, mlt_score FROM s
+         ORDER BY mlt_score DESC, doc_id LIMIT 10""",
     "q41_dedup_clusters" ->
       raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
          p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),

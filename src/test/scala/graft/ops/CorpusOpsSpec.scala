@@ -63,6 +63,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === "write <EMAIL> or <IP> or <PHONE> v1.2 end")
   }
 
+  test("moreLikeThis ranks rare-token overlap above common-token overlap") {
+    val docs = Seq(
+      (0L, "zebra zebra common"),       // the query doc (rare token ×2)
+      (1L, "zebra other words here"),   // shares the rare token
+      (2L, "common other words here"),  // shares only the common token
+      (3L, "common nothing shared at")) // ditto (ties with 2, id-ordered)
+      .toDF("doc_id", "text")
+    val got = Search.moreLikeThis(docs, "doc_id", "text", queryId = 0L, k = 10)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L), s"got ${got.toSeq}")
+    assert(got(0)._2 > got(1)._2 && got(1)._2 === got(2)._2)
+  }
+
   test("edge inputs: blank text, empty corpus, PII-free text") {
     val blank = Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text")
     // blank docs: no n-grams, zero stats — never NaN/null surprises
