@@ -40,4 +40,35 @@ object Decontaminate {
             idCol: String, textCol: String, n: Int): DataFrame =
     corpus.join(contaminated(corpus, evalDocs, idCol, textCol, n)
       .select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Fingerprint-level decontamination — winnowing instead of exact word
+    * n-grams, so a corpus doc CONTAINING an eval span (with unrelated text
+    * around it, where the word-gram set barely overlaps) still flags: any
+    * shared substring of length ≥ n+w-1 chars contributes a shared
+    * fingerprint (Schleimer et al.'s guarantee). Stop-fingerprints above
+    * `maxDocFreq` total doc-frequency are dropped first — boilerplate
+    * would otherwise flag everything AND unbounds the join fan-out (kept
+    * fan-out ≤ maxDocFreq² per fingerprint). Output per contaminated
+    * corpus doc: how many eval docs it matches (≥ `minShared` shared
+    * fingerprints each) and the strongest match. */
+  def fingerprintContaminated(corpus: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 5, w: Int = 4,
+                              maxDocFreq: Long = 30L,
+                              minShared: Long = 5L): DataFrame = {
+    def fps(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(TextFunctions.winnowingFingerprints(col(textCol), n, w)).as("fp"))
+    val cfp = fps(corpus, "c_id")
+    val efp = fps(evalDocs, "e_id")
+    val keep = cfp.select(col("fp")).unionByName(efp.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    cfp.join(keep, Seq("fp"))
+      .join(efp.join(keep, Seq("fp")), Seq("fp"))
+      .groupBy(col("c_id"), col("e_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("c_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_docs"), max(col("shared")).as("max_shared"))
+  }
 }

@@ -110,9 +110,22 @@ object CorpusQueries {
     Search.moreLikeThis(docsWide(spark, dir), "doc_id", "text",
       queryId = 0L, k = 10)
 
+  /** q56: fingerprint-level decontamination — winnowing containment vs the
+    * eval slice, catching embedded verbatim spans that the word-n-gram
+    * check (q42) under-weights. */
+  def q56FingerprintDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    Decontaminate.fingerprintContaminated(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_dedup_clusters" -> (q41DedupClusters _),
     "q55_more_like_this" -> (q55MoreLikeThis _),
+    "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
@@ -130,6 +143,25 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q56_fp_decontaminate" ->
+      raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
+           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+           ELSE [text] END AS grams FROM documents),
+         hsx AS (SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+           FROM g),
+         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+             ELSE [list_min(hs)] END)) AS fp FROM hsx),
+         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
+         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+         ev AS (SELECT * FROM scoped WHERE doc_id % 97 = 0),
+         co AS (SELECT * FROM scoped WHERE doc_id % 97 <> 0),
+         pairs AS (SELECT co.doc_id AS c_id, ev.doc_id AS e_id, count(*) AS shared
+                   FROM co JOIN ev USING (fp) GROUP BY 1, 2)
+         SELECT c_id AS doc_id, count(*) AS n_eval_docs,
+           CAST(max(shared) AS BIGINT) AS max_shared
+         FROM pairs WHERE shared >= 5 GROUP BY 1 ORDER BY 1""",
     "q55_more_like_this" ->
       raw"""WITH occ AS (SELECT doc_id, unnest($tksSql) AS token FROM documents),
          tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),

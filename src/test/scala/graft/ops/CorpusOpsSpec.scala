@@ -47,6 +47,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L))
   }
 
+  test("fingerprint decontamination flags an embedded verbatim span") {
+    // corpus doc 1 CONTAINS eval doc 100's span verbatim, surrounded by
+    // unrelated text; doc 2 shares nothing
+    val span = "the quick brown fox jumps over the lazy dog tonight"
+    val eval = Seq((100L, span)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"unrelated prefix words here $span and an unrelated suffix too"),
+      (2L, "completely different content with no overlap whatsoever okay"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.fingerprintContaminated(corpus, eval,
+      "doc_id", "text", minShared = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L), s"got $got")
+    assert(got.head._2 === 1L && got.head._3 >= 3L)
+  }
+
   test("gopher stats on a fully repeated doc") {
     val df = Seq((1L, "aa aa aa aa")).toDF("doc_id", "text")
     val r = df.select(
