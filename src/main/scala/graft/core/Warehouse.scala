@@ -256,6 +256,9 @@ class Warehouse(spark: SparkSession, root: String) {
     // exists is a leftover `__next` truly stale and safe to clear.
     val martExists = spark.catalog.tableExists(mart)
     val nextExists = spark.catalog.tableExists(next)
+    require(martExists || nextExists,
+      s"mergeBucketedMart($schema.$table): no published mart to merge into — " +
+        "run publishBucketedMart first")
     if (!martExists && nextExists) spark.sql(s"ALTER TABLE $next RENAME TO $mart")
     else if (nextExists) spark.sql(s"DROP TABLE $next")
     val merged = Relational.mergeAsRewrite(spark.table(mart), source, keys,

@@ -22,15 +22,25 @@ object Decontaminate {
 
   /** (idCol, n_eval_grams) for every corpus doc sharing ≥ 1 word n-gram
     * with `evalDocs`. Grams are distinct per doc, so the count is the
-    * number of distinct leaked grams. */
+    * number of distinct leaked grams.
+    *
+    * The join key is the 60-bit stable hash of each gram, not the gram
+    * string itself: the corpus-side explode (the only heavy stage) then
+    * carries 8-byte longs instead of ~8n-byte strings, and the broadcast
+    * build is a long hash set. Hashing happens INSIDE the gram array
+    * (row-local) before the explode. The DuckDB oracle applies the same
+    * md5-prefix hash to the same distinct gram list, so even a collision
+    * (odds ~2^-60 per pair) perturbs both engines identically. */
   def contaminated(corpus: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
+    def gramHashes(df: DataFrame) = transform(
+      TextFunctions.wordNgrams(col(textCol), n), g => TextFunctions.stableHash60(g))
     val evalGrams = evalDocs
-      .select(explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
+      .select(explode(gramHashes(evalDocs)).as("gh"))
       .distinct()
     corpus
-      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol), explode(gramHashes(corpus)).as("gh"))
+      .join(broadcast(evalGrams), "gh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_grams"))
   }
 

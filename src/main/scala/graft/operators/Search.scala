@@ -83,12 +83,18 @@ object Search {
     // one broadcast row; BNLJ of a single row is a free "attach constants"
     val scored = perDoc.join(broadcast(stats), lit(true))
     val avgdl = col("sum_dl") / col("n_docs")
+    // degenerate-corpus guard: if every doc tokenizes empty, sum_dl = 0 and
+    // dl/avgdl is 0/0 = NaN, poisoning every score to NULL — define the
+    // length norm as 0 there (scores are all 0 anyway since tf = 0). On any
+    // non-degenerate corpus the branch is dl/avgdl verbatim, so the oracle
+    // (which mirrors this CASE) hashes identically.
+    val lenNorm = when(col("sum_dl") > 0, col("dl") / avgdl).otherwise(lit(0.0))
     val score: Column = terms.indices.map { i =>
       val tf = col(s"tf_$i"); val df = col(s"df_$i")
       val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
       // k1 = 1.2, b = 0.75; constants written as the same decimal literals
       // the oracle parses, never derived arithmetic (2.2, not 1.2 + 1)
-      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * lenNorm))
     }.reduce(_ + _)
     scored.select(col(idCol), TextFunctions.fixedPoint(score, 4).as("bm25_e4"))
       .orderBy(col("bm25_e4").desc, col(idCol)).limit(k)

@@ -43,10 +43,24 @@ object Housekeeping {
                            (body: (String, String) => Unit): Seq[TaskSpec] = {
     val tables = wh.listTables().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-    val byId = tables.map { case (s, t) => s"${taskPrefix}_${s}_$t" -> ((s, t)) }.toMap
+    val idFor = tables.map { case (s, t) => s"${taskPrefix}_${s}_$t" -> ((s, t)) }
+    // schema/table names may themselves contain '_', so "prefix_a_b_c" is
+    // ambiguous — a silent .toMap collision would drop a table from the run
+    requireUniqueIds(idFor.map(_._1), idFor.map(_._2.productIterator.mkString(".")))
+    val byId = idFor.toMap
     fanOutGraph(byId.keys.toSeq.sorted) { id =>
       val (s, t) = byId(id); body(s, t)
     }
+  }
+
+  /** Fail loudly when two fan-out items map to the same task id (underscore
+    * ambiguity): a collision would silently drop one item from the run. */
+  private def requireUniqueIds(ids: Seq[String], items: Seq[String]): Unit = {
+    val dup = ids.zip(items).groupBy(_._1).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"housekeeping task ids collide (rename the tables or marts): " +
+        dup.map { case (id, xs) => s"$id <- [${xs.map(_._2).mkString(", ")}]" }
+          .mkString("; "))
   }
 
   /** Monthly compaction run over every committed table. */
@@ -89,8 +103,10 @@ object Housekeeping {
     * bucketed → every downstream fact-fact join runs shuffle-free until
     * the next refresh. */
   def runMartRefresh(wh: Warehouse, marts: Seq[MartSpec]): Workflow.RunResult = {
-    val byId = marts.map(m => s"mart_${m.schema}_${m.table}" -> m).toMap
-    Workflow.run(fanOutGraph(marts.map(m => s"mart_${m.schema}_${m.table}")) { id =>
+    val idFor = marts.map(m => s"mart_${m.schema}_${m.table}" -> m)
+    requireUniqueIds(idFor.map(_._1), marts.map(m => s"${m.schema}.${m.table}"))
+    val byId = idFor.toMap
+    Workflow.run(fanOutGraph(idFor.map(_._1)) { id =>
       val m = byId(id)
       wh.publishBucketedMart(m.schema, m.table, m.bucketKeys, m.nBuckets); ()
     })

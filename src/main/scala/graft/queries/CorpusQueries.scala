@@ -189,11 +189,12 @@ object CorpusQueries {
          FROM reach GROUP BY id ORDER BY 1, 2""",
     "q42_decontaminate" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
-         g AS (SELECT doc_id, $gramsSql AS grams FROM t),
-         eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
-         cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+         g AS (SELECT doc_id, list_transform($gramsSql,
+             x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t),
+         eg AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 <> 0)
          SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
-         FROM cg JOIN eg USING (gram) GROUP BY 1 ORDER BY 1""",
+         FROM cg JOIN eg USING (gh) GROUP BY 1 ORDER BY 1""",
     "q43_gopher_stats" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          s AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
@@ -225,9 +226,9 @@ object CorpusQueries {
              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
            FROM d)
          SELECT doc_id, CAST(floor((
-             ((n_docs - df0 + 0.5)/(df0 + 0.5))*(tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
-           + ((n_docs - df1 + 0.5)/(df1 + 0.5))*(tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
-           + ((n_docs - df2 + 0.5)/(df2 + 0.5))*(tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(sum_dl/n_docs)))
+             ((n_docs - df0 + 0.5)/(df0 + 0.5))*(tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*(CASE WHEN sum_dl > 0 THEN dl/(sum_dl/n_docs) ELSE 0 END)))
+           + ((n_docs - df1 + 0.5)/(df1 + 0.5))*(tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*(CASE WHEN sum_dl > 0 THEN dl/(sum_dl/n_docs) ELSE 0 END)))
+           + ((n_docs - df2 + 0.5)/(df2 + 0.5))*(tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*(CASE WHEN sum_dl > 0 THEN dl/(sum_dl/n_docs) ELSE 0 END)))
            )*10000 + 0.5) AS BIGINT) AS bm25_e4
          FROM d, s ORDER BY bm25_e4 DESC, doc_id LIMIT 20""",
     "q45_stratified_sample" ->
