@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Token-window chunking — the primitive every training-data / RAG pipeline
+  * runs between curation and tokenization: split each document into fixed
+  * token windows (optionally overlapping via `stride` < `size`) so
+  * downstream stages see bounded-length passages.
+  *
+  * Chunking is ENTIRELY row-local (a `sequence` of window starts + a
+  * `slice` per start inside `transform`, then one `posexplode`) — zero
+  * shuffle at any corpus size; the ~(n/stride)× row fan-out happens after
+  * the caller's repartition spreads the compact doc rows (same pattern as
+  * Dedup.shingleRows). Window starts are 0, stride, 2·stride, … < n_tokens,
+  * each chunk = the next `size` tokens clipped at the document end, so every
+  * token lands in ≥1 chunk whenever stride ≤ size. Deterministic by
+  * construction — the DuckDB oracle rebuilds the identical windows.
+  */
+object Chunker {
+
+  /** One row per (doc, window): (idCol, chunk_idx, chunk) with chunk_idx
+    * counting windows from 0 in token order. Empty/blank docs emit no rows. */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "chunk size and stride must be positive")
+    require(stride <= size, "stride > size would drop tokens between windows")
+    val tks = TextFunctions.wsTokens(col(textCol))
+    val starts = when(org.apache.spark.sql.functions.size(tks) > 0,
+      sequence(lit(0), org.apache.spark.sql.functions.size(tks) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts, s => concat_ws(" ", slice(tks, s + 1, lit(size))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+  }
+
+  /** Passage-level duplication profile (CCNet-style paragraph dedup,
+    * re-expressed over non-overlapping token windows since the corpus
+    * carries no paragraph breaks): for every doc, how many of its distinct
+    * passages also occur verbatim in ANOTHER doc. Shape: per-doc distinct
+    * passage fingerprints (row-local md5), one groupBy(fingerprint) for the
+    * doc-frequency, one groupBy(doc) for the verdict — two shuffles on
+    * uniform 128-bit keys, no joins wider than the passage table. Output:
+    * (idCol, n_chunks, n_dup_chunks, dup_frac_e4). */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+                      size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = tokenChunks(df, idCol, textCol, size, size)
+      .select(col(idCol), md5(col("chunk")).as("fp"))
+      .distinct()
+    // docs-per-fingerprint as a window count rather than a groupBy+self-join:
+    // the self-join formulation makes Catalyst scan AND re-chunk the whole
+    // corpus once per branch (no common-subplan reuse across differing
+    // aggregates); the window keeps it to ONE chunk+hash pass, then two
+    // compact shuffles of (id, fp) pairs — by fp for the count, by id for
+    // the verdict
+    fps.withColumn("fp_docs",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("fp_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac_e4", TextFunctions.fixedPoint(
+        col("n_dup_chunks") / col("n_chunks"), 4))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Clusters, Decontaminate, Dedup, Search}
+import graft.operators.{Chunker, Clusters, Decontaminate, Dedup, Search}
 
 /** Corpus-assembly query surface — the operators a training-data pipeline
   * runs AFTER pair-finding: near-dup clustering + canonical selection,
@@ -122,7 +122,54 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q57: token-window chunking (size 32, stride 24) — one row per
+    * passage with its token count and content fingerprint. */
+  def q57TokenChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.tokenChunks(docsWide(spark, dir), "doc_id", "text",
+      size = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"),
+        tokenCount(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** q58: passage-level duplication profile — per doc, how many of its
+    * non-overlapping 32-token passages occur verbatim in another doc. */
+  def q58PassageDup(spark: SparkSession, dir: String): DataFrame =
+    Chunker.passageDupStats(docsWide(spark, dir), "doc_id", "text", size = 32)
+      .orderBy(col("doc_id"))
+
+  /** Target mixture weights per language (e4, sum = 10000) and the token
+    * budget for q59 — a training-mixture plan. */
+  private val mixtureWeights: Seq[(String, Int)] =
+    Seq("en" -> 4000, "de" -> 2000, "fr" -> 2000, "es" -> 1000, "zh" -> 1000)
+  private val MixtureBudgetTokens = 12000L
+
+  /** q59: mixture planning — given per-language target weights and a total
+    * token budget, derive each language's sampling rate from its MEASURED
+    * token mass (rate = budget·weight / tokens, capped at 1) and the token
+    * count that rate yields. The planning step upstream of q45's fixed-rate
+    * sampler. One partial-agg scan; arithmetic is integer-derived at every
+    * step so the oracle is bit-exact. */
+  def q59MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val weight = mixtureWeights.foldRight(lit(0)) { case ((l, w), acc) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("weight_e4", weight)
+      .withColumn("rate_e4", least(lit(10000L), TextFunctions.fixedPoint(
+        (lit(MixtureBudgetTokens) * col("weight_e4") / lit(10000)) / col("n_tokens"), 4)))
+      .withColumn("planned_tokens", TextFunctions.fixedPoint(
+        col("n_tokens") * col("rate_e4") / lit(10000.0), 0))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_token_chunks" -> (q57TokenChunks _),
+    "q58_passage_dup" -> (q58PassageDup _),
+    "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
@@ -143,6 +190,34 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q57_token_chunks" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         c AS (SELECT doc_id, tks, unnest(range(0, len(tks), 24)) AS s FROM t)
+         SELECT doc_id, s // 24 AS chunk_idx,
+           CAST(len(tks[s+1:s+32]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tks[s+1:s+32], ' ')) AS chunk_md5
+         FROM c ORDER BY 1, 2""",
+    "q58_passage_dup" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         c AS (SELECT doc_id, tks, unnest(range(0, len(tks), 32)) AS s FROM t),
+         fp AS (SELECT DISTINCT doc_id, md5(array_to_string(tks[s+1:s+32], ' ')) AS fp FROM c),
+         df AS (SELECT fp, count(*) AS fp_docs FROM fp GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN fp_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(floor(CAST(sum(CASE WHEN fp_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
+         FROM fp JOIN df USING (fp) GROUP BY 1 ORDER BY 1""",
+    "q59_mixture_plan" ->
+      raw"""WITH d AS (SELECT lang, CAST(len($tksSql) AS BIGINT) AS n_tok FROM documents),
+         a AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+               FROM d GROUP BY 1),
+         w AS (SELECT *, CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000
+             WHEN 'fr' THEN 2000 WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000
+             ELSE 0 END AS weight_e4 FROM a)
+         SELECT lang, n_docs, n_tokens, CAST(weight_e4 AS INT) AS weight_e4,
+           least(10000, CAST(floor((12000*weight_e4/10000)/n_tokens*10000 + 0.5) AS BIGINT)) AS rate_e4,
+           CAST(floor(n_tokens*least(10000, CAST(floor((12000*weight_e4/10000)/n_tokens*10000 + 0.5) AS BIGINT))/10000.0 + 0.5) AS BIGINT) AS planned_tokens
+         FROM w ORDER BY lang""",
     "q56_fp_decontaminate" ->
       raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
            THEN [substr(text, i, 5) for i in range(1, len(text)-3)]

@@ -22,6 +22,17 @@ class BucketedMergeSpec extends SparkSpec {
     }
   }
 
+  test("merging into a never-published mart fails with the contract message") {
+    val wh = new Warehouse(spark, java.nio.file.Files
+      .createTempDirectory("graft_bm").toString)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_mart")
+    freshMart("facts_nope")
+    val e = intercept[IllegalArgumentException](
+      wh.mergeBucketedMart("facts", "nope",
+        Seq((1L, "a")).toDF("id", "v"), Seq("id"), 4))
+    assert(e.getMessage.contains("publishBucketedMart"))
+  }
+
   test("mergeBucketedMart shuffles only the source delta and stays bucketed") {
     val wh = new Warehouse(spark, java.nio.file.Files
       .createTempDirectory("graft_bm").toString)

@@ -33,6 +33,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === ((7L, expected)))
   }
 
+  test("bm25 on an all-blank corpus scores 0, not NULL (sum_dl=0 NaN guard)") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("x"), 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 0L)))
+  }
+
   test("decontamination flags exactly the docs sharing a word 4-gram") {
     val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -40,6 +40,23 @@ class HousekeepingSpec extends SparkSpec {
     assert(ran.runs.filter(_.taskId.startsWith("prune_")).forall(_.status == "success"))
   }
 
+  test("underscore-ambiguous table names abort instead of silently dropping one") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_hk_").toString)
+    // ("a","b_c") and ("a_b","c") both flatten to task id "compact_a_b_c"
+    wh.overwrite("a", "b_c", Seq((1, "x")).toDF("id", "v"))
+    wh.overwrite("a_b", "c", Seq((1, "y")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](Housekeeping.runCompaction(spark, wh))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("duplicate mart specs abort instead of duplicating workflow task ids") {
+    val wh = whWithTables()
+    val m = Housekeeping.MartSpec("s", "a", Seq("id"), 4)
+    val e = intercept[IllegalArgumentException](
+      Housekeeping.runMartRefresh(wh, Seq(m, m)))
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("orphan sweep workflow removes stale dirs after compaction") {
     val wh = whWithTables()
     Housekeeping.runCompaction(spark, wh)
@@ -66,8 +83,16 @@ class HousekeepingSpec extends SparkSpec {
 
   test("mart refresh publishes a bucketed mart per spec and rolls up") {
     val wh = whWithTables()
-    spark.sql("DROP TABLE IF EXISTS graft_mart.s_a")
-    spark.sql("DROP TABLE IF EXISTS graft_mart.s_b")
+    // drop catalog entries AND stale directories — a previous JVM's run
+    // leaves managed-table dirs the fresh in-memory catalog doesn't know,
+    // and saveAsTable refuses to create over an existing location
+    val whDir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_mart.db")
+    Seq("s_a", "s_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_mart.$t")
+      val d = new java.io.File(whDir, t)
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
     val r = Housekeeping.runMartRefresh(wh, Seq(
       Housekeeping.MartSpec("s", "a", Seq("id"), 4),
       Housekeeping.MartSpec("s", "b", Seq("id"), 4)))
