@@ -200,4 +200,33 @@ object Similarity {
       .filter(col("cos_e4") >= (threshold * 10000).round)
       .select(col("a_id"), col("b_id"), col("cos_e4"))
   }
+
+  /** Squared L2 distance in the quantized space — EXACT integer from three
+    * integer dot products: |a−b|² = a·a + b·b − 2·a·b. No per-dimension
+    * float subtraction, so no summation-order sensitivity anywhere. */
+  def qdistSq(a: Column, b: Column): Column =
+    qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
+
+  /** Embedding-space outlier detection — the quality filter a training
+    * pipeline runs over labeled/clustered embeddings: a vector far from its
+    * own label's centroid is likely mislabeled or noise. Verdict: dist² >
+    * `factor` × the label's integer mean dist². One corpus scan: centroids
+    * (tiny — one row per label) broadcast back, the per-label mean rides a
+    * window over `label` rather than a groupBy+re-join, which would rescan
+    * the corpus per branch. Label cardinality bounds window parallelism —
+    * fine for the coarse partitions this targets (same trade as
+    * ivfCentroids' groupBy). Output: (idCol, label, dist_sq, is_outlier). */
+  def centroidOutliers(df: DataFrame, factor: Int = 2,
+                       idCol: String = "vec_id", labelCol: String = "label",
+                       embCol: String = "embedding"): DataFrame = {
+    val cent = ivfCentroids(df, labelCol, embCol)
+    val w = Window.partitionBy(col("label"))
+    df.select(col(idCol), col(labelCol).as("label"), quantize(col(embCol)).as("__qe"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("dist_sq", qdistSq(col("__qe"), col("ce")))
+      .withColumn("mean_dist",
+        floor(sum(col("dist_sq")).over(w) / count(lit(1)).over(w) + 0.5).cast("long"))
+      .select(col(idCol), col("label"), col("dist_sq"),
+        (col("dist_sq") > lit(factor.toLong) * col("mean_dist")).as("is_outlier"))
+  }
 }

@@ -81,7 +81,16 @@ object SimQueries {
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy(col("cluster"), col("vec_id"))
 
+  /** q60: embedding-space outliers — vectors whose squared distance to
+    * their own label centroid exceeds 2× the label's mean (likely
+    * mislabeled / noise; the embedding-side quality filter). All-integer:
+    * dist² from three integer dots, mean e0-quantized. */
+  def q60EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(Tables(spark, dir, "embeddings"), factor = 2)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_embedding_outliers" -> (q60EmbeddingOutliers _),
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
@@ -130,6 +139,22 @@ object SimQueries {
         FROM e, planes GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q60_embedding_outliers" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         s AS (SELECT vec_id, e.label,
+             CAST(list_dot_product(e.qe, e.qe) + list_dot_product(cent.ce, cent.ce)
+               - 2*list_dot_product(e.qe, cent.ce) AS BIGINT) AS dist_sq
+             FROM e JOIN cent USING (label)),
+         m AS (SELECT vec_id, label, dist_sq,
+             CAST(floor(CAST(sum(dist_sq) OVER (PARTITION BY label) AS BIGINT)
+               / (count(*) OVER (PARTITION BY label)) + 0.5) AS BIGINT) AS mean_dist
+             FROM s)
+         SELECT vec_id, label, dist_sq, dist_sq > 2*mean_dist AS is_outlier
+         FROM m ORDER BY vec_id""",
     "q22_cosine_topk" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),

@@ -134,6 +134,25 @@ class DedupSimSpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("centroid outliers: the far vector flags, tight cluster members don't") {
+    import graft.operators.Similarity
+    // label 0: three vectors near (1,0) and one at (-40,-40) — the noise
+    // point's dist² dwarfs the mean; label 1: two tight vectors, no outlier
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.1f, 0.1f), 0),
+      (3L, Seq(0.9f, -0.1f), 0), (4L, Seq(-40.0f, -40.0f), 0),
+      (10L, Seq(5.0f, 5.0f), 1), (11L, Seq(5.2f, 4.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb, factor = 2)
+      .orderBy("vec_id").as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._4).toMap ===
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+        10L -> false, 11L -> false))
+    // dist² is exact integer algebra: |a−c|² = a·a + c·c − 2a·c
+    val r1 = got.find(_._1 == 1L).get
+    assert(r1._3 >= 0L)
+  }
+
   test("ANN recall on clustered data: bucketing keeps true neighbors") {
     // three tight clusters around axis directions — the regime approximate
     // search exists for. (The random fixture embeddings have NO neighbor
