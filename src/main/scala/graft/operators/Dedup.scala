@@ -83,8 +83,11 @@ object Dedup {
     // interpreted array_min(transform(..)) traversals
     val sigs = org.apache.spark.sql.graft.MinHashExprs.minhashSigs(
       col("__hs"), k, MinhashP20, MinhashP31, 1000003L, 7919L, 12345L, 104729L)
+    // shs is sorted ascending: one row-local sort per DOC here buys the
+    // verify stage a zero-allocation sorted-merge intersect per PAIR
+    // (candidate pairs outnumber docs ~30x under LSH banding)
     hashed
-      .select(col(idCol), col("sz"), array_distinct(col("__hs")).as("shs"), sigs.as("__mh"))
+      .select(col(idCol), col("sz"), array_sort(array_distinct(col("__hs"))).as("shs"), sigs.as("__mh"))
       .select(col(idCol) +: col("sz") +: col("shs") +:
         (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
   }
@@ -182,7 +185,9 @@ object Dedup {
 
   /** Public signature surface for incremental dedup: (id, sz, shs, mh_*)
     * per doc, row-locally computed — persist this (e.g. in the warehouse)
-    * between batches so the corpus is never re-signed. */
+    * between batches so the corpus is never re-signed. `shs` is sorted
+    * ascending (the verify stage's sorted-merge contract); signatures
+    * persisted by an older engine version must be re-signed. */
   def signDocuments(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, shingleN: Int = 5): DataFrame =
     signatureFrame(df, idCol, textCol, k, shingleN)
@@ -233,9 +238,11 @@ object Dedup {
 
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:
     * sets are md5-60bit long arrays (intersection cardinality identical to
-    * string sets, collision odds ~2^-60 per pair), scoped to docs that
-    * appear in a candidate pair. The intermediate is O(|pairs|) rows —
-    * never |pairs| × |shingles| join rows.
+    * string sets, collision odds ~2^-60 per pair), SORTED ascending and
+    * distinct per doc (signatureFrame's contract — the verify intersect is
+    * a sorted two-pointer merge), scoped to docs that appear in a candidate
+    * pair. The intermediate is O(|pairs|) rows — never |pairs| × |shingles|
+    * join rows.
     *
     * Size-gated join strategy: the scoped sets' size is measured (8 bytes
     * per hash + per-row overhead); under `broadcastBudgetBytes` both verify
@@ -267,8 +274,10 @@ object Dedup {
           .join(aSide.hint("shuffle_hash"), Seq("a_id"))
           .join(bSide.hint("shuffle_hash"), Seq("b_id"))
     joined
-      .withColumn("inter", // allocation-free |A∩B| (vs array_intersect+size)
-        org.apache.spark.sql.graft.MinHashExprs.intersectCount(col("sh_a"), col("sh_b")))
+      // two-pointer merge over the pre-sorted sets — zero allocation per
+      // pair (the HashSet formulation boxed ~|set| longs per candidate)
+      .withColumn("inter",
+        org.apache.spark.sql.graft.MinHashExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard_e4", graft.functions.TextFunctions.fixedPoint(
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard_e4") >= (minJaccard * 10000).round)

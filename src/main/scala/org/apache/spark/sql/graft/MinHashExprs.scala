@@ -118,6 +118,51 @@ case class ArrayLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| for two SORTED-ascending, distinct, null-free long arrays — a
+  * zero-allocation two-pointer merge. The general ArrayLongIntersectCount
+  * builds a boxed HashSet per row pair (~|small| boxed inserts + |big|
+  * boxed probes); on the near-dup verify that is tens of millions of
+  * allocations per run, which is both the CPU cost and the GC-pressure
+  * profile that collapses first under co-tenant memory pressure. Inputs
+  * are produced by `array_sort(array_distinct(...))` in
+  * Dedup.signatureFrame — this expression is private to that contract and
+  * is NOT registered for SQL (the rule-rewritten general form keeps full
+  * set/null semantics). */
+case class ArrayLongSortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_long_sorted_intersect_count"
+
+  private def count(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[ArrayLongSortedIntersectCount].getName
+    val ref = ctx.addReferenceObj("sortedIntersectCounter", this, cls)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayLongSortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd 60-bit SimHash over a token-hash array: one pass with 60
   * running counters (bit j of the signature is set iff the sum over tokens
   * of ±1-by-bit-j is positive). Replaces an explode + two grouped shuffles
@@ -224,6 +269,12 @@ object MinHashExprs {
 
   def intersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Sorted-merge |A∩B| — both inputs MUST be sorted ascending, distinct,
+    * null-free (see ArrayLongSortedIntersectCount). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayLongSortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def simhash60(hs: Column): Column =

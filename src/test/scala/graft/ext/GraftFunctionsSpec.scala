@@ -28,6 +28,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) === 4L) // [low] + [low,e,r]
   }
 
+  test("sorted intersect count = hash intersect count on sorted distinct sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.graft.MinHashExprs
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // partial overlap -> 2
+      (Seq(1L, 2L), Seq(1L, 2L)),                   // identical -> 2
+      (Seq(1L, 2L), Seq(7L, 8L)),                   // disjoint -> 0
+      (Seq.empty[Long], Seq(1L)),                   // empty side -> 0
+      (Seq(5L), Seq(1L, 2L, 3L, 4L, 5L))).toDF("a", "b")
+    val got = df.select(
+      MinHashExprs.sortedIntersectCount(col("a"), col("b")).as("s"),
+      MinHashExprs.intersectCount(col("a"), col("b")).as("h"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(2L, 2L, 0L, 0L, 1L))
+    assert(got.forall(r => r._1 == r._2), s"sorted vs hash disagree: $got")
+  }
+
   test("kernel rule rewrites HOF patterns to the codegen'd expressions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
