@@ -202,7 +202,26 @@ object CoreQueries {
       .orderBy(col("n_name"))
   }
 
+  /** q61: revenue by market segment THROUGH the salted join — the skew-
+    * robust join path (Relational.saltedJoin: skewed side salted mod 8,
+    * build side replicated 8x) on the oracle surface. Results are by
+    * definition those of the plain equi-join, which is exactly what the
+    * DuckDB oracle runs — the query proves the salting is a pure physical
+    * rewrite. */
+  def q61SaltedSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.ops.Relational.saltedJoin(o, c, Seq("custkey"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_salted_segment_revenue" -> (q61SaltedSegmentRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_customers_no_orders" -> (q3CustomersNoOrders _),
@@ -223,6 +242,11 @@ object CoreQueries {
 
   /** DuckDB oracle SQL — same column names, same determinism rules. */
   val oracles: Map[String, String] = Map(
+    "q61_salted_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
