@@ -44,12 +44,13 @@ object Bench {
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune non-grouping columns out of aggs).
     // Queries run in sorted name order for stable warmup attribution.
-    // Heavy queries (> 2 s) get a second run and report the min — the
+    // Queries over 1 s get a second run and report the min — the
     // steady-state number a long-lived session sees, insulated from a
-    // transient GC pause or co-tenant I/O spike landing on one run.
+    // transient GC pause or co-tenant I/O spike landing on one run
+    // (run-to-run noise on this box is ±20%).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      val best = if (first > 2.0) {
+      val best = if (first > 1.0) {
         val second = timeOnce(name, fn)
         if (second >= 0) math.min(first, second) else first
       } else first
