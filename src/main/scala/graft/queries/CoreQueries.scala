@@ -220,8 +220,29 @@ object CoreQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q62: urgent-order revenue THROUGH the Bloom pre-filtered join — the
+    * fact side (lineitem) is cut by a 2^19-bit Bloom sketch of the urgent
+    * order keys BEFORE the exact join, so at scale the non-matching ~80%
+    * of the fact scan never reaches the exchange. Bloom filters have no
+    * false negatives and the exact join clears false positives, so the
+    * result is by definition the plain join's — which is exactly what the
+    * DuckDB oracle runs (same pure-physical-rewrite contract as q61). */
+  def q62BloomRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomFilter
+      .prefilteredJoin(Tables(spark, dir, "lineitem"), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_salted_segment_revenue" -> (q61SaltedSegmentRevenue _),
+    "q62_bloom_revenue" -> (q62BloomRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_customers_no_orders" -> (q3CustomersNoOrders _),
@@ -242,6 +263,12 @@ object CoreQueries {
 
   /** DuckDB oracle SQL — same column names, same determinism rules. */
   val oracles: Map[String, String] = Map(
+    "q62_bloom_revenue" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
     "q61_salted_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
