@@ -36,6 +36,47 @@ object Chunker {
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
   }
 
+  /** Concat-and-split sequence packing — the step between curation and the
+    * trainer: documents are concatenated in deterministic order and the
+    * token stream is cut every `budget` tokens, so every training sequence
+    * except a shard's last is exactly full (GPT-style packing; no padding
+    * waste, docs may span a boundary).
+    *
+    * Packing is per `shardCol` — the window cumsum partitions by shard, so
+    * shards pack in parallel and NO global sort exists anywhere in the
+    * plan. That is also the semantically right unit at 100 TB: a trainer
+    * reads shards independently, so cross-shard packing would serialize
+    * the pipeline for no benefit. A doc with tokens [cum_before, cum_after)
+    * lands in sequences floor(cum_before/budget)..floor((cum_after-1)/
+    * budget); the tiny per-doc explode enumerates those (≈1 row per doc
+    * when docs ≪ budget). All arithmetic is integer (DIV), so the oracle
+    * is bit-exact.
+    *
+    * Output per (shard, seq_id): `n_docs` contributing ≥1 token,
+    * `n_tokens` in the sequence (= budget except the shard's last), and
+    * `n_split_docs` — docs crossing into or out of this sequence. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.select(col(shardCol), col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum_after", sum(col("n_tok")).over(w))
+      .withColumn("cum_before", col("cum_after") - col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_before DIV $budget"), expr(s"(cum_after - 1) DIV $budget"))))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("cum_after"), (col("seq_id") + 1) * budget)
+          - greatest(col("cum_before"), col("seq_id") * budget)).as("n_tokens"),
+        sum(when(col("cum_before") < col("seq_id") * budget ||
+          col("cum_after") > (col("seq_id") + 1) * budget, 1L).otherwise(0L))
+          .as("n_split_docs"))
+  }
+
   /** Passage-level duplication profile (CCNet-style paragraph dedup,
     * re-expressed over non-overlapping token windows since the corpus
     * carries no paragraph breaks): for every doc, how many of its distinct

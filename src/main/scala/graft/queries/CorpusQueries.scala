@@ -166,7 +166,20 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** Sequence token budget for q63 (a training context window). */
+  private val PackBudget = 512L
+
+  /** q63: concat-and-split sequence packing — per (source shard, sequence):
+    * contributing docs, token fill (= budget except the shard's last), and
+    * boundary-crossing docs. The step between curation and the trainer;
+    * packs shards in parallel, no global sort anywhere in the plan. */
+  def q63SequencePack(spark: SparkSession, dir: String): DataFrame =
+    Chunker.packSequences(Tables(spark, dir, "documents"),
+      "doc_id", "text", "source", budget = PackBudget)
+      .orderBy(col("source"), col("seq_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_sequence_pack" -> (q63SequencePack _),
     "q57_token_chunks" -> (q57TokenChunks _),
     "q58_passage_dup" -> (q58PassageDup _),
     "q59_mixture_plan" -> (q59MixturePlan _),
@@ -190,6 +203,21 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q63_sequence_pack" ->
+      raw"""WITH t AS (SELECT source, doc_id, CAST(len($tksSql) AS BIGINT) AS n_tok
+             FROM documents),
+         c AS (SELECT source, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_after
+           FROM t WHERE n_tok > 0),
+         s AS (SELECT source, doc_id, cum_after, cum_after - n_tok AS cum_before FROM c),
+         x AS (SELECT source, cum_before, cum_after,
+             unnest(range(cum_before // 512, (cum_after - 1) // 512 + 1)) AS seq_id
+           FROM s)
+         SELECT source, seq_id, count(*) AS n_docs,
+           CAST(sum(least(cum_after, (seq_id+1)*512) - greatest(cum_before, seq_id*512)) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cum_before < seq_id*512 OR cum_after > (seq_id+1)*512
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q57_token_chunks" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          c AS (SELECT doc_id, tks, unnest(range(0, len(tks), 24)) AS s FROM t)

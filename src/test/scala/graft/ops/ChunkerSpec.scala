@@ -49,4 +49,30 @@ class ChunkerSpec extends SparkSpec {
     // doc1's two windows are both 'a b' -> ONE distinct passage, unshared
     assert(got === Seq((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
+
+  test("packing fills every sequence to budget except a shard's last") {
+    // shard s: docs of 3,4,2 tokens, budget 4 -> stream of 9 tokens ->
+    // seqs [0,4)=4, [4,8)=4, [8,9)=1. doc2 (tokens 3..6) spans seqs 0+1.
+    val docs = Seq(
+      ("s", 1L, "a b c"), ("s", 2L, "d e f g"), ("s", 3L, "h i"),
+      ("t", 9L, "x y")).toDF("source", "doc_id", "text")
+    val got = Chunker.packSequences(docs, "doc_id", "text", "source", budget = 4)
+      .orderBy("source", "seq_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // (shard, seq, n_docs, n_tokens, n_split_docs)
+      ("s", 0L, 2L, 4L, 1L),  // doc1 whole + doc2's first token
+      ("s", 1L, 2L, 4L, 2L),  // doc2's tail + doc3's first token
+      ("s", 2L, 1L, 1L, 1L),  // doc3's last token
+      ("t", 0L, 1L, 2L, 0L))) // underfull last sequence of shard t
+  }
+
+  test("packing conserves tokens and never overfills") {
+    val docs = Seq(("s", 1L, "a b c d e"), ("s", 2L, "f"), ("s", 3L, "g h i"),
+      ("", 4L, "")).toDF("source", "doc_id", "text")
+    val seqs = Chunker.packSequences(docs, "doc_id", "text", "source", budget = 3)
+    val total = seqs.agg(sum("n_tokens")).as[Long].head()
+    assert(total == 9L)
+    assert(seqs.filter(col("n_tokens") > 3).isEmpty)
+  }
 }
