@@ -72,6 +72,23 @@ object CorpusCuration {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-domain cap — keep at most `n` docs per `srcCol`, highest
+    * `scoreCol` first with the id as a deterministic tie-break. The crawl
+    * pipeline's guard against one domain flooding the corpus. A window
+    * rank partitioned by domain: every domain ranks in parallel, no global
+    * sort; at 100 TB a skewed mega-domain is one fat partition — rank only
+    * needs (score, id) per row, so even that stays sort-of-columns cheap. */
+  def capPerSource(docs: DataFrame, idCol: String, srcCol: String,
+                   scoreCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "cap must be positive")
+    docs
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("src_rank") <= n)
+  }
+
   /** The full pipeline. Returns (curated docs, per-stage counts).
     *
     * Single materialization per stage: filtered and exact are persisted,

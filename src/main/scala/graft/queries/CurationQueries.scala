@@ -42,9 +42,25 @@ object CurationQueries {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** q64: per-domain cap — at most 5 docs per source, best quality first
+    * (doc_id breaks ties), the guard against one domain flooding the
+    * corpus. Window rank partitioned by source: domains rank in parallel,
+    * no global sort in the plan. */
+  def q64SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextQueries.docsWide(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.fixedPoint(
+          graft.functions.TextFunctions.qualityScore(col("text")), 4).as("quality_e4"))
+    CorpusCuration.capPerSource(scored, "doc_id", "source", "quality_e4", n = 5)
+      .select(col("source"), col("src_rank").cast("long").as("src_rank"),
+        col("doc_id"), col("quality_e4"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
-    "q36_corpus_curation" -> (q36CorpusCuration _))
+    "q36_corpus_curation" -> (q36CorpusCuration _),
+    "q64_source_cap" -> (q64SourceCap _))
 
   // ---- oracle SQL ----
 
@@ -69,6 +85,14 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q64_source_cap" ->
+      raw"""WITH s AS (SELECT doc_id, source, $qualitySql AS quality_e4 FROM documents),
+         r AS (SELECT source, doc_id, quality_e4,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality_e4 DESC, doc_id) AS src_rank
+           FROM s)
+         SELECT source, CAST(src_rank AS BIGINT) AS src_rank, doc_id, quality_e4
+         FROM r WHERE src_rank <= 5 ORDER BY source, src_rank""",
     "q35_sql_revenue_filter" ->
       """SELECT CAST(sum(floor(l_extendedprice * l_discount * 100 + 0.5)) AS BIGINT) AS revenue_cents,
          count(*) AS n_items

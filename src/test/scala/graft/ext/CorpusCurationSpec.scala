@@ -58,4 +58,14 @@ class CorpusCurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out.contains(10L) && !out.contains(20L) && out.contains(30L))
   }
+
+  test("per-source cap keeps the n best per domain, id as tie-break") {
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),
+      (5L, "b", 30L)).toDF("doc_id", "source", "score")
+    val kept = CorpusCuration.capPerSource(docs, "doc_id", "source", "score", n = 2)
+      .select("doc_id", "src_rank").as[(Long, Int)].collect().toMap
+    // source a: 90@2 (rank 1, lower id wins tie), 90@3 (rank 2); b: 5
+    assert(kept === Map(2L -> 1, 3L -> 2, 5L -> 1))
+  }
 }
