@@ -201,6 +201,88 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_e4"))
   }
 
+  /** Per-dimension corpus bounds of the e3-quantized values — the codebook
+    * for scalar quantization: ONE row (lo[dim], hi[dim]). One posexplode +
+    * groupBy(d) (dim·corpus narrow rows, uniform keys), then a two-phase
+    * collect of dim values — never more than `dim` longs on the driver. */
+  def sq8Bounds(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus.select(posexplode(quantize(col(embCol))).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("l"), max(col("v")).as("h"))
+      .agg(sort_array(collect_list(struct(col("d"), col("l"), col("h")))).as("__b"))
+      .select(transform(col("__b"), x => x.getField("l")).as("lo"),
+        transform(col("__b"), x => x.getField("h")).as("hi"))
+
+  /** SQ8 encode: per dim, code = floor((v−lo)·255 / max(hi−lo, 1)) ∈
+    * [0, 255] — 1 byte of information per dimension instead of 4 (the 4×
+    * memory/IO cut is WHY scalar quantization exists at 100 TB; codes ride
+    * as longs in-plan so the integer-dot kernel applies). The division is
+    * IEEE-double over exact ints with numerator ≤ ~5e8 — a quotient can
+    * never land within an ulp of an integer it shouldn't cross, so floor
+    * is engine-exact (the oracle runs the same float divide + floor). */
+  def sq8Encode(df: DataFrame, bounds: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    df.join(broadcast(bounds), lit(true))
+      .select(col(idCol), zip_with(
+        quantize(col(embCol)),
+        zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h"))),
+        (v, b) => floor(((v - b("l")) * 255).cast("double") /
+          greatest(b("h") - b("l"), lit(1L))).cast("long")).as("sq_codes"))
+
+  /** Decode SQ8 codes to the integer reconstruction ×255 — cosine is
+    * scale-invariant, so scaling by 255 keeps everything integer:
+    * v̂·255 = lo·255 + code·(hi−lo). Magnitudes ≤ ~5e5/dim → dots ≪ 2^53,
+    * exact anywhere. */
+  def sq8Decode(codes: Column, lo: Column, hi: Column): Column =
+    zip_with(codes,
+      zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
+      (c, b) => b("l") * 255 + c * (b("h") - b("l")))
+
+  /** SQ8 approximate top-k: rank by exact integer cosine over the DECODED
+    * reconstructions (ranking raw code dots would be wrong — the per-dim
+    * `lo` shift changes the ranking; reconstruction-space cosine is what
+    * FAISS-style SQ8 search computes). Query side broadcast — zero corpus
+    * shuffle, one scan, same plan shape as bruteForceTopK; what changed is
+    * that the corpus can now be STORED as 1-byte codes (4× less IO) and
+    * decoded on the fly inside codegen. Returns (q_id, neighbor_id,
+    * cos_e4, rank); measure ranking loss with sq8Recall. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bounds = sq8Bounds(corpus, embCol)
+    def decoded(df: DataFrame, id: String, emb: String, norm: String): DataFrame =
+      sq8Encode(df, bounds, idCol, embCol)
+        .join(broadcast(bounds), lit(true))
+        .select(col(idCol).as(id),
+          sq8Decode(col("sq_codes"), col("lo"), col("hi")).as(emb))
+        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+    val q = broadcast(decoded(queries, "q_id", "q_emb", "q_norm"))
+    val scored = decoded(corpus, idCol, "__re", "__rn")
+      .join(q, col("q_id") =!= col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__re")) / (col("q_norm") * col("__rn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Recall@k of the SQ8 ranking against the exact cosine ranking:
+    * per query, |sq8 top-k ∩ exact top-k| / k. The number that tells you
+    * whether the 4× compression is free for YOUR corpus. */
+  def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = sq8TopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+    approx.join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      .join(queries.select(col(idCol).as("q_id")), Seq("q_id"), "right")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_e4", graft.functions.TextFunctions.fixedPoint(
+        col("n_hits") / lit(k.toDouble), 4))
+  }
+
   /** Squared L2 distance in the quantized space — EXACT integer from three
     * integer dot products: |a−b|² = a·a + b·b − 2·a·b. No per-dimension
     * float subtraction, so no summation-order sensitivity anywhere. */

@@ -89,7 +89,17 @@ object SimQueries {
     Similarity.centroidOutliers(Tables(spark, dir, "embeddings"), factor = 2)
       .orderBy(col("vec_id"))
 
+  /** q65: SQ8 scalar-quantized ANN quality — recall@5 of the 8-bit-code
+    * ranking against the exact cosine ranking for the 10 query vectors.
+    * The 4× memory/IO compression check: per-dim corpus bounds → byte
+    * codes → integer code-dot top-k vs float-exact top-k. */
+  def q65Sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Recall(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
+      .orderBy(col("q_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_sq8_recall" -> (q65Sq8Recall _),
     "q60_embedding_outliers" -> (q60EmbeddingOutliers _),
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
@@ -139,6 +149,37 @@ object SimQueries {
         FROM e, planes GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q65_sq8_recall" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         b AS (SELECT d, min(v) AS l, max(v) AS h FROM pe GROUP BY 1),
+         ba AS (SELECT list(l ORDER BY d) AS lo, list(h ORDER BY d) AS hi FROM b),
+         codes AS (SELECT vec_id,
+             [CAST(floor(CAST((qe[i+1]-lo[i+1])*255 AS DOUBLE)/greatest(hi[i+1]-lo[i+1],1)) AS BIGINT)
+              for i in range(0, len(qe))] AS cq
+           FROM e, ba),
+         rec AS (SELECT vec_id,
+             [lo[i+1]*255 + cq[i+1]*(hi[i+1]-lo[i+1]) for i in range(0, len(cq))] AS re
+           FROM codes, ba),
+         sq AS (SELECT q.vec_id AS q_id, c.vec_id, ${cosSql("q.re", "c.re")} AS scos
+           FROM rec q JOIN rec c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         sqk AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY scos DESC, vec_id) AS r
+             FROM sq) WHERE r <= $TopK),
+         ex AS (SELECT q.vec_id AS q_id, c.vec_id, ${cosSql("q.qe", "c.qe")} AS cos_e4
+           FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+         exk AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS r
+             FROM ex) WHERE r <= $TopK),
+         hits AS (SELECT q_id, count(*) AS n_hits
+           FROM sqk JOIN exk USING (q_id, vec_id) GROUP BY 1)
+         SELECT q.vec_id AS q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(n_hits, 0)/$TopK.0*10000 + 0.5) AS BIGINT) AS recall_e4
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits ON q.vec_id = hits.q_id ORDER BY q_id""",
     "q60_embedding_outliers" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

@@ -220,6 +220,23 @@ class DedupSimSpec extends SparkSpec {
     assert(s(0) > s(1))
   }
 
+  test("sq8 codes stay in [0,255] and hit the extremes at the bounds") {
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+    val bounds = Similarity.sq8Bounds(emb)
+    val codes = Similarity.sq8Encode(emb, bounds)
+      .select(explode($"sq_codes").as("c"))
+    val mm = codes.agg(min($"c"), max($"c")).as[(Long, Long)].head()
+    assert(mm._1 == 0L && mm._2 == 255L,
+      s"codes span $mm — per-dim min must encode 0, max must encode 255")
+  }
+
+  test("sq8 reconstruction-cosine ranking recalls most exact neighbors") {
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+    val recall = Similarity.sq8Recall(emb.filter($"vec_id" < 10), emb, k = 5)
+      .agg(avg($"recall_e4")).as[Double].head()
+    assert(recall >= 8000.0, s"mean recall@5 = $recall (e4) — quantization too lossy")
+  }
+
   test("winnowing guarantees shared fingerprints for long shared substrings") {
     val common = "the quick brown fox jumps over the extremely lazy dog again"
     val docs2 = Seq(
