@@ -83,14 +83,59 @@ object MiscQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q66: z-order vs insertion-order layout quality — per 1/64th slice of
+    * each layout's order key, how wide the (partkey, suppkey) bounds are.
+    * Tight spans == row groups a predicate on that column can skip. The
+    * z-order slices bound BOTH keys ~8× tighter than orderkey slices;
+    * this is the min/max-pruning win quantified, all-integer. */
+  def q66ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    def shaped(stats: DataFrame, layout: String): DataFrame =
+      stats.select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
+        col("a_span").as("part_span"), col("b_span").as("supp_span"))
+    val zorder = ZOrder.layoutStats(li,
+      ZOrder.zvalue(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", nBuckets = 64)
+    val linear = ZOrder.layoutStats(li, col("l_orderkey"),
+      "l_partkey", "l_suppkey", nBuckets = 64)
+    shaped(zorder, "zorder").unionByName(shaped(linear, "linear"))
+      .orderBy(col("layout"), col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_zorder_stats" -> (q66ZorderStats _),
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
     "q40_hll_merge" -> (q40HllMerge _),
     "q47_cms_freq" -> (q47CmsFreq _),
     "q49_quantile_sketch" -> (q49QuantileSketch _))
 
+  /** Morton interleave of the low 16 bits of two columns, as SQL. */
+  private def zSql(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   val oracles: Map[String, String] = Map(
+    "q66_zorder_stats" ->
+      raw"""WITH src AS (SELECT l_partkey, l_suppkey, l_orderkey,
+             (${zSql("l_partkey", "l_suppkey")}) AS z FROM lineitem),
+         zb AS (SELECT min(z) AS lo, max(z) AS hi FROM src),
+         ob AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM src),
+         u AS (
+           SELECT 'zorder' AS layout,
+             least(CAST(63 AS BIGINT), ((z - lo) * 64) // (hi - lo + 1)) AS bucket,
+             l_partkey, l_suppkey FROM src, zb
+           UNION ALL
+           SELECT 'linear',
+             least(CAST(63 AS BIGINT), ((l_orderkey - lo) * 64) // (hi - lo + 1)),
+             l_partkey, l_suppkey FROM src, ob)
+         SELECT layout, bucket, count(*) AS n_rows,
+           CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS part_span,
+           CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS supp_span
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     "q32_media_features" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
