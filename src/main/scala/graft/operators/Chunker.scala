@@ -36,6 +36,35 @@ object Chunker {
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
   }
 
+  /** Intra-document repetition removal — drop every repeated
+    * non-overlapping `size`-token window after its first occurrence and
+    * rebuild the document (the within-doc cousin of C4's repeated-line
+    * scrub; crawl text repeats nav boilerplate, templated corpora repeat
+    * spans). ENTIRELY row-local: the chunk array materializes once per row
+    * (its own projection, so the keep-filter's lambda references the bound
+    * attribute, not a re-evaluated expression tree), then an index-aware
+    * `filter` keeps chunk i iff no identical chunk precedes it. Zero
+    * shuffle at any corpus size; per-row cost is O(windows²) string
+    * compares, fine for real document lengths. Output: (idCol, n_windows,
+    * n_kept, cleaned_md5). */
+  def dropRepeatedPassages(df: DataFrame, idCol: String, textCol: String,
+                           size: Int): DataFrame = {
+    require(size > 0, "window size must be positive")
+    val tks = TextFunctions.wsTokens(col(textCol))
+    val nTks = org.apache.spark.sql.functions.size(tks)
+    val starts = when(nTks > 0, sequence(lit(0), nTks - 1, lit(size)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts, s => concat_ws(" ", slice(tks, s + 1, lit(size))))
+    df.select(col(idCol), chunks.as("__chunks"))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(col("__chunks")).cast("long").as("n_windows"),
+        filter(col("__chunks"), (c, i) =>
+          array_position(slice(col("__chunks"), lit(1), i), c) === 0L).as("__kept"))
+      .select(col(idCol), col("n_windows"),
+        org.apache.spark.sql.functions.size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept"))).as("cleaned_md5"))
+  }
+
   /** Concat-and-split sequence packing — the step between curation and the
     * trainer: documents are concatenated in deterministic order and the
     * token stream is cut every `budget` tokens, so every training sequence

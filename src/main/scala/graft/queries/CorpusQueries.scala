@@ -178,7 +178,15 @@ object CorpusQueries {
       "doc_id", "text", "source", budget = PackBudget)
       .orderBy(col("source"), col("seq_id"))
 
+  /** q67: intra-doc repetition removal — per doc, total vs kept 2-token
+    * windows and the fingerprint of the de-repeated text (the within-doc
+    * boilerplate scrub; row-local, zero shuffle). */
+  def q67RepetitionRemoval(spark: SparkSession, dir: String): DataFrame =
+    Chunker.dropRepeatedPassages(docsWide(spark, dir), "doc_id", "text", size = 2)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_repetition_removal" -> (q67RepetitionRemoval _),
     "q63_sequence_pack" -> (q63SequencePack _),
     "q57_token_chunks" -> (q57TokenChunks _),
     "q58_passage_dup" -> (q58PassageDup _),
@@ -203,6 +211,18 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q67_repetition_removal" ->
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+         c AS (SELECT doc_id,
+             [array_to_string(tks[s+1:s+2], ' ') for s in range(0, len(tks), 2)] AS chunks
+           FROM t),
+         k AS (SELECT doc_id, chunks,
+             list_filter(chunks, (x, i) -> list_position(chunks[1:i-1], x) = 0) AS kept
+           FROM c)
+         SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_windows,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS cleaned_md5
+         FROM k ORDER BY doc_id""",
     "q63_sequence_pack" ->
       raw"""WITH t AS (SELECT source, doc_id, CAST(len($tksSql) AS BIGINT) AS n_tok
              FROM documents),

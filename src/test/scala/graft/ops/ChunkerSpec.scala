@@ -50,6 +50,28 @@ class ChunkerSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
   }
 
+  test("repeated windows are dropped after their first occurrence") {
+    // size 2: doc1 windows [a b][c d][a b][e] -> kept [a b][c d][e]
+    val docs = Seq((1L, "a b c d a b e"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val got = Chunker.dropRepeatedPassages(docs, "doc_id", "text", size = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      (1L, 4L, 3L, h("a b c d e")),
+      (2L, 1L, 1L, h("x y")),
+      (3L, 0L, 0L, h(""))))
+  }
+
+  test("a doc with no repeats is reconstructed verbatim") {
+    val docs = Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+    val got = Chunker.dropRepeatedPassages(docs, "doc_id", "text", size = 2)
+      .as[(Long, Long, Long, String)].head()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === ((1L, 3L, 3L, h("p q r s t u"))))
+  }
+
   test("packing fills every sequence to budget except a shard's last") {
     // shard s: docs of 3,4,2 tokens, budget 4 -> stream of 9 tokens ->
     // seqs [0,4)=4, [4,8)=4, [8,9)=1. doc2 (tokens 3..6) spans seqs 0+1.
