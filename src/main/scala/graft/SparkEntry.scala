@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimQueries.all ++ EventQueries.all ++ VaultQueries.all ++
-      MiscQueries.all ++ CurationQueries.all ++ CorpusQueries.all
+      MiscQueries.all ++ CurationQueries.all ++ CorpusQueries.all ++
+      AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles ++
-      MiscQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles
+      MiscQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++
+      AnalyticsQueries.oracles
 }
