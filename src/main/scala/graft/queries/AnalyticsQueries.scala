@@ -85,11 +85,62 @@ object AnalyticsQueries {
       .orderBy(col("stage"))
   }
 
+  /** q72: top-3 tokens per language — the per-group heavy-hitter report.
+    * Two-level shape: partial-agg'd groupBy(lang, token) shrinks the
+    * explode to distinct pairs BEFORE the rank window sees anything, so
+    * the window input is vocabulary-sized, not corpus-sized. */
+  def q72TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextQueries.docsWide(spark, dir)
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("token"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** q73: temperature-scaled mixture (T = 2) — the multilingual-LLM
+    * standard for upweighting low-resource languages: weight ∝ √tokens
+    * instead of ∝ tokens. √ of an integer is IEEE-correctly-rounded in
+    * every engine, and quantizing each weight to e4 BEFORE the normalizing
+    * sum keeps the total integer-exact in any accumulation order. */
+  def q73TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_e4", fixedPoint(sqrt(col("n_tokens").cast("double")), 4))
+    val total = mass.agg(sum(col("w_e4")).as("w_total"))
+    mass.join(broadcast(total), lit(true))
+      .withColumn("share_e4",
+        fixedPoint(col("w_e4") / col("w_total"), 4))
+      .select(col("lang"), col("n_tokens"), col("w_e4"), col("share_e4"))
+      .orderBy(col("lang"))
+  }
+
+  /** q74: retention cohorts — users grouped by first-seen day, distinct
+    * actives per day offset. The warehouse's classic triangle view; two
+    * shuffles on user_id (first-seen agg, then the cohort join) and one
+    * on the (cohort, offset) rollup. */
+  def q74Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_rollup" -> (q68Rollup _),
     "q69_pivot" -> (q69Pivot _),
     "q70_moving_avg" -> (q70MovingAvg _),
-    "q71_funnel" -> (q71Funnel _))
+    "q71_funnel" -> (q71Funnel _),
+    "q72_top_tokens" -> (q72TopTokens _),
+    "q73_temperature_mix" -> (q73TemperatureMix _),
+    "q74_retention" -> (q74Retention _))
 
   import TextQueries.tokCountSql
 
@@ -117,6 +168,33 @@ object AnalyticsQueries {
          FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, hour_start""",
+    "q72_top_tokens" ->
+      raw"""WITH occ AS (SELECT lang, unnest(CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END) AS token FROM documents),
+         c AS (SELECT lang, token, count(*) AS n FROM occ GROUP BY 1, 2),
+         r AS (SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+           FROM c)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n
+         FROM r WHERE rnk <= 3 ORDER BY lang, rnk""",
+    "q73_temperature_mix" ->
+      raw"""WITH m AS (SELECT lang, CAST(sum($tokCountSql) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))*10000 + 0.5) AS BIGINT) AS w_e4
+           FROM m),
+         t AS (SELECT CAST(sum(w_e4) AS BIGINT) AS w_total FROM w)
+         SELECT lang, n_tokens, w_e4,
+           CAST(floor(CAST(w_e4 AS DOUBLE)/w_total*10000 + 0.5) AS BIGINT) AS share_e4
+         FROM w, t ORDER BY lang""",
+    "q74_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_day AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q71_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
          v AS (SELECT user_id, min(tus) AS v_ts FROM e
