@@ -66,7 +66,6 @@ object AnalyticsQueries {
     * user_id; each stage's frame is one row per surviving user, so the
     * joins stay narrow at any event volume. */
   def q71Funnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
     val v = e.filter(col("event_type") === "view")
@@ -77,11 +76,14 @@ object AnalyticsQueries {
     val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("tus") > col("c_ts"))
       .groupBy(col("user_id")).agg(min(col("tus")).as("p_ts"))
-    val all = e.select(col("user_id")).distinct().count()
-    Seq(("0_all", all), ("1_view", v.count()),
-      ("2_click_after_view", c.count()),
-      ("3_purchase_after_click", p.count()))
-      .toDF("stage", "n_users")
+    // one declarative plan — four 1-row aggregates unioned, not four
+    // driver-side count() actions (which would launch four jobs)
+    def stageCount(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    stageCount(e.select(col("user_id")).distinct(), "0_all")
+      .unionByName(stageCount(v, "1_view"))
+      .unionByName(stageCount(c, "2_click_after_view"))
+      .unionByName(stageCount(p, "3_purchase_after_click"))
       .orderBy(col("stage"))
   }
 
