@@ -123,6 +123,54 @@ object Relational {
     left.join(right, keys :+ "__salt").drop("__salt")
   }
 
+  /** Incremental aggregate maintenance — refresh a stored rollup with a
+    * new batch WITHOUT rescanning the base: aggregate the delta to the
+    * same shape, union, and re-merge per key. Counts and sums merge by
+    * sum, min/max by min/max (avg derives from sum/count at read time).
+    * At 100 TB this is the difference between cost ∝ batch and cost ∝
+    * table: the base aggregate is keys-cardinality-sized, so the union's
+    * shuffle is tiny next to re-aggregating the raw history. Result ≡
+    * aggregating base-raw ∪ delta-raw from scratch (q76 proves it on the
+    * oracle surface). */
+  def mergeAggregates(baseAgg: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+                      sumCols: Seq[String], minCols: Seq[String] = Nil,
+                      maxCols: Seq[String] = Nil): DataFrame = {
+    require(baseAgg.columns.sorted.sameElements(deltaAgg.columns.sorted),
+      "aggregate frames must share a schema")
+    val merged = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
+    baseAgg.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+
+  /** CDC snapshot diff — classify every key as inserted / deleted /
+    * updated between two versions of a table (unchanged rows drop out).
+    * One full-outer join on the key (single shuffle per side; bucket both
+    * snapshots on the key and even that disappears); values compare
+    * null-safely so NULL→NULL is "unchanged" and NULL→value is an update.
+    * Output: key columns + `action`. The feed every SCD/merge pipeline
+    * wants from upstream when the source can't emit a changelog. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"diff schema mismatch: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val valueCols = oldSnap.columns.filterNot(keys.contains).toSeq
+    val n = newSnap.columns.foldLeft(newSnap)((d, c) => d.withColumnRenamed(c, "__n_" + c))
+      .withColumn("__n_hit", lit(true))
+    val o = oldSnap.withColumn("__o_hit", lit(true))
+    val cond = keys.map(k => col(k) <=> col("__n_" + k)).reduce(_ && _)
+    val changed = valueCols.map(c => !(col(c) <=> col("__n_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, cond, "full_outer")
+      .withColumn("action",
+        when(col("__o_hit").isNull, lit("inserted"))
+          .when(col("__n_hit").isNull, lit("deleted"))
+          .when(changed, lit("updated")))
+      .filter(col("action").isNotNull)
+      .select(keys.map(k => coalesce(col(k), col("__n_" + k)).as(k)) :+ col("action"): _*)
+  }
+
   /** UPDATE .. WHERE key IN (subquery) as read→when→rewrite.
     * Reference: etl_manager.py:821-866 (J6). Keys dataframe is expected to
     * be registry-scale → broadcast semi-join, no shuffle of the fact side.

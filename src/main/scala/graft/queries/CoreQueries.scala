@@ -240,9 +240,47 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q76: incremental aggregate maintenance — the pre-1996 revenue rollup
+    * refreshed with the 1996+ batch via Relational.mergeAggregates. Cost ∝
+    * batch, not table; the oracle aggregates ALL rows from scratch, so a
+    * hash match proves refresh ≡ recompute. */
+  def q76IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+    val li = Tables(spark, dir, "lineitem")
+    val base = rollup(li.filter(col("l_shipdate") < lit("1996-01-01")))
+    val delta = rollup(li.filter(col("l_shipdate") >= lit("1996-01-01")))
+    Relational.mergeAggregates(base, delta, Seq("l_returnflag"),
+      sumCols = Seq("n_items", "revenue_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q77: CDC snapshot diff — a synthetic evolution of orders (delete
+    * key%97, bump totalprice on key%13, clone key%101 under new keys) is
+    * diffed against the original with Relational.snapshotDiff; per-action
+    * row counts and key checksums. The oracle rebuilds the same new
+    * snapshot and classifies with the same full-outer compare. */
+  def q77SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val key = col("o_orderkey")
+    val survivors = o.filter(key % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(key % 13 === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    val clones = o.filter(key % 101 === 0)
+      .withColumn("o_orderkey", key + 10000000L)
+    Relational.snapshotDiff(o, survivors.unionByName(clones), Seq("o_orderkey"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("action"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_salted_segment_revenue" -> (q61SaltedSegmentRevenue _),
     "q62_bloom_revenue" -> (q62BloomRevenue _),
+    "q76_incremental_agg" -> (q76IncrementalAgg _),
+    "q77_snapshot_diff" -> (q77SnapshotDiff _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_customers_no_orders" -> (q3CustomersNoOrders _),
@@ -263,6 +301,32 @@ object CoreQueries {
 
   /** DuckDB oracle SQL — same column names, same determinism rules. */
   val oracles: Map[String, String] = Map(
+    "q76_incremental_agg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q77_snapshot_diff" ->
+      """WITH new AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+         d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                  WHEN n.o_orderkey IS NULL THEN 'deleted'
+                  WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                    AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                    AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                  THEN 'updated' END AS action
+           FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+         SELECT action, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
+         FROM d WHERE action IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "q62_bloom_revenue" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents

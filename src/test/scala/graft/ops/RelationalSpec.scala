@@ -92,4 +92,36 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(2))).toSet
     assert(got == Set((1, 0), (2, 1), (3, 1)))
   }
+
+  test("mergeAggregates refresh equals recompute, including min/max") {
+    val raw = Seq(("a", 1L), ("a", 5L), ("b", 2L), ("a", 3L), ("b", 7L))
+      .toDF("k", "v")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        min($"v").as("lo"), max($"v").as("hi"))
+    val base = rollup(raw.limit(2))
+    val delta = rollup(raw.exceptAll(raw.limit(2)))
+    val merged = Relational.mergeAggregates(base, delta, Seq("k"),
+      sumCols = Seq("n", "s"), minCols = Seq("lo"), maxCols = Seq("hi"))
+    assert(merged.collect().toSet == rollup(raw).collect().toSet)
+  }
+
+  test("snapshotDiff classifies inserted/deleted/updated, drops unchanged") {
+    val oldSnap = Seq((1, "a"), (2, "b"), (3, Option.empty[String].orNull))
+      .toDF("k", "v")
+    val newSnap = Seq((2, "B"), (3, Option.empty[String].orNull), (4, "d"))
+      .toDF("k", "v")
+    val got = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    // 1 deleted, 2 updated, 3 unchanged (NULL <=> NULL), 4 inserted
+    assert(got == Set((1, "deleted"), (2, "updated"), (4, "inserted")))
+  }
+
+  test("snapshotDiff flags NULL->value as an update") {
+    val oldSnap = Seq((1, Option.empty[String].orNull)).toDF("k", "v")
+    val newSnap = Seq((1, "x")).toDF("k", "v")
+    val got = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "updated")))
+  }
 }
