@@ -67,6 +67,45 @@ object Clusters {
     labels.select(col("id"), col("lab").as("cluster"))
   }
 
+  /** Deterministic integer PageRank over a bipartite edge set (a, b) —
+    * link-graph authority as a quality/importance signal, with every step
+    * in e4 fixed point so the result is bit-identical in any engine or
+    * partitioning. Ranks start at 10000; a "push" sends each a-node's rank
+    * equally to its b-neighbors with damping 0.85:
+    *
+    *   rank_b = 1500 + (8500 · Σ_{a→b} (rank_a DIV deg_a)) DIV 10000
+    *
+    * and between a→b pushes the mirror b→a push runs. `pushes` counts a→b
+    * phases (the oracle unrolls them). Per push: one join of the edge list
+    * with the node-sized rank frame on the shared key + one groupBy — two
+    * shuffles, nothing driver-side; `localCheckpoint` cuts the per-push
+    * lineage exactly like kmeansCentroids. Nodes without edges are not
+    * ranked (dangling-mass redistribution is out of scope — document
+    * collections care about relative order, which floors preserve).
+    * Returns b-side ranks: (bCol, rank_e4). */
+  def bipartiteRank(edges: DataFrame, aCol: String, bCol: String,
+                    pushes: Int = 2): DataFrame = {
+    require(pushes >= 1, "need at least one push")
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .distinct().localCheckpoint(true) // scanned every push
+    val degA = e.groupBy(col("a")).agg(count(lit(1)).as("da")).localCheckpoint(true)
+    val degB = e.groupBy(col("b")).agg(count(lit(1)).as("db")).localCheckpoint(true)
+    var rA = degA.select(col("a"), lit(10000L).as("ra"))
+    var rB: DataFrame = null
+    for (i <- 1 to pushes) {
+      rB = e.join(degA, "a").join(rA, "a")
+        .withColumn("c", expr("ra DIV da"))
+        .groupBy(col("b")).agg(expr("1500 + (8500 * sum(c)) DIV 10000").as("rb"))
+        .localCheckpoint(true)
+      if (i < pushes)
+        rA = e.join(degB, "b").join(rB, "b")
+          .withColumn("c", expr("rb DIV db"))
+          .groupBy(col("a")).agg(expr("1500 + (8500 * sum(c)) DIV 10000").as("ra"))
+          .localCheckpoint(true)
+    }
+    rB.select(col("b").as(bCol), col("rb").as("rank_e4"))
+  }
+
   /** Per-document dedup verdict for every doc in a near-dup component of
     * size ≥ 2: (cluster, doc id, canonical?) where the canonical doc is
     * the cluster minimum (deterministic keep-lowest-id policy, matching

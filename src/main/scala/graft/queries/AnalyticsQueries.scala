@@ -135,7 +135,23 @@ object AnalyticsQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q75: bipartite PageRank — supplier authority from the customer↔
+    * supplier purchase graph (Clusters.bipartiteRank, 2 a→b pushes with
+    * the mirror push between, damping 0.85, e4 integer fixed point; the
+    * oracle unrolls the same three half-steps). Top 25, rank then key. */
+  def q75SupplierRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    graft.operators.Clusters.bipartiteRank(edges, "c", "s", pushes = 2)
+      .select(col("s").as("s_suppkey"), col("rank_e4"))
+      .orderBy(col("rank_e4").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_supplier_rank" -> (q75SupplierRank _),
     "q68_rollup" -> (q68Rollup _),
     "q69_pivot" -> (q69Pivot _),
     "q70_moving_avg" -> (q70MovingAvg _),
@@ -147,6 +163,19 @@ object AnalyticsQueries {
   import TextQueries.tokCountSql
 
   val oracles: Map[String, String] = Map(
+    "q75_supplier_rank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         degc AS (SELECT c, count(*) AS dc FROM e GROUP BY 1),
+         degs AS (SELECT s, count(*) AS ds FROM e GROUP BY 1),
+         rs1 AS (SELECT s, 1500 + (8500 * sum(10000 // dc)) // 10000 AS r
+           FROM e JOIN degc USING (c) GROUP BY 1),
+         rc1 AS (SELECT c, 1500 + (8500 * sum(r // ds)) // 10000 AS r
+           FROM e JOIN degs USING (s) JOIN rs1 USING (s) GROUP BY 1),
+         rs2 AS (SELECT s, 1500 + (8500 * sum(r // dc)) // 10000 AS r
+           FROM e JOIN degc USING (c) JOIN rc1 USING (c) GROUP BY 1)
+         SELECT s AS s_suppkey, CAST(r AS BIGINT) AS rank_e4
+         FROM rs2 ORDER BY rank_e4 DESC, s_suppkey LIMIT 25""",
     "q68_rollup" ->
       raw"""WITH t AS (SELECT lang, source, CAST($tokCountSql AS BIGINT) AS n_tok
              FROM documents)

@@ -39,4 +39,24 @@ class ClustersSpec extends SparkSpec {
     assert(got === Array((5L, 5L, true), (5L, 7L, false), (5L, 9L, false),
       (30L, 30L, true), (30L, 31L, false)))
   }
+
+  test("bipartiteRank matches the hand-unrolled integer fixed point") {
+    // edges: c1->{s10,s11}, c2->{s10}. Hand-computed (see bipartiteRank
+    // formula): push1 s10=14250 s11=5750; back-push c1=12443 c2=7556;
+    // push2 s10=13210 s11=6787.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("c", "s")
+    val one = Clusters.bipartiteRank(edges, "c", "s", pushes = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(10L -> 14250L, 11L -> 5750L))
+    val two = Clusters.bipartiteRank(edges, "c", "s", pushes = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two === Map(10L -> 13210L, 11L -> 6787L))
+  }
+
+  test("bipartiteRank is insensitive to duplicate edges") {
+    val edges = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L)).toDF("c", "s")
+    val got = Clusters.bipartiteRank(edges, "c", "s", pushes = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 14250L, 11L -> 5750L))
+  }
 }
