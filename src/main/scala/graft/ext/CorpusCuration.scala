@@ -89,6 +89,31 @@ object CorpusCuration {
       .filter(col("src_rank") <= n)
   }
 
+  /** Deterministic weighted sampling without replacement — priority
+    * (bottom-k) sampling: per stratum keep the k rows with the smallest
+    * `hash(id) DIV weight`. Heavier rows draw proportionally smaller
+    * priorities, the deterministic analogue of an A-Res weighted
+    * reservoir, and keeping "the k smallest priorities" is a bottom-k
+    * sketch: executors can keep local bottom-k and merge, no global sort
+    * (here a rank window per stratum; strata rank in parallel). Hash is
+    * md5-derived so every engine draws the same sample. */
+  def prioritySample(docs: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "sample size must be positive")
+    docs
+      .withColumn("__h", graft.functions.TextFunctions.stableHash60(
+        concat(lit("ps:"), col(idCol).cast("string"))))
+      // integer DIV — the 60-bit hash exceeds 2^53, double division would
+      // round and engines could disagree on the drawn sample
+      .withColumn("priority", expr(s"__h DIV greatest($weightCol, 1)"))
+      .drop("__h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("priority"), col(idCol))))
+      .filter(col("rnk") <= k)
+  }
+
   /** The full pipeline. Returns (curated docs, per-stage counts).
     *
     * Single materialization per stage: filtered and exact are persisted,

@@ -48,4 +48,25 @@ object Profiler {
         Option(row.getAs[String](s"__min_$i")), Option(row.getAs[String](s"__max_$i")))
     }.toDF("column", "n_rows", "n_nulls", "approx_distinct", "min", "max")
   }
+
+  /** Join-key skew report — the diagnostic to run BEFORE a 100 TB join:
+    * the `topK` heaviest key values with their row share (e4) and a `hot`
+    * verdict at `hotShareE4`. A hot key means a plain hash join puts that
+    * share of the table in ONE task — reach for Relational.saltedJoin (or
+    * broadcast the other side) instead. One partial-agg'd groupBy + a
+    * TakeOrdered of k rows; the share denominator rides a broadcast scalar,
+    * so the diagnostic costs one scan. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int,
+                 hotShareE4: Long = 1000L): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.join(broadcast(total), lit(true))
+      .withColumn("share_e4", graft.functions.TextFunctions.fixedPoint(
+        col("n") / col("__total"), 4))
+      .withColumn("hot", col("share_e4") >= hotShareE4)
+      .select(col("key"), col("n"), col("share_e4"), col("hot"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -21,9 +21,17 @@ import graft.functions.TextFunctions
   * results to the plain join — the filter is a pure physical rewrite
   * (proved on the oracle surface by q62, same contract as q61's salting).
   *
+  * Hashing: ONE 60-bit md5-derived hash per row; the k bit positions are
+  * its disjoint 20-bit slices (the fixed-cost cousin of Kirsch-
+  * Mitzenmacher double hashing — with mBits ≤ 2^20 the slices are
+  * independent uniform draws, and the probe costs one md5 however many
+  * hash functions the filter uses). Hence kHashes ≤ 3 and mBits a power
+  * of two ≤ 2^20; at the default m = 2^19, k = 3, a build side of n = m/16
+  * keys gives a ~0.4% false-positive rate — noise the exact join clears.
+  *
   * This mirrors what Spark's own runtime row-level filtering does
   * (spark.sql.optimizer.runtime.bloomFilter.*), expressed as an explicit,
-  * engine-portable operator: every hash derives from md5 of an explicit
+  * engine-portable operator: the hash derives from md5 of an explicit
   * string, so any engine can reproduce the exact bitmap.
   *
   * When it pays: the dim side is too big (or too late-derived) to
@@ -40,68 +48,84 @@ object BloomFilter {
     /** Driver-side membership probe (tests/tools). */
     def mightContainValue(key: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      def h(s: String): Long =
-        java.lang.Long.parseLong(
-          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
-      val h1 = h(s"bf1:$key"); val h2 = h(s"bf2:$key")
+      val h = java.lang.Long.parseLong(
+        md.digest(s"bf:$key".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
       (0 until kHashes).forall { i =>
-        val p = Math.floorMod(h1 + i.toLong * h2, mBits.toLong)
+        val p = (h >> (20 * i)) & (mBits - 1)
         (words((p >> 6).toInt) & (1L << (p & 63))) != 0
       }
     }
   }
 
-  /** The i-th bit position of `key` (as string) in a mBits-bit filter:
-    * double hashing over two independent 60-bit md5-derived hashes. */
-  private def position(key: Column, i: Int, mBits: Int): Column = {
-    val h1 = TextFunctions.stableHash60(concat(lit("bf1:"), key))
-    val h2 = TextFunctions.stableHash60(concat(lit("bf2:"), key))
-    pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
+  private def checkParams(mBits: Int, kHashes: Int): Unit = {
+    require(mBits >= 64 && mBits <= (1 << 20) && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two in [64, 2^20]: $mBits")
+    require(kHashes >= 1 && kHashes <= 3,
+      s"kHashes must be in [1, 3] (one 20-bit hash slice each): $kHashes")
   }
+
+  /** The single 60-bit hash of `key` (as string). */
+  private def hash60(key: Column): Column =
+    TextFunctions.stableHash60(concat(lit("bf:"), key.cast("string")))
+
+  /** The i-th bit position: the i-th 20-bit slice of the hash, masked to
+    * mBits (power of two). */
+  private def position(h: Column, i: Int, mBits: Int): Column =
+    shiftright(h, 20 * i).bitwiseAND(lit((mBits - 1).toLong))
 
   /** Build the filter over `keys(keyCol)` (cast to string). Distributed:
     * one narrow explode + one groupBy on ≤ mBits/64 word indices; only the
     * finished bitmap reaches the driver. */
   def build(keys: DataFrame, keyCol: String,
-            mBits: Int = 1 << 19, kHashes: Int = 4): Sketch = {
-    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
-    require(kHashes >= 1, s"kHashes must be >= 1: $kHashes")
-    val key = col(keyCol).cast("string")
-    val positions = array((0 until kHashes).map(i => position(key, i, mBits)): _*)
+            mBits: Int = 1 << 19, kHashes: Int = 3): Sketch = {
+    checkParams(mBits, kHashes)
+    val positions = array((0 until kHashes).map(i =>
+      position(col("__h"), i, mBits)): _*)
     val wordRows = keys
+      .select(hash60(col(keyCol)).as("__h"))
       .select(explode(positions).as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))
-      .agg(bit_or(call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int"))).as("bits"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("p"), lit(64L)).cast("int"))).as("bits"))
       .collect()
     val words = new Array[Long](mBits / 64)
     wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     Sketch(words, mBits, kHashes)
   }
 
-  /** Membership-test Column: true iff every one of the k bits is set.
-    * False positives possible (rate ~ (1-e^{-kn/m})^k), false negatives
-    * never — callers MUST keep the exact join after the filter. */
-  def mightContain(key: Column, s: Sketch): Column = {
+  /** Membership-test Column over a previously projected hash column. */
+  private def bitTests(h: Column, s: Sketch): Column = {
     val bitmap = typedLit(s.words.toSeq)
     (0 until s.kHashes)
       .map { i =>
-        val p = position(key.cast("string"), i, s.mBits)
+        val p = position(h, i, s.mBits)
         (element_at(bitmap, (p / 64).cast("int") + 1)
-          .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= 0L)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            pmod(p, lit(64L)).cast("int"))) =!= 0L)
       }
       .reduce(_ && _)
   }
 
-  /** Drop fact rows that cannot match any build-side key. */
+  /** Membership-test Column: true iff every one of the k bits is set.
+    * False positives possible (rate ~ (1-e^{-kn/m})^k), false negatives
+    * never — callers MUST keep the exact join after the filter. */
+  def mightContain(key: Column, s: Sketch): Column =
+    bitTests(hash60(key), s)
+
+  /** Drop fact rows that cannot match any build-side key. The hash
+    * projects once per row; the bit tests reuse it. */
   def semiFilter(fact: DataFrame, factKey: String, s: Sketch): DataFrame =
-    fact.filter(mightContain(col(factKey), s))
+    fact.withColumn("__bf_h", hash60(col(factKey)))
+      .filter(bitTests(col("__bf_h"), s))
+      .drop("__bf_h")
 
   /** Exact inner join with the Bloom pre-filter on the fact side: builds
     * the sketch from `dim(dimKey)`, filters `fact` before the join, then
     * joins exactly (clearing any false positives). Result ≡ plain join. */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
-                      mBits: Int = 1 << 19, kHashes: Int = 4): DataFrame = {
+                      mBits: Int = 1 << 19, kHashes: Int = 3): DataFrame = {
     val sketch = build(dim, dimKey, mBits, kHashes)
     semiFilter(fact, factKey, sketch)
       .join(dim, col(factKey) === col(dimKey))

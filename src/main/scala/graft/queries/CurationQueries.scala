@@ -57,10 +57,33 @@ object CurationQueries {
       .orderBy(col("source"), col("src_rank"))
   }
 
+  /** q78: weighted priority sampling — per language, the 10 docs drawn by
+    * the deterministic bottom-k weighted reservoir (weight = token count;
+    * heavier docs draw smaller priorities). Every engine draws the SAME
+    * sample — the reproducibility a training-data run needs. */
+  def q78PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = TextQueries.docsWide(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    CorpusCuration.prioritySample(weighted, "doc_id", "lang", "n_tok", k = 10)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("n_tok"), col("priority"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** q79: join-key skew report — the top event types by row share with the
+    * hot verdict at 10% (ext.Profiler.skewReport). The diagnostic that
+    * tells a 100 TB join to salt or broadcast BEFORE it runs. */
+  def q79SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.skewReport(
+      Tables(spark, dir, "events"), "event_type", topK = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
-    "q64_source_cap" -> (q64SourceCap _))
+    "q64_source_cap" -> (q64SourceCap _),
+    "q78_priority_sample" -> (q78PrioritySample _),
+    "q79_skew_report" -> (q79SkewReport _))
 
   // ---- oracle SQL ----
 
@@ -85,6 +108,26 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q78_priority_sample" ->
+      raw"""WITH d AS (SELECT doc_id, lang,
+             CAST($tokCountSql AS BIGINT) AS n_tok FROM documents),
+         p AS (SELECT doc_id, lang, n_tok,
+             CAST(('0x'||substr(md5('ps:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+               // greatest(n_tok, 1) AS priority
+           FROM d),
+         r AS (SELECT lang, doc_id, n_tok, priority,
+             row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rnk
+           FROM p)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tok, priority
+         FROM r WHERE rnk <= 10 ORDER BY lang, rnk""",
+    "q79_skew_report" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT key, n,
+           CAST(floor(CAST(n AS DOUBLE)/total*10000 + 0.5) AS BIGINT) AS share_e4,
+           CAST(floor(CAST(n AS DOUBLE)/total*10000 + 0.5) AS BIGINT) >= 1000 AS hot
+         FROM c, t ORDER BY n DESC, key LIMIT 10""",
     "q64_source_cap" ->
       raw"""WITH s AS (SELECT doc_id, source, $qualitySql AS quality_e4 FROM documents),
          r AS (SELECT source, doc_id, quality_e4,

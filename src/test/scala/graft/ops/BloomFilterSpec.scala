@@ -28,12 +28,12 @@ class BloomFilterSpec extends SparkSpec {
   }
 
   test("false-positive rate on disjoint keys stays under 2x the design rate") {
-    val sketch = BloomFilter.build(urgent, "o_orderkey", mBits = 1 << 17, kHashes = 4)
+    val sketch = BloomFilter.build(urgent, "o_orderkey", mBits = 1 << 17, kHashes = 3)
     // probe keys that cannot be in the build set (orderkeys are positive)
     val probes = spark.range(1, 20001).select((-col("id")).as("k"))
     val fps = BloomFilter.semiFilter(probes, "k", sketch).count()
     val n = urgent.count().toDouble
-    val design = math.pow(1 - math.exp(-4 * n / (1 << 17).toDouble), 4)
+    val design = math.pow(1 - math.exp(-3 * n / (1 << 17).toDouble), 3)
     assert(fps / 20000.0 <= math.max(2 * design, 0.001),
       s"fp rate ${fps / 20000.0} vs design $design (n=$n)")
   }
