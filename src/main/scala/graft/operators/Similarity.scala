@@ -266,6 +266,38 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** IVF lists + SQ8 scoring — the FAISS-style composition for corpora
+    * whose full-precision vectors don't fit the serving tier: inverted
+    * lists are assigned at INGEST from the full-precision vectors (when
+    * they're still on hand), query-time candidates come from the probed
+    * lists only, and ranking reads nothing but the stored 8-bit codes
+    * (decoded on the fly inside codegen). Search cost ≈ corpus/nlists ×
+    * probes per query over data 1/4 the size. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 k: Int, probes: Int = 2,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bounds = sq8Bounds(corpus, embCol)
+    def recon(df: DataFrame, id: String, emb: String, norm: String): DataFrame =
+      sq8Encode(df, bounds, idCol, embCol)
+        .join(broadcast(bounds), lit(true))
+        .select(col(idCol).as(id),
+          sq8Decode(col("sq_codes"), col("lo"), col("hi")).as(emb))
+        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+    val corpusIdx = ivfAssign(corpus, centroids, probes = 1, idCol, embCol)
+      .select(col(idCol), col("label"))
+      .join(recon(corpus, idCol, "__re", "__rn"), idCol)
+    val q = broadcast(ivfAssign(queries, centroids, probes, idCol, embCol)
+      .select(col(idCol).as("q_id"), col("label"))
+      .join(recon(queries, "q_id", "q_emb", "q_norm"), "q_id"))
+    val scored = corpusIdx.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__re")) / (col("q_norm") * col("__rn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Recall@k of the SQ8 ranking against the exact cosine ranking:
     * per query, |sq8 top-k ∩ exact top-k| / k. The number that tells you
     * whether the 4× compression is free for YOUR corpus. */

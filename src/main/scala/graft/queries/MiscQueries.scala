@@ -104,7 +104,34 @@ object MiscQueries {
       .orderBy(col("layout"), col("bucket"))
   }
 
+  /** q82: constraint report — dbt-style schema tests (unique / not_null /
+    * relationships) over a deliberately corrupted orders snapshot, so
+    * every check has non-zero work to find: key%89==0 rows are duplicated,
+    * priority NULLs out at key%11==0, and key%13==0 rows point at a
+    * non-existent customer. One declarative plan of 1-row aggregates. */
+  def q82ConstraintReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Constraints
+    val o = Tables(spark, dir, "orders")
+    val key = col("o_orderkey")
+    val dirty = o
+      .withColumn("o_orderpriority",
+        when(key % 11 === 0, lit(null).cast("string")).otherwise(col("o_orderpriority")))
+      .withColumn("o_custkey",
+        when(key % 13 === 0, -col("o_custkey")).otherwise(col("o_custkey")))
+      .unionByName(o.filter(key % 89 === 0))
+    Constraints.report(Seq(
+      "unique:o_orderkey" ->
+        Constraints.uniqueViolations(dirty, Seq("o_orderkey")),
+      "not_null:o_orderpriority" ->
+        Constraints.notNullViolations(dirty, "o_orderpriority"),
+      "fk:o_custkey->customer" ->
+        Constraints.fkViolations(dirty, "o_custkey",
+          Tables(spark, dir, "customer"), "c_custkey")))
+      .orderBy(col("test"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_constraint_report" -> (q82ConstraintReport _),
     "q66_zorder_stats" -> (q66ZorderStats _),
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
@@ -119,6 +146,29 @@ object MiscQueries {
       .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q82_constraint_report" ->
+      """WITH dirty AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 89 = 0),
+         u AS (SELECT count(*) AS n FROM (
+             SELECT o_orderkey FROM dirty WHERE o_orderkey IS NOT NULL
+             GROUP BY 1 HAVING count(*) > 1)),
+         nn AS (SELECT count(*) FILTER (o_orderpriority IS NULL) AS n FROM dirty),
+         fk AS (SELECT count(*) AS n FROM dirty
+           WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+         SELECT test, CAST(n AS BIGINT) AS n_violations FROM (
+           SELECT 'fk:o_custkey->customer' AS test, n FROM fk
+           UNION ALL SELECT 'not_null:o_orderpriority', n FROM nn
+           UNION ALL SELECT 'unique:o_orderkey', n FROM u)
+         ORDER BY test""",
     "q66_zorder_stats" ->
       raw"""WITH src AS (SELECT l_partkey, l_suppkey, l_orderkey,
              (${zSql("l_partkey", "l_suppkey")}) AS z FROM lineitem),

@@ -98,8 +98,20 @@ object SimQueries {
       queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
       .orderBy(col("q_id"))
 
+  /** q80: IVF lists + SQ8 scoring composed — candidates from the probed
+    * inverted lists (assigned at ingest from full-precision vectors),
+    * ranking from the stored 8-bit codes only. The FAISS-shaped serving
+    * path in two library calls. */
+  def q80IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfSq8TopK(queriesDf(spark, dir), emb,
+      Similarity.ivfCentroids(emb, "label"), TopK, probes = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
+    "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q60_embedding_outliers" -> (q60EmbeddingOutliers _),
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
@@ -149,6 +161,42 @@ object SimQueries {
         FROM e, planes GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q80_ivf_sq8" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         ca AS (SELECT vec_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent) WHERE r <= 1),
+         qa AS (SELECT vec_id AS q_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent WHERE e.vec_id < 10) WHERE r <= 2),
+         b AS (SELECT d, min(v) AS l, max(v) AS h FROM pe GROUP BY 1),
+         ba AS (SELECT list(l ORDER BY d) AS lo, list(h ORDER BY d) AS hi FROM b),
+         codes AS (SELECT vec_id,
+             [CAST(floor(CAST((qe[i+1]-lo[i+1])*255 AS DOUBLE)/greatest(hi[i+1]-lo[i+1],1)) AS BIGINT)
+              for i in range(0, len(qe))] AS cq
+           FROM e, ba),
+         rec AS (SELECT vec_id,
+             [lo[i+1]*255 + cq[i+1]*(hi[i+1]-lo[i+1]) for i in range(0, len(cq))] AS re
+           FROM codes, ba),
+         s AS (SELECT qa.q_id, ca.vec_id, ${cosSql("rq.re", "rc.re")} AS cos_e4
+           FROM qa JOIN ca USING (label)
+           JOIN rec rq ON rq.vec_id = qa.q_id
+           JOIN rec rc ON rc.vec_id = ca.vec_id
+           WHERE qa.q_id <> ca.vec_id),
+         r AS (SELECT q_id, vec_id, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q65_sq8_recall" ->
       raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          pe AS (SELECT generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

@@ -64,6 +64,17 @@ object Vault {
           lit(recordSource).as("record_source"): _*)
   }
 
+  /** Point-in-time reconstruction over an SCD2 satellite: the version
+    * current AT `asOf` per hash key — load_date ≤ asOf < load_end_date
+    * (open versions have NULL end). Row-level time travel as a pure
+    * filter: the close-off did the work at build time, so reconstructing
+    * any historical state costs one scan — no window, no join, no
+    * version-log walk (complements Warehouse.readAt's version-level
+    * travel). */
+  def snapshotAt(sat: DataFrame, asOf: Column): DataFrame =
+    sat.filter(col("load_date") <= asOf &&
+      (col("load_end_date").isNull || col("load_end_date") > asOf))
+
   /** SCD2 satellite: per hub key ordered by load date, keep only rows whose
     * hash_diff changed vs the previous row (change compression), then
     * close each version with load_end_date = next load_date (null = open).

@@ -33,6 +33,20 @@ class VaultSpec extends SparkSpec {
     assert(open.select("count").as[Long].collect().forall(_ === 1L))
   }
 
+  test("snapshotAt reconstructs the state current at any date") {
+    val sat = Vault.satellite(loads, "t", Seq("bk"), Seq("status"), "load_date", Seq("seq"))
+    // k1 versions: A [01-01,01-03), B [01-03,01-04), A [01-04,open)
+    def statusAt(d: String): String =
+      Vault.snapshotAt(sat, lit(d))
+        .filter(col("sat_t_hash_key") === md5Hex("k1"))
+        .select("status").as[String].collect().mkString
+    assert(statusAt("2024-01-01") === "A")
+    assert(statusAt("2024-01-02") === "A")
+    assert(statusAt("2024-01-03") === "B") // boundary: new version wins
+    assert(statusAt("2024-01-09") === "A") // open version
+    assert(statusAt("2023-12-31") === "")  // before first load: no row
+  }
+
   test("satellite is idempotent: rebuilding from the same source is identical") {
     val a = Vault.satellite(loads, "t", Seq("bk"), Seq("status"), "load_date", Seq("seq"))
     val b = Vault.satellite(loads, "t", Seq("bk"), Seq("status"), "load_date", Seq("seq"))
