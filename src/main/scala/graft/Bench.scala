@@ -38,8 +38,12 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // stop the clock BEFORE cache release — unpersisting another query's
+      // checkpoint blocks is harness bookkeeping, not query cost, and it
+      // charged precisely the heaviest (most-persisting) queries
+      val dt = (System.nanoTime() - t0) / 1e9
       releaseAll()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0 // -1 = failed
+      if (ok) dt else -1.0 // -1 = failed
     }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune non-grouping columns out of aggs).

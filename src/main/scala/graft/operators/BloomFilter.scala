@@ -82,7 +82,11 @@ object BloomFilter {
     checkParams(mBits, kHashes)
     val positions = array((0 until kHashes).map(i =>
       position(col("__h"), i, mBits)): _*)
+    // NULL keys never match an equi-join, so they don't belong in the
+    // filter — and hash60(null) is null, whose (null, null) aggregate row
+    // would unbox to words(0) = 0 and CLOBBER real bits (false negatives)
     val wordRows = keys
+      .filter(col(keyCol).isNotNull)
       .select(hash60(col(keyCol)).as("__h"))
       .select(explode(positions).as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))

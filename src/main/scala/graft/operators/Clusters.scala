@@ -89,7 +89,10 @@ object Clusters {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .distinct().localCheckpoint(true) // scanned every push
     val degA = e.groupBy(col("a")).agg(count(lit(1)).as("da")).localCheckpoint(true)
-    val degB = e.groupBy(col("b")).agg(count(lit(1)).as("db")).localCheckpoint(true)
+    // lazy: pushes == 1 never runs a b→a phase, and localCheckpoint(true)
+    // is EAGER — computing degB unconditionally would burn a full shuffle
+    // over the edge list just to discard it
+    lazy val degB = e.groupBy(col("b")).agg(count(lit(1)).as("db")).localCheckpoint(true)
     var rA = degA.select(col("a"), lit(10000L).as("ra"))
     var rB: DataFrame = null
     for (i <- 1 to pushes) {

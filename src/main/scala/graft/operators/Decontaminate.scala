@@ -33,13 +33,15 @@ object Decontaminate {
     * (odds ~2^-60 per pair) perturbs both engines identically. */
   def contaminated(corpus: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
-    def gramHashes(df: DataFrame) = transform(
+    // an unresolved Column — binds to whichever frame selects it (a df
+    // parameter here would be ignored and only suggest per-frame binding)
+    val gramHashes = transform(
       TextFunctions.wordNgrams(col(textCol), n), g => TextFunctions.stableHash60(g))
     val evalGrams = evalDocs
-      .select(explode(gramHashes(evalDocs)).as("gh"))
+      .select(explode(gramHashes).as("gh"))
       .distinct()
     corpus
-      .select(col(idCol), explode(gramHashes(corpus)).as("gh"))
+      .select(col(idCol), explode(gramHashes).as("gh"))
       .join(broadcast(evalGrams), "gh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_grams"))
   }

@@ -210,8 +210,14 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val newSig = signatureFrame(newDocs, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // defensive re-sort: the verify intersect is a sorted two-pointer merge
+    // (signatureFrame sorts shs since round 4), but priorSig may have been
+    // PERSISTED by an older build whose shs was first-occurrence-ordered —
+    // unsorted input would silently undercount Jaccard and drop real
+    // cross-batch dups. array_sort on already-sorted arrays is cheap.
+    val priorSorted = priorSig.withColumn("shs", array_sort(col("shs")))
     val newBands = lshBands(newSig, idCol, b, k / b)
-    val priorBands = lshBands(priorSig, idCol, b, k / b)
+    val priorBands = lshBands(priorSorted, idCol, b, k / b)
     val newNew = lshCandidatePairs(newBands, idCol)
     // new×prior collisions, normalized to the a_id < b_id convention
     val cross = newBands.select(col("band"), col("band_hash"), col(idCol).as("n_id"))
@@ -226,14 +232,16 @@ object Dedup {
     // via its id-scoping — without this the band joins recompute ~4×
     val cands = newNew.unionByName(cross).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sets = priorSig.select(col(idCol), col("shs"), col("sz"))
+    val sets = priorSorted.select(col(idCol), col("shs"), col("sz"))
       .unionByName(newSig.select(col(idCol), col("shs"), col("sz")))
     val pairs = jaccardFromSets(sets, idCol, minJaccard, cands, verifyBroadcastBytes)
       .localCheckpoint(true)
     cands.unpersist()
     // newSig stays cached so writing `combined` to storage doesn't re-sign
-    // the batch; the caller unpersists (or clears) after materializing it
-    (pairs, priorSig.unionByName(newSig))
+    // the batch; the caller unpersists (or clears) after materializing it.
+    // The combined frame carries the SORTED prior, upgrading legacy
+    // signatures on their first post-upgrade batch.
+    (pairs, priorSorted.unionByName(newSig))
   }
 
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:

@@ -220,14 +220,18 @@ object Similarity {
     * IEEE-double over exact ints with numerator ≤ ~5e8 — a quotient can
     * never land within an ulp of an integer it shouldn't cross, so floor
     * is engine-exact (the oracle runs the same float divide + floor). */
+  /** The code array of one embedding given per-dim bounds columns. */
+  private def sq8Codes(emb: Column, lo: Column, hi: Column): Column =
+    zip_with(
+      quantize(emb),
+      zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
+      (v, b) => floor(((v - b("l")) * 255).cast("double") /
+        greatest(b("h") - b("l"), lit(1L))).cast("long"))
+
   def sq8Encode(df: DataFrame, bounds: DataFrame,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     df.join(broadcast(bounds), lit(true))
-      .select(col(idCol), zip_with(
-        quantize(col(embCol)),
-        zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h"))),
-        (v, b) => floor(((v - b("l")) * 255).cast("double") /
-          greatest(b("h") - b("l"), lit(1L))).cast("long")).as("sq_codes"))
+      .select(col(idCol), sq8Codes(col(embCol), col("lo"), col("hi")).as("sq_codes"))
 
   /** Decode SQ8 codes to the integer reconstruction ×255 — cosine is
     * scale-invariant, so scaling by 255 keeps everything integer:
@@ -246,15 +250,24 @@ object Similarity {
     * that the corpus can now be STORED as 1-byte codes (4× less IO) and
     * decoded on the fly inside codegen. Returns (q_id, neighbor_id,
     * cos_e4, rank); measure ranking loss with sq8Recall. */
+  /** Encode-then-decode in ONE projection: (id, reconstruction ×255, its
+    * norm). Shared by sq8TopK and ivfSq8TopK — and a single select, so the
+    * bounds broadcast joins once per frame, not once to encode plus once
+    * to decode. */
+  private def sq8Reconstructed(df: DataFrame, bounds: DataFrame,
+                               idCol: String, embCol: String,
+                               id: String, emb: String, norm: String): DataFrame =
+    df.join(broadcast(bounds), lit(true))
+      .select(col(idCol).as(id), sq8Decode(
+        sq8Codes(col(embCol), col("lo"), col("hi")),
+        col("lo"), col("hi")).as(emb))
+      .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bounds = sq8Bounds(corpus, embCol)
     def decoded(df: DataFrame, id: String, emb: String, norm: String): DataFrame =
-      sq8Encode(df, bounds, idCol, embCol)
-        .join(broadcast(bounds), lit(true))
-        .select(col(idCol).as(id),
-          sq8Decode(col("sq_codes"), col("lo"), col("hi")).as(emb))
-        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+      sq8Reconstructed(df, bounds, idCol, embCol, id, emb, norm)
     val q = broadcast(decoded(queries, "q_id", "q_emb", "q_norm"))
     val scored = decoded(corpus, idCol, "__re", "__rn")
       .join(q, col("q_id") =!= col(idCol))
@@ -278,11 +291,7 @@ object Similarity {
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bounds = sq8Bounds(corpus, embCol)
     def recon(df: DataFrame, id: String, emb: String, norm: String): DataFrame =
-      sq8Encode(df, bounds, idCol, embCol)
-        .join(broadcast(bounds), lit(true))
-        .select(col(idCol).as(id),
-          sq8Decode(col("sq_codes"), col("lo"), col("hi")).as(emb))
-        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+      sq8Reconstructed(df, bounds, idCol, embCol, id, emb, norm)
     val corpusIdx = ivfAssign(corpus, centroids, probes = 1, idCol, embCol)
       .select(col(idCol), col("label"))
       .join(recon(corpus, idCol, "__re", "__rn"), idCol)

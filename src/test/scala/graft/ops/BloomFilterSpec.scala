@@ -60,6 +60,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(kept >= matching, "filter lost matching rows")
   }
 
+  test("NULL build keys are ignored and cannot clobber real bits") {
+    // a NULL key hashes to NULL; its (null, null) aggregate row used to
+    // unbox to words(0) = 0 and erase real word-0 bits -> false negatives
+    val keys = Seq(Option(1L), Option(2L), Option(3L), None)
+      .toDF("k")
+    val sketch = BloomFilter.build(keys, "k", mBits = 1 << 10)
+    Seq(1L, 2L, 3L).foreach(k =>
+      assert(sketch.mightContainValue(k.toString), s"dropped key $k"))
+    val kept = BloomFilter.semiFilter(keys.na.drop(), "k", sketch).count()
+    assert(kept == 3L)
+  }
+
   test("build aggregates distributed words — sketch size independent of rows") {
     val small = BloomFilter.build(urgent.limit(10), "o_orderkey", mBits = 1 << 10)
     val large = BloomFilter.build(urgent, "o_orderkey", mBits = 1 << 10)
