@@ -128,6 +128,44 @@ object EngineProps extends Properties("engine") {
       .map(_.filter { case (a, b) => a != b })
       .suchThat(_.nonEmpty)
 
+  property("zvalue is injective on 16-bit pairs and order-preserving per axis") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))) { pairs0 =>
+      import graft.operators.ZOrder
+      val pairs = pairs0.distinct
+      val zs = pairs.toDF("a", "b")
+        .select(ZOrder.zvalue(col("a"), col("b"))).as[Long].collect()
+      // distinct (a,b) -> distinct z (bit interleave is a bijection), and
+      // the local reference computation agrees exactly
+      def zRef(a: Long, b: Long): Long =
+        (0 until 16).foldLeft(0L)((acc, i) =>
+          acc | (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1)))
+      zs.toSet.size == pairs.size &&
+        zs.toSeq == pairs.map { case (a, b) => zRef(a, b) }
+    }
+
+  property("bloom filter never drops a build key (no false negatives)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))) { keys0 =>
+      import graft.operators.BloomFilter
+      val keys = keys0.distinct
+      val sketch = BloomFilter.build(keys.toDF("k"), "k", mBits = 1 << 10, kHashes = 3)
+      keys.forall(k => sketch.mightContainValue(k.toString))
+    }
+
+  property("packSequences conserves tokens and fills all but the last") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 12))) { lens =>
+      import graft.operators.Chunker
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        ("s", i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("src", "doc_id", "text")
+      val seqs = Chunker.packSequences(docs, "doc_id", "text", "src", budget = 5)
+        .orderBy("seq_id")
+        .select("seq_id", "n_tokens").as[(Long, Long)].collect().toSeq
+      val total = lens.map(_.toLong).sum
+      seqs.map(_._2).sum == total &&
+        seqs.dropRight(1).forall(_._2 == 5L) &&
+        seqs.map(_._1) == seqs.indices.map(_.toLong)
+    }
+
   property("connected components agree with a local union-find") =
     forAll(genEdges) { edges =>
       import graft.operators.Clusters
