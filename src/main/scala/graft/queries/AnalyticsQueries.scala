@@ -150,8 +150,46 @@ object AnalyticsQueries {
       .limit(25)
   }
 
+  /** q83: path analysis — the 15 most common 3-step event paths (each
+    * user's first three events in time order, event_id tie-break). One
+    * shuffle on user_id for the rank window, then a path-string rollup;
+    * the per-user frame never exceeds 3 rows after the filter. */
+  def q83TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("step", row_number().over(w))
+      .filter(col("step") <= 3)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("step"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .filter(length(col("path")) > 0)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(15)
+  }
+
+  /** q84: cumulative user growth — distinct users ever seen by each day,
+    * derived as the running sum of first-seen cohort sizes (q74's first
+    * frame): one user_id shuffle + a window over day-count rows, instead
+    * of a per-day distinct over the whole history. */
+  def q84UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    firstSeen.groupBy(date_format(col("first_day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("n_total_users", sum(col("n_new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_supplier_rank" -> (q75SupplierRank _),
+    "q83_top_paths" -> (q83TopPaths _),
+    "q84_user_growth" -> (q84UserGrowth _),
     "q68_rollup" -> (q68Rollup _),
     "q69_pivot" -> (q69Pivot _),
     "q70_moving_avg" -> (q70MovingAvg _),
@@ -163,6 +201,22 @@ object AnalyticsQueries {
   import TextQueries.tokCountSql
 
   val oracles: Map[String, String] = Map(
+    "q83_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+           FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY step) AS path
+           FROM r WHERE step <= 3 GROUP BY 1)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY 1 ORDER BY n_users DESC, path LIMIT 15""",
+    "q84_user_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           FROM events GROUP BY 1),
+         c AS (SELECT strftime(first_day, '%Y-%m-%d') AS day,
+             count(*) AS n_new_users FROM f GROUP BY 1)
+         SELECT day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_total_users
+         FROM c ORDER BY day""",
     "q75_supplier_rank" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
