@@ -134,8 +134,25 @@ object MiscQueries {
       .orderBy(col("test"))
   }
 
+  /** q85: frame-sampled video features — the fan-out-BEFORE-decode path
+    * (Multimodal.sampleFrames): every video explodes to 4 evenly-spaced
+    * frames, each stub-decoded independently (salt = frame_no + 1), so a
+    * 2-hour video never decodes on one core. Stub features are md5-
+    * derived, hence fully oracle-checked like q32. */
+  def q85FrameFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(spark, dir), nFrames = 4,
+      durationMs = 60000L,
+      partitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .toDF()
+      .select(col("media_id"), col("frame_no"), col("offset_ms"),
+        floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+          .cast("long").as("f0_e4"))
+      .orderBy(col("media_id"), col("frame_no"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_constraint_report" -> (q82ConstraintReport _),
+    "q85_frame_features" -> (q85FrameFeatures _),
     "q66_zorder_stats" -> (q66ZorderStats _),
     "q32_media_features" -> (q32MediaFeatures _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
@@ -191,6 +208,18 @@ object MiscQueries {
            CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS part_span,
            CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS supp_span
          FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q85_frame_features" ->
+      """WITH v AS (SELECT doc_id AS media_id, text FROM documents
+           WHERE doc_id % 3 + 1 = 3),
+         f AS (SELECT media_id, text, CAST(unnest(range(0, 4)) AS INT) AS frame_no FROM v),
+         h AS (SELECT media_id, frame_no,
+             CAST((frame_no * 60000) // 4 AS BIGINT) AS offset_ms,
+             CAST('0x'||substr(md5(text || CAST(frame_no + 1 AS VARCHAR)),1,2) AS INT) AS b0
+           FROM f)
+         SELECT media_id, frame_no, offset_ms,
+           CAST(floor((CASE WHEN b0 >= 128 THEN b0 - 256 ELSE b0 END)/128.0*10000 + 0.5)
+             AS BIGINT) AS f0_e4
+         FROM h ORDER BY media_id, frame_no""",
     "q32_media_features" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
