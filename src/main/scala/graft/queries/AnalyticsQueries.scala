@@ -186,10 +186,36 @@ object AnalyticsQueries {
       .orderBy(col("day"))
   }
 
+  /** q86: windowed funnel — q71 with conversion deadlines, which is how
+    * real funnels are defined: the click must land within 2 h of the
+    * first view, the purchase within 24 h of that click. Same
+    * co-partitioned user_id shape; the bounds are pure integer μs
+    * comparisons on the already-joined rows. */
+  def q86WindowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tus") > col("v_ts") && col("tus") <= col("v_ts") + 2 * hourUs)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tus") > col("c_ts") && col("tus") <= col("c_ts") + 24 * hourUs)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("p_ts"))
+    def stageCount(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    stageCount(v, "1_view")
+      .unionByName(stageCount(c, "2_click_2h"))
+      .unionByName(stageCount(p, "3_purchase_24h"))
+      .orderBy(col("stage"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_supplier_rank" -> (q75SupplierRank _),
     "q83_top_paths" -> (q83TopPaths _),
     "q84_user_growth" -> (q84UserGrowth _),
+    "q86_windowed_funnel" -> (q86WindowedFunnel _),
     "q68_rollup" -> (q68Rollup _),
     "q69_pivot" -> (q69Pivot _),
     "q70_moving_avg" -> (q70MovingAvg _),
@@ -201,6 +227,21 @@ object AnalyticsQueries {
   import TextQueries.tokCountSql
 
   val oracles: Map[String, String] = Map(
+    "q86_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         v AS (SELECT user_id, min(tus) AS v_ts FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(tus) AS c_ts FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND tus > v_ts
+             AND tus <= v_ts + 7200000000 GROUP BY 1),
+         p AS (SELECT e.user_id, min(tus) AS p_ts FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND tus > c_ts
+             AND tus <= c_ts + 86400000000 GROUP BY 1)
+         SELECT * FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL SELECT '2_click_2h', count(*) FROM c
+           UNION ALL SELECT '3_purchase_24h', count(*) FROM p)
+         ORDER BY stage""",
     "q83_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
