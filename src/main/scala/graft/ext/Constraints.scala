@@ -25,9 +25,13 @@ object Constraints {
       .filter(col("__n") > 1)
       .agg(count(lit(1)).as("n_violations"))
 
-  /** dbt `not_null`: number of rows with a NULL in the column. */
+  /** dbt `not_null`: number of rows with a NULL in the column. The
+    * coalesce matters standalone: sum over ZERO rows is NULL, and a gate
+    * comparing `n_violations === 0` would silently fail a clean empty
+    * batch (NULL === 0 is NULL, the row filters out). */
   def notNullViolations(df: DataFrame, c: String): DataFrame =
-    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_violations"))
+    df.agg(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+      .as("n_violations"))
 
   /** dbt `relationships`: child rows whose non-null foreign key has no
     * matching parent key. */
@@ -39,10 +43,15 @@ object Constraints {
       .agg(count(lit(1)).as("n_violations"))
 
   /** Run a batch of named checks into one (test, n_violations) report —
-    * a union of 1-row aggregates, one declarative plan. */
-  def report(checks: Seq[(String, DataFrame)]): DataFrame =
+    * a union of 1-row aggregates, one declarative plan. Fails loudly on an
+    * empty check list (reduce would throw an inscrutable reduceLeft error;
+    * and a silently-empty report reads as "all clean"). */
+  def report(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty,
+      "Constraints.report: no checks declared — an empty report would read as all-clean")
     checks.map { case (name, df) =>
       df.select(lit(name).as("test"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"))
     }.reduce(_ unionByName _)
+  }
 }

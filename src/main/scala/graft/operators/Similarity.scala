@@ -220,13 +220,17 @@ object Similarity {
     * IEEE-double over exact ints with numerator ≤ ~5e8 — a quotient can
     * never land within an ulp of an integer it shouldn't cross, so floor
     * is engine-exact (the oracle runs the same float divide + floor). */
-  /** The code array of one embedding given per-dim bounds columns. */
-  private def sq8Codes(emb: Column, lo: Column, hi: Column): Column =
+  /** Codes from an ALREADY e3-quantized (long array) vector. */
+  private def sq8CodesQ(qe: Column, lo: Column, hi: Column): Column =
     zip_with(
-      quantize(emb),
+      qe,
       zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
       (v, b) => floor(((v - b("l")) * 255).cast("double") /
         greatest(b("h") - b("l"), lit(1L))).cast("long"))
+
+  /** The code array of one embedding given per-dim bounds columns. */
+  private def sq8Codes(emb: Column, lo: Column, hi: Column): Column =
+    sq8CodesQ(quantize(emb), lo, hi)
 
   def sq8Encode(df: DataFrame, bounds: DataFrame,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
@@ -290,14 +294,22 @@ object Similarity {
                  k: Int, probes: Int = 2,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bounds = sq8Bounds(corpus, embCol)
-    def recon(df: DataFrame, id: String, emb: String, norm: String): DataFrame =
-      sq8Reconstructed(df, bounds, idCol, embCol, id, emb, norm)
-    val corpusIdx = ivfAssign(corpus, centroids, probes = 1, idCol, embCol)
-      .select(col(idCol), col("label"))
-      .join(recon(corpus, idCol, "__re", "__rn"), idCol)
-    val q = broadcast(ivfAssign(queries, centroids, probes, idCol, embCol)
-      .select(col(idCol).as("q_id"), col("label"))
-      .join(recon(queries, "q_id", "q_emb", "q_norm"), "q_id"))
+    // ivfAssign already carries the e3-quantized vector (__qe) — encode/
+    // decode from it directly rather than re-scanning the corpus and
+    // joining the reconstruction back on id (that join is a second
+    // full-corpus exchange for data the assign output already holds)
+    def recon(assigned: DataFrame, id: String, emb: String, norm: String): DataFrame =
+      assigned.join(broadcast(bounds), lit(true))
+        .select(col(idCol).as(id), col("label"),
+          sq8Decode(sq8CodesQ(col("__qe"), col("lo"), col("hi")),
+            col("lo"), col("hi")).as(emb))
+        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+    val corpusIdx =
+      recon(ivfAssign(corpus, centroids, probes = 1, idCol, embCol),
+        idCol, "__re", "__rn")
+    val q = broadcast(
+      recon(ivfAssign(queries, centroids, probes, idCol, embCol),
+        "q_id", "q_emb", "q_norm"))
     val scored = corpusIdx.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         qdot(col("q_emb"), col("__re")) / (col("q_norm") * col("__rn")), 4))

@@ -159,13 +159,15 @@ object AnalyticsQueries {
       .orderBy(col("ts"), col("event_id"))
     Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      // both sides drop null/empty event types (dirty ingest) — the
+      // engine previously filtered empty PATHS with no oracle counterpart
+      .filter(col("event_type").isNotNull && col("event_type") =!= "")
       .withColumn("step", row_number().over(w))
       .filter(col("step") <= 3)
       .groupBy(col("user_id"))
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col("step"), col("event_type")))),
         x => x.getField("event_type"))).as("path"))
-      .filter(length(col("path")) > 0)
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(15)
@@ -245,7 +247,7 @@ object AnalyticsQueries {
     "q83_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
-           FROM events),
+           FROM events WHERE event_type IS NOT NULL AND event_type <> ''),
          p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY step) AS path
            FROM r WHERE step <= 3 GROUP BY 1)
          SELECT path, count(*) AS n_users FROM p

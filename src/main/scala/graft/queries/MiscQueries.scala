@@ -95,12 +95,14 @@ object MiscQueries {
     def shaped(stats: DataFrame, layout: String): DataFrame =
       stats.select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
         col("a_span").as("part_span"), col("b_span").as("supp_span"))
-    // 20 bits per dimension: l_partkey reaches 200k (> 2^16) at sf1 — a
-    // 16-bit interleave would silently alias distinct keys and scramble
-    // the diagnostic (the oracle would reproduce the same truncation, so
-    // the verify couldn't catch it)
+    // 31 bits per dimension — the maximum zvalue supports — so ANY
+    // int32-scale key interleaves without truncation. Fewer bits would
+    // silently alias keys above 2^bits and scramble the diagnostic, and
+    // the oracle would reproduce the identical truncation, so the verify
+    // sweep could never catch it (l_partkey already exceeds 2^16 at sf1
+    // and would pass 2^20 at sf6).
     val zorder = ZOrder.layoutStats(li,
-      ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 20),
+      ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 31),
       "l_partkey", "l_suppkey", nBuckets = 64)
     val linear = ZOrder.layoutStats(li, col("l_orderkey"),
       "l_partkey", "l_suppkey", nBuckets = 64)
@@ -160,10 +162,10 @@ object MiscQueries {
     "q47_cms_freq" -> (q47CmsFreq _),
     "q49_quantile_sketch" -> (q49QuantileSketch _))
 
-  /** Morton interleave of the low 20 bits of two columns, as SQL
-    * (mirrors q66's bits = 20). */
+  /** Morton interleave of the low 31 bits of two columns, as SQL
+    * (mirrors q66's bits = 31). */
   private def zSql(a: String, b: String): String =
-    (0 until 20).map(i =>
+    (0 until 31).map(i =>
       s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 

@@ -20,17 +20,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user: the min view ts plus the click/purchase timestamps
   * still inside the funnel horizon — bounded by events-per-user-per-
-  * horizon (small for real funnels), reclaimed by the timeout. One
-  * shuffle on user_id; verdicts are one row per converted-or-expired
-  * user.
+  * horizon for viewed users and watermark-pruned for view-less ones.
+  * After a verdict emits, a tombstone marker (empty lists) survives so a
+  * returning user never emits twice — batch q86 anchors on the GLOBAL
+  * first view, and the marker row per emitted user is the streaming
+  * price of that anchor (same precedent as Sessionize's numbering
+  * tombstone). One shuffle on user_id; one verdict row per user, ever.
   */
 object StreamingFunnel {
 
   case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long,
                       ts: java.sql.Timestamp)
-  /** viewTs = Long.MaxValue until a view arrives. */
+  /** viewTs = Long.MaxValue until a view arrives; done = verdict already
+    * emitted (tombstone — same precedent as Sessionize's counter
+    * tombstone, so one user emits at most one verdict however long the
+    * stream runs). */
   case class FunnelState(viewTs: Long, clicks: List[Long], purchases: List[Long],
-                         maxSeen: Long)
+                         maxSeen: Long, done: Boolean = false)
   case class FunnelVerdict(user_id: Long, stage: Int)
 
   val NoView: Long = Long.MaxValue
@@ -52,13 +58,32 @@ object StreamingFunnel {
   private[streaming] def foldFunnel(uid: Long, evs: Iterator[FunnelEv],
                                     state: GroupState[FunnelState],
                                     w1Us: Long, w2Us: Long): Iterator[FunnelVerdict] = {
+    val watermarkMs = state.getCurrentWatermarkMs()
     if (state.hasTimedOut) {
-      val stage = verdict(state.get, w1Us, w2Us)
-      state.remove()
-      return if (stage >= 1) Iterator.single(FunnelVerdict(uid, stage))
-      else Iterator.empty
+      val s = state.get
+      if (s.done) { // tombstone: verdict already out; keep suppressing
+        state.update(s)
+        state.setTimeoutTimestamp(watermarkMs + 1L)
+        return Iterator.empty
+      }
+      val stage = verdict(s, w1Us, w2Us)
+      if (stage >= 1) {
+        // tombstone (empty lists) so a returning user cannot emit a second
+        // verdict — batch q86 counts each user once, anchored on the
+        // GLOBAL first view; a per-user marker row is the streaming price
+        state.update(FunnelState(NoView, Nil, Nil, 0L, done = true))
+        state.setTimeoutTimestamp(watermarkMs + 1L)
+        return Iterator.single(FunnelVerdict(uid, stage))
+      }
+      state.remove() // never viewed: nothing emitted, nothing to suppress
+      return Iterator.empty
     }
     var s = state.getOption.getOrElse(FunnelState(NoView, Nil, Nil, 0L))
+    if (s.done) { // drain the iterator; verdict is already final
+      state.update(s)
+      state.setTimeoutTimestamp(watermarkMs + 1L)
+      return Iterator.empty
+    }
     evs.foreach { e =>
       s = e.event_type match {
         case "view" => s.copy(viewTs = math.min(s.viewTs, e.tsMicros),
@@ -70,21 +95,29 @@ object StreamingFunnel {
         case _ => s.copy(maxSeen = math.max(s.maxSeen, e.tsMicros))
       }
     }
-    // prune what the current window proves useless: clicks after v + w1
-    // can never qualify (v only decreases), purchases after v + w1 + w2
-    // likewise; clicks at or before v stay — a later-arriving earlier
-    // view can still move the window start down to them
+    // prune what is provably useless so state stays bounded:
+    //  - with a view: clicks after v + w1 never qualify (v only
+    //    decreases); purchases after v + w1 + w2 likewise; clicks at or
+    //    before v stay — a later-arriving earlier view can reach them
+    //  - without a view: events at or behind the watermark are dead — a
+    //    view able to consume them must precede them in event time and
+    //    would arrive late (this is what keeps a view-less bot's state
+    //    from growing forever)
     if (s.viewTs != NoView)
       s = s.copy(clicks = s.clicks.filter(_ <= s.viewTs + w1Us),
         purchases = s.purchases.filter(_ <= s.viewTs + w1Us + w2Us))
+    else {
+      val wmUs = watermarkMs * 1000L
+      s = s.copy(clicks = s.clicks.filter(_ > wmUs),
+        purchases = s.purchases.filter(_ > wmUs))
+    }
     state.update(s)
     // verdict-final deadline (see scaladoc); viewless users hold only
     // until the watermark passes their last event
     val deadlineMs =
       if (s.viewTs != NoView) (s.viewTs + w1Us + w2Us) / 1000L + 1L
       else s.maxSeen / 1000L + 1L
-    state.setTimeoutTimestamp(
-      math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+    state.setTimeoutTimestamp(math.max(deadlineMs, watermarkMs + 1L))
     Iterator.empty
   }
 
