@@ -135,7 +135,40 @@ object EventQueries {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** q87: session conversion by session length — do longer sessions
+    * convert more? Reuses q34's gap-sessionization window (same single
+    * user_id shuffle feeding both window passes), flags purchase sessions,
+    * buckets by event count, and reports the conversion rate per bucket
+    * as exact e4. */
+  def q87SessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(spark, dir, "events")
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - col("__prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+    sessions
+      .withColumn("len_bucket",
+        when(col("n_events") <= 2, "1-2")
+          .when(col("n_events") <= 5, "3-5")
+          .otherwise("6+"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_purchase")).as("n_purchase_sessions"))
+      .withColumn("conv_e4", graft.functions.TextFunctions.fixedPoint(
+        col("n_purchase_sessions") / col("n_sessions"), 4))
+      .orderBy(col("len_bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_session_conversion" -> (q87SessionConversion _),
     "q25_json_extract" -> (q25JsonExtract _),
     "q26_tz_hourly" -> (q26TzHourly _),
     "q27_window_hourly" -> (q27WindowHourly _),
@@ -146,6 +179,23 @@ object EventQueries {
     "q51_hourly_anomalies" -> (q51HourlyAnomalies _))
 
   val oracles: Map[String, String] = Map(
+    "q87_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS tsus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END AS news FROM e),
+         s AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+         sess AS (SELECT user_id, session_id, count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+           FROM s GROUP BY 1, 2),
+         b AS (SELECT CASE WHEN n_events <= 2 THEN '1-2'
+             WHEN n_events <= 5 THEN '3-5' ELSE '6+' END AS len_bucket,
+             has_purchase FROM sess)
+         SELECT len_bucket, count(*) AS n_sessions,
+           CAST(sum(has_purchase) AS BIGINT) AS n_purchase_sessions,
+           CAST(floor(CAST(sum(has_purchase) AS DOUBLE)/count(*)*10000 + 0.5) AS BIGINT) AS conv_e4
+         FROM b GROUP BY 1 ORDER BY 1""",
     "q25_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          count(*) AS n,
