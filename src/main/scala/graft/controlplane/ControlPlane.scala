@@ -165,6 +165,42 @@ object ControlPlane {
       .orderBy(col("source_name"), col("task_id"))
   }
 
+  // ---- Record-count reconciliation (dag_etlpipeline__root.py:16,55-60) ----
+
+  /** The root DAG's `check_records` task: per-source row-count
+    * reconciliation between pipeline layers. The reference imports
+    * `check_num_of_records` from `dags.utils.test_num_of_records` and runs
+    * it with trigger_rule='all_done' right before `end`
+    * (dag_etlpipeline__root.py:16,55-60); the util file itself is absent
+    * from the repo, so the implied contract is implemented: staging must
+    * hold exactly the rows the source delivered, and every staged business
+    * key must have landed in its vault hub.
+    *
+    * Input: tagged layer frames `(source_name, layer, frame)` where layer ∈
+    * {source, staging, vault_missing}; `vault_missing` is the anti-join of
+    * staged business keys against the hub (expected empty). Output: one row
+    * per source with the three counts and a match/mismatch status.
+    *
+    * Scale shape: each frame contributes only a constant-width tag row per
+    * input row, the union aggregates with map-side partial counts, and the
+    * single shuffle carries one row per (source, layer) — at 100 TB the
+    * network cost is O(sources), not O(rows). No driver-side count() chain
+    * (one Spark job total, not one per layer). */
+  def reconcileCounts(layers: Seq[(String, String, DataFrame)]): DataFrame = {
+    require(layers.nonEmpty, "reconcileCounts needs at least one layer frame")
+    val tagged = layers.map { case (src, layer, df) =>
+      df.select(lit(src).as("source_name"), lit(layer).as("layer"))
+    }.reduce(_ unionByName _)
+    tagged.groupBy(col("source_name"))
+      .agg(
+        count(when(col("layer") === "source", 1)).as("source_n"),
+        count(when(col("layer") === "staging", 1)).as("staging_n"),
+        count(when(col("layer") === "vault_missing", 1)).as("vault_missing_n"))
+      .withColumn("status",
+        when(col("source_n") === col("staging_n") &&
+          col("vault_missing_n") === 0, lit("match")).otherwise(lit("mismatch")))
+  }
+
   // ---- Registry lifecycle (etl_manager.py:779-866,983-1069,1120-1379) ----
 
   /** Rows of `incoming` not yet in `registry` → to insert with

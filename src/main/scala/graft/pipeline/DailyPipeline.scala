@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.controlplane.ControlPlane
 import graft.core.Warehouse
+import graft.ops.Relational
 import graft.vault.{SchemaDrift, Vault}
 import graft.workflow.Workflow
 import graft.workflow.Workflow.{AllDone, TaskSpec}
@@ -90,6 +91,35 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
     if (wh.exists(schema, table)) wh.merge(schema, table, df, hashKey +: extraKeys)
     else wh.overwrite(schema, table, df)
 
+  /** The root DAG's record-count reconciliation (`check_records`,
+    * dag_etlpipeline__root.py:16,55-60): re-count the source, the staged
+    * table, and the staged-keys-missing-from-hub anti-join per source, and
+    * persist the report to `check.record_count`. Returns the mismatched
+    * source names. Missing staging/hub tables (e.g. an upstream task died —
+    * the task runs under all_done) count as fully short, not as errors. */
+  private[pipeline] def checkRecords(sources: Seq[SourceSpec], etlDate: String): Seq[String] = {
+    val layers = sources.flatMap { s =>
+      val keyCols = s.businessKeys.map(col)
+      val source = s.load()
+      val staged =
+        if (wh.exists("staging", s.name)) wh.read("staging", s.name)
+        else source.limit(0)
+      val stagedKeys = staged.select(keyCols: _*).distinct()
+      val hubKeys =
+        if (wh.exists("raw_vault", s"hub_${s.name}"))
+          wh.read("raw_vault", s"hub_${s.name}").select(keyCols: _*)
+        else staged.select(keyCols: _*).limit(0)
+      Seq(
+        (s.name, "source", source),
+        (s.name, "staging", staged),
+        (s.name, "vault_missing", Relational.antiJoin(stagedKeys, hubKeys, s.businessKeys)))
+    }
+    val report = ControlPlane.reconcileCounts(layers)
+    appendRows("check", "record_count", report.withColumn("etl_date", lit(etlDate)))
+    report.filter(col("status") === "mismatch")
+      .select("source_name").collect().map(_.getString(0)).toSeq
+  }
+
   /** Run the full daily pipeline for the next open date. Returns the
     * executed date and the task results. */
   def run(sources: Seq[SourceSpec]): (String, Workflow.RunResult) = {
@@ -106,6 +136,7 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
       ControlPlane.succeededTasks(priorTasks, etlDate, s.name)).toSet
 
     val drift = scala.collection.mutable.Map.empty[String, Boolean]
+    val shortSources = scala.collection.mutable.Set.empty[String]
     val tasks = Seq(TaskSpec("start")) ++ sources.flatMap { s =>
       Seq(
         TaskSpec(s"staging_${s.name}", deps = Seq("start"),
@@ -118,10 +149,24 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
             Seq((etlDate, s.name, "schema_drift")).toDF("etl_date", "source_name", "template"))),
         TaskSpec(s"vault_${s.name}", deps = Seq(s"staging_${s.name}"),
           run = () => vaultSource(s, etlDate), retries = 1))
-    } ++ Seq(TaskSpec("end",
-      deps = sources.map(s => s"vault_${s.name}") ++
-        sources.map(s => s"notify_drift_${s.name}"),
-      triggerRule = AllDone))
+    } ++ Seq(
+      // the reference's `check_records` root task: runs under all_done
+      // after every vault build, right before `end`
+      // (dag_etlpipeline__root.py:55-60 — `test` in the root graph)
+      TaskSpec("check_records",
+        deps = sources.map(s => s"vault_${s.name}"),
+        triggerRule = AllDone,
+        run = () => {
+          val bad = checkRecords(sources, etlDate)
+          shortSources ++= bad
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"record count mismatch: ${bad.mkString(", ")}")
+        }),
+      TaskSpec("end",
+        deps = Seq("check_records") ++
+          sources.map(s => s"notify_drift_${s.name}"),
+        triggerRule = AllDone))
 
     val result = Workflow.run(tasks, resumeDone = done)
 
@@ -149,7 +194,11 @@ class DailyPipeline(spark: SparkSession, wh: Warehouse) {
     val now = System.currentTimeMillis()
     val runRows = sources.map { s =>
       val srcTasks = result.runs.filter(r => taskOwner.get(r.taskId).contains(s.name))
-      val ok = srcTasks.forall(r => r.status == "success" || r.status == "skipped")
+      // a record-count mismatch fails the owning source's run even though
+      // check_records itself is a pipeline-level task — the reconciliation
+      // report is per source, so only short sources fail, not the whole run
+      val ok = srcTasks.forall(r => r.status == "success" || r.status == "skipped") &&
+        !shortSources.contains(s.name)
       (etlDate, s.name, java.util.UUID.randomUUID().toString, now,
         if (ok) "success" else "failed")
     }.toDF("etl_date", "source_name", "run_id", "created_at", "status")

@@ -152,8 +152,45 @@ object MiscQueries {
           .cast("long").as("f0_e4"))
       .orderBy(col("media_id"), col("frame_no"))
 
+  /** q88: record-count reconciliation — the root DAG's `check_records`
+    * task (dag_etlpipeline__root.py:16,55-60) as an oracle-checked query.
+    * Three simulated sources over the fixtures: `orders` stages short
+    * (every key divisible by 997 dropped — source_n ≠ staging_n),
+    * `customer` stages fully but its hub lost the key%500==0 rows
+    * (vault_missing_n > 0), and `nation` is clean — so the report
+    * exercises both mismatch modes and the match path in one run.
+    * One union-tag pass + one count shuffle of O(sources) rows
+    * (ControlPlane.reconcileCounts). */
+  def q88RecordReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.controlplane.ControlPlane
+    import graft.ops.Relational
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val stgOrders = orders.filter(col("o_orderkey") % 997 =!= 0)
+    val hubOrders = stgOrders.select(col("o_orderkey")).distinct()
+    val hubCustomer = customer.filter(col("c_custkey") % 500 =!= 0)
+      .select(col("c_custkey")).distinct()
+    ControlPlane.reconcileCounts(Seq(
+      ("orders", "source", orders),
+      ("orders", "staging", stgOrders),
+      ("orders", "vault_missing", Relational.antiJoin(
+        stgOrders.select(col("o_orderkey")).distinct(), hubOrders, Seq("o_orderkey"))),
+      ("customer", "source", customer),
+      ("customer", "staging", customer),
+      ("customer", "vault_missing", Relational.antiJoin(
+        customer.select(col("c_custkey")).distinct(), hubCustomer, Seq("c_custkey"))),
+      ("nation", "source", nation),
+      ("nation", "staging", nation),
+      ("nation", "vault_missing", Relational.antiJoin(
+        nation.select(col("n_nationkey")).distinct(),
+        Tables(spark, dir, "nation").select(col("n_nationkey")), Seq("n_nationkey")))))
+      .orderBy(col("source_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_constraint_report" -> (q82ConstraintReport _),
+    "q88_record_reconcile" -> (q88RecordReconcile _),
     "q85_frame_features" -> (q85FrameFeatures _),
     "q66_zorder_stats" -> (q66ZorderStats _),
     "q32_media_features" -> (q32MediaFeatures _),
@@ -170,6 +207,35 @@ object MiscQueries {
       .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q88_record_reconcile" ->
+      """WITH stg_orders AS (
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 997 <> 0),
+         tagged AS (
+           SELECT 'orders' AS source_name, 'source' AS layer FROM orders
+           UNION ALL SELECT 'orders', 'staging' FROM stg_orders
+           UNION ALL SELECT 'orders', 'vault_missing' FROM (
+             SELECT DISTINCT o_orderkey FROM stg_orders) s
+             WHERE o_orderkey NOT IN (SELECT DISTINCT o_orderkey FROM stg_orders)
+           UNION ALL SELECT 'customer', 'source' FROM customer
+           UNION ALL SELECT 'customer', 'staging' FROM customer
+           UNION ALL SELECT 'customer', 'vault_missing' FROM (
+             SELECT DISTINCT c_custkey FROM customer) s
+             WHERE c_custkey NOT IN (
+               SELECT c_custkey FROM customer WHERE c_custkey % 500 <> 0)
+           UNION ALL SELECT 'nation', 'source' FROM nation
+           UNION ALL SELECT 'nation', 'staging' FROM nation
+           UNION ALL SELECT 'nation', 'vault_missing' FROM (
+             SELECT DISTINCT n_nationkey FROM nation) s
+             WHERE n_nationkey NOT IN (SELECT n_nationkey FROM nation))
+         SELECT source_name,
+           count(*) FILTER (layer = 'source') AS source_n,
+           count(*) FILTER (layer = 'staging') AS staging_n,
+           count(*) FILTER (layer = 'vault_missing') AS vault_missing_n,
+           CASE WHEN count(*) FILTER (layer = 'source') =
+                  count(*) FILTER (layer = 'staging')
+                 AND count(*) FILTER (layer = 'vault_missing') = 0
+                THEN 'match' ELSE 'mismatch' END AS status
+         FROM tagged GROUP BY source_name ORDER BY source_name""",
     "q82_constraint_report" ->
       """WITH dirty AS (
            SELECT o_orderkey,

@@ -151,6 +151,23 @@ class ControlPlaneSpec extends SparkSpec {
     assert(ch === Set(("m4", "add"), ("m2", "delete"), ("m3", "reused")))
   }
 
+  test("reconcileCounts: per-source layer counts with both mismatch modes") {
+    val src = Seq(1, 2, 3, 4).toDF("k")
+    val stgShort = Seq(1, 2, 3).toDF("k")          // short staging
+    val missing = Seq(9).toDF("k")                 // a key absent from hub
+    val empty = Seq.empty[Int].toDF("k")
+    val out = ControlPlane.reconcileCounts(Seq(
+      ("a", "source", src), ("a", "staging", stgShort), ("a", "vault_missing", empty),
+      ("b", "source", src), ("b", "staging", src), ("b", "vault_missing", missing),
+      ("c", "source", src), ("c", "staging", src), ("c", "vault_missing", empty)))
+      .orderBy("source_name")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(out === Array(
+      ("a", 4L, 3L, 0L, "mismatch"),   // staging short
+      ("b", 4L, 4L, 1L, "mismatch"),   // hub incomplete
+      ("c", 4L, 4L, 0L, "match")))
+  }
+
   test("syncRegistry is idempotent on a second identical sync") {
     val incoming = Seq("m1", "m3", "m4").toDF("model")
     val (merged, _) = ControlPlane.syncRegistry(

@@ -84,6 +84,40 @@ class DailyPipelineSpec extends SparkSpec {
     assert(wh.read("raw_vault", "hub_customer").count() > 0)
   }
 
+  test("an injected short load fails the record-count check and the source run") {
+    val (wh, p) = freshSetup()
+    // call 1 (staging) loads 400 rows; call 2 (check_records) sees the
+    // source's true 500 — the classic short-load the reference's
+    // check_num_of_records task exists to catch
+    var calls = 0
+    val flaky = p.SourceSpec("orders",
+      load = () => {
+        calls += 1
+        val o = Tables(spark, sf, "orders")
+        if (calls == 1) o.limit(400) else o.limit(500)
+      },
+      businessKeys = Seq("o_orderkey"),
+      attrs = Seq("o_orderstatus"))
+    val (date, r) = p.run(Seq(customersSpec(p), flaky))
+    intercept[IllegalStateException](r.assertAllSuccess())
+    assert(r.status("check_records") === "failed")
+    val rep = wh.read("check", "record_count")
+    assert(rep.filter(col("source_name") === "orders" &&
+      col("status") === "mismatch" && col("source_n") === 500 &&
+      col("staging_n") === 400 && col("vault_missing_n") === 0).count() === 1)
+    assert(rep.filter(col("source_name") === "customer" &&
+      col("status") === "match").count() === 1)
+    // only the short source's run fails; the clean one stays green
+    val runs = wh.read("op_metadata", "run_log")
+    assert(runs.filter(col("source_name") === "orders")
+      .select("status").as[String].head() === "failed")
+    assert(runs.filter(col("source_name") === "customer")
+      .select("status").as[String].head() === "success")
+    // and the date stays open for a re-run
+    assert(wh.read("op_metadata", "etl_dates")
+      .filter(col("etl_date") === date).select("status").as[String].head() === null)
+  }
+
   test("schema drift routes to the notification branch and still completes") {
     val (wh, p) = freshSetup()
     val (_, r1) = p.run(Seq(customersSpec(p)))
