@@ -118,20 +118,28 @@ object BloomFilter {
     bitTests(hash60(key), s)
 
   /** Drop fact rows that cannot match any build-side key. The hash
-    * projects once per row; the bit tests reuse it. */
-  def semiFilter(fact: DataFrame, factKey: String, s: Sketch): DataFrame =
-    fact.withColumn("__bf_h", hash60(col(factKey)))
-      .filter(bitTests(col("__bf_h"), s))
-      .drop("__bf_h")
+    * projects once per row into a collision-checked temp column (a fact
+    * table that already carries `__bf_h` must not get clobbered); the bit
+    * tests reuse it. */
+  def semiFilter(fact: DataFrame, factKey: String, s: Sketch): DataFrame = {
+    val tmp = Iterator.from(0).map(i => s"__bf_h$i")
+      .find(n => !fact.columns.contains(n)).get
+    fact.withColumn(tmp, hash60(col(factKey)))
+      .filter(bitTests(col(tmp), s))
+      .drop(tmp)
+  }
 
   /** Exact inner join with the Bloom pre-filter on the fact side: builds
     * the sketch from `dim(dimKey)`, filters `fact` before the join, then
-    * joins exactly (clearing any false positives). Result ≡ plain join. */
+    * joins exactly (clearing any false positives). Result ≡ plain join.
+    * The join condition uses DataFrame-qualified columns so factKey and
+    * dimKey may share a name (the common case for semi-join keys) without
+    * an ambiguous-reference error. */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       mBits: Int = 1 << 19, kHashes: Int = 3): DataFrame = {
     val sketch = build(dim, dimKey, mBits, kHashes)
-    semiFilter(fact, factKey, sketch)
-      .join(dim, col(factKey) === col(dimKey))
+    val filtered = semiFilter(fact, factKey, sketch)
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
   }
 }

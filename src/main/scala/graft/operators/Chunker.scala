@@ -88,7 +88,14 @@ object Chunker {
                     shardCol: String, budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")
     import org.apache.spark.sql.expressions.Window
+    // ROWS frame, not the default RANGE: with RANGE, rows tied on idCol
+    // would share cum_after and silently double-count the per-sequence
+    // token accounting (both engines agree, so the oracle can't catch it).
+    // idCol must still be unique within a shard for a DETERMINISTIC
+    // packing — ROWS makes ties an ordering ambiguity rather than a
+    // double-count, and q63's doc_id satisfies uniqueness outright.
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(shardCol), col(idCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)

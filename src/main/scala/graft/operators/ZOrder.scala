@@ -52,15 +52,22 @@ object ZOrder {
     * "how much would a predicate on each column skip" diagnostic. Buckets
     * are `nBuckets` equal slices of `orderCol`'s [min, max] (integer
     * width_bucket — no global sort, one scalar agg + one grouped agg).
-    * Output: (bucket, n_rows, a_span, b_span). */
+    * Output: (bucket, n_rows, a_span, b_span).
+    *
+    * Bucket = (o - lo) DIV ceil(span / nBuckets), with ceil computed as
+    * `(hi - lo) DIV nBuckets + 1` (exact for integers). Division-only on
+    * purpose: the naive `(o - lo) * nBuckets DIV span` silently wraps a
+    * signed long once the key span reaches 2^63/nBuckets — which 31-bit
+    * z-values (spans up to ~2^62) do hit. The divide form is exact for the
+    * full long range and algebra bounds it at nBuckets - 1, no clamp. */
   def layoutStats(df: DataFrame, orderCol: Column, a: String, b: String,
                   nBuckets: Int): DataFrame = {
     val base = df.select(col(a).cast("long").as("__a"),
       col(b).cast("long").as("__b"), orderCol.cast("long").as("__o"))
     val mm = base.agg(min(col("__o")).as("__lo"), max(col("__o")).as("__hi"))
     base.join(broadcast(mm), lit(true))
-      .withColumn("bucket", least(lit((nBuckets - 1).toLong),
-        expr(s"((__o - __lo) * $nBuckets) DIV (__hi - __lo + 1)")))
+      .withColumn("bucket",
+        expr(s"(__o - __lo) DIV ((__hi - __lo) DIV $nBuckets + 1)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         (max(col("__a")) - min(col("__a"))).as("a_span"),

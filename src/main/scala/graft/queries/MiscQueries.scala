@@ -100,7 +100,8 @@ object MiscQueries {
     // silently alias keys above 2^bits and scramble the diagnostic, and
     // the oracle would reproduce the identical truncation, so the verify
     // sweep could never catch it (l_partkey already exceeds 2^16 at sf1
-    // and would pass 2^20 at sf6).
+    // and would pass 2^20 at sf6). 31-bit z-values span up to ~2^62,
+    // which layoutStats' division-only bucket math handles exactly.
     val zorder = ZOrder.layoutStats(li,
       ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 31),
       "l_partkey", "l_suppkey", nBuckets = 64)
@@ -266,11 +267,11 @@ object MiscQueries {
          ob AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM src),
          u AS (
            SELECT 'zorder' AS layout,
-             least(CAST(63 AS BIGINT), ((z - lo) * 64) // (hi - lo + 1)) AS bucket,
+             (z - lo) // ((hi - lo) // 64 + 1) AS bucket,
              l_partkey, l_suppkey FROM src, zb
            UNION ALL
            SELECT 'linear',
-             least(CAST(63 AS BIGINT), ((l_orderkey - lo) * 64) // (hi - lo + 1)),
+             (l_orderkey - lo) // ((hi - lo) // 64 + 1),
              l_partkey, l_suppkey FROM src, ob)
          SELECT layout, bucket, count(*) AS n_rows,
            CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS part_span,

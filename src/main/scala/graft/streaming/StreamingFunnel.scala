@@ -41,6 +41,13 @@ object StreamingFunnel {
 
   val NoView: Long = Long.MaxValue
 
+  /** Timeout sentinel for tombstoned users: 9999-12-31 in epoch millis. A
+    * tombstone re-arming `watermark + 1` instead would time out again on
+    * EVERY microbatch, so per-batch timeout processing would grow with
+    * lifetime user count; armed once at the far future it never fires, and
+    * stray events from a returning user still hit the done-flag drain. */
+  private[streaming] val FarFutureMs: Long = 253402300799000L
+
   /** The funnel verdict from final stats: 0 = never viewed (not emitted),
     * 1 = viewed, 2 = clicked within w1, 3 = purchased within w2 of the
     * click. */
@@ -63,7 +70,7 @@ object StreamingFunnel {
       val s = state.get
       if (s.done) { // tombstone: verdict already out; keep suppressing
         state.update(s)
-        state.setTimeoutTimestamp(watermarkMs + 1L)
+        state.setTimeoutTimestamp(FarFutureMs)
         return Iterator.empty
       }
       val stage = verdict(s, w1Us, w2Us)
@@ -72,7 +79,7 @@ object StreamingFunnel {
         // verdict — batch q86 counts each user once, anchored on the
         // GLOBAL first view; a per-user marker row is the streaming price
         state.update(FunnelState(NoView, Nil, Nil, 0L, done = true))
-        state.setTimeoutTimestamp(watermarkMs + 1L)
+        state.setTimeoutTimestamp(FarFutureMs)
         return Iterator.single(FunnelVerdict(uid, stage))
       }
       state.remove() // never viewed: nothing emitted, nothing to suppress
@@ -81,7 +88,7 @@ object StreamingFunnel {
     var s = state.getOption.getOrElse(FunnelState(NoView, Nil, Nil, 0L))
     if (s.done) { // drain the iterator; verdict is already final
       state.update(s)
-      state.setTimeoutTimestamp(watermarkMs + 1L)
+      state.setTimeoutTimestamp(FarFutureMs)
       return Iterator.empty
     }
     evs.foreach { e =>

@@ -38,6 +38,16 @@ class BloomFilterSpec extends SparkSpec {
       s"fp rate ${fps / 20000.0} vs design $design (n=$n)")
   }
 
+  test("prefilteredJoin handles same-named keys; semiFilter survives a __bf_h column") {
+    val fact = spark.range(1, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit(99L).as("__bf_h0")) // pre-existing temp-name collision
+    val dim = spark.range(1, 100, 7).select(col("id").as("k"))
+    val out = BloomFilter.prefilteredJoin(fact, dim, "k", "k", mBits = 1 << 10)
+    assert(out.count() === dim.count())
+    assert(out.columns.count(_ == "__bf_h0") === 1) // collision column intact
+  }
+
   test("prefilteredJoin returns exactly the plain join's rows") {
     val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
     val viaBloom = BloomFilter

@@ -31,6 +31,16 @@ class ZOrderSpec extends SparkSpec {
     assert(minB >= 0L && maxB <= 15L)
   }
 
+  test("layoutStats bucket math survives 2^62-scale spans without overflow") {
+    // spans this wide wrap the naive (o - lo) * nBuckets long multiply;
+    // the division-only form must still land max in the top bucket
+    val wide = Seq(0L, 1L << 61, (1L << 62) - 1).toDF("o")
+      .withColumn("a", lit(1L)).withColumn("b", lit(1L))
+    val got = ZOrder.layoutStats(wide, col("o"), "a", "b", nBuckets = 64)
+      .select("bucket").as[Long].collect().toSet
+    assert(got === Set(0L, 32L, 63L))
+  }
+
   test("z-clustered partitions bound both keys tighter than linear ones") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
