@@ -18,8 +18,15 @@ object Bench {
     // reads and broadcast setup all land off the clock. The timed pass
     // then measures steady-state throughput — the number a long-lived
     // cluster session actually sees. SPARK_GRAFT_BENCH_WARM=0 disables.
+    // builder-side subset for fast iteration (comma-separated name
+    // prefixes, like Verify's SPARK_GRAFT_ONLY); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(p => name.startsWith(p)))
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
@@ -52,7 +59,7 @@ object Bench {
     // steady-state number a long-lived session sees, insulated from a
     // transient GC pause or co-tenant I/O spike landing on one run
     // (run-to-run noise on this box is ±20%).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val best = if (first > 1.0) {
         val second = timeOnce(name, fn)
@@ -63,7 +70,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also write the artifact to a file: the stdout tail gets truncated by
+    // capture buffers once per-query numbers reach ~88 entries, and a
+    // "parsed": null bench round is a lost signal
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

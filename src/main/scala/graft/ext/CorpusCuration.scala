@@ -72,6 +72,49 @@ object CorpusCuration {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Stages 3+4 over ONE signing scan — the scale-honest funnel shape:
+    * `signDocumentsWithFingerprint` computes the exact-dedup fingerprint
+    * AND the MinHash signature/shingle sets in the same text projection,
+    * exact survivors come from a min-id-per-fingerprint window (one
+    * shuffle of the signed frame — no self-semi-join that would re-derive
+    * the input lineage twice), and the near-dup verify runs off the same
+    * persisted signatures. Returns (exactIds, curatedIds, signedHandle);
+    * the signed frame stays persisted backing both id frames — callers
+    * that materialize their results should unpersist the handle after.
+    */
+  private[ext] def fusedDedup(docs: DataFrame, idCol: String, textCol: String,
+                              minJaccard: Double): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val signed = Dedup.signDocumentsWithFingerprint(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact survivors via a NARROW (fp, id) aggregate + semi-join back:
+    // column pruning keeps the exact-dedup shuffle to two small columns,
+    // and AQE sees the tiny keep-list at runtime and broadcasts the semi
+    // join — the wide signature rows never shuffle for this stage. (A
+    // min-id window over signed would instead sort-exchange every shingle
+    // array.) sigExact persists because every downstream consumer — band
+    // join, verify stats, both verify sides, the final anti-join — reads
+    // it; signed unpersists once the verify stage has materialized it.
+    val keep = signed.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val sigExact = signed.join(keep, Seq(idCol), "left_semi").drop("fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val losers = Dedup.nearDupPairsFromSignatures(sigExact, idCol, minJaccard = minJaccard)
+      .select(col("b_id").as(idCol)).distinct()
+    // the verify stage's actions above materialized sigExact fully, so the
+    // pre-dedup signature cache can go now
+    signed.unpersist()
+    val curatedIds = sigExact.select(col(idCol)).join(losers, Seq(idCol), "left_anti")
+    (sigExact.select(col(idCol)), curatedIds, sigExact)
+  }
+
+  /** Surviving doc ids after exact + near-dup dedup, one signing pass
+    * (see fusedDedup). The returned frame reads the internally persisted
+    * signature cache; queries that want full rows semi-join it back. */
+  def dedupedIds(docs: DataFrame, idCol: String, textCol: String,
+                 minJaccard: Double): DataFrame =
+    fusedDedup(docs, idCol, textCol, minJaccard)._2
+
   /** Per-domain cap — keep at most `n` docs per `srcCol`, highest
     * `scoreCol` first with the id as a deterministic tie-break. The crawl
     * pipeline's guard against one domain flooding the corpus. A window
@@ -116,13 +159,12 @@ object CorpusCuration {
 
   /** The full pipeline. Returns (curated docs, per-stage counts).
     *
-    * Single materialization per stage: filtered and exact are persisted,
-    * one action (curated.count) populates the whole lineage, the input
-    * count rides the same pass as an `observe` metric (no separate input
-    * scan), and the remaining stage counts read the caches. The
-    * intermediates unpersist before returning; `curated` stays persisted —
-    * the caller reads it without re-deriving the funnel and owns its
-    * lifecycle. */
+    * One scan of the input (persist + observe), ONE signing pass feeding
+    * both dedup stages (fusedDedup), and one materialization per stage:
+    * curated.count() populates the whole lineage, the exact-stage count
+    * reads the signature cache. The intermediates unpersist before
+    * returning; `curated` stays persisted — the caller reads it without
+    * re-deriving the funnel and owns its lifecycle. */
   def curate(spark: SparkSession, docs: DataFrame, p: Params = Params()):
       (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -136,19 +178,18 @@ object CorpusCuration {
     // cache: the input count rides the same scan as an observe metric
     val nFiltered = filtered.count()
     val nInput = obs.get("n").asInstanceOf[Long]
-    val exact = exactDeduped(filtered, "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val curated = nearDupRemoved(exact, "doc_id", p.minJaccard)
+    val (exactIds, curatedIds, signed) = fusedDedup(filtered, "doc_id", "text", p.minJaccard)
+    val curated = filtered.join(curatedIds, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nCurated = curated.count() // materializes the remaining stages once
     val counts = Seq(
       ("0_input", nInput),
       ("1_quality_filtered", nFiltered),
-      ("2_exact_deduped", exact.count()), // served from cache
+      ("2_exact_deduped", exactIds.count()), // served from the signature cache
       ("3_near_dup_removed", nCurated))
       .toDF("stage", "n_docs")
+    signed.unpersist()
     filtered.unpersist()
-    exact.unpersist()
     (curated, counts)
   }
 }

@@ -71,14 +71,26 @@ object Dedup {
     * band join downstream moves data. One md5 per shingle, k cheap passes
     * over the hashed array. */
   private[operators] def signatureFrame(df: DataFrame, idCol: String, textCol: String,
-                                        k: Int, shingleN: Int): DataFrame = {
+                                        k: Int, shingleN: Int): DataFrame =
+    signatureFrameWith(df, idCol, textCol, k, shingleN, Nil)
+
+  /** signatureFrame plus caller-supplied extra row-local columns computed
+    * in the SAME text projection — the fused-scan seam: a funnel that needs
+    * both the exact-dedup fingerprint and the near-dup signature pays one
+    * pass over the text instead of two. */
+  private def signatureFrameWith(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int, shingleN: Int,
+                                 extra: Seq[(String, Column)]): DataFrame = {
+    val extraNames = extra.map(_._1)
     val hashed = df
       .select(col(idCol), col(textCol))
       .repartition(fanoutPartitions(df)) // spread row-local work BEFORE shingling
-      .select(col(idCol), charShingles(col(textCol), shingleN).as("__shs"))
-      .select(col(idCol),
-        size(col("__shs")).cast("long").as("sz"),
-        transform(col("__shs"), s => stableHash60(s)).as("__hs"))
+      .select(col(idCol) +: charShingles(col(textCol), shingleN).as("__shs") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .select(col(idCol) +:
+        size(col("__shs")).cast("long").as("sz") +:
+        transform(col("__shs"), s => stableHash60(s)).as("__hs") +:
+        extraNames.map(col): _*)
     // all k minima in one codegen'd pass (MinHashSigs) instead of k
     // interpreted array_min(transform(..)) traversals
     val sigs = org.apache.spark.sql.graft.MinHashExprs.minhashSigs(
@@ -87,9 +99,12 @@ object Dedup {
     // verify stage a zero-allocation sorted-merge intersect per PAIR
     // (candidate pairs outnumber docs ~30x under LSH banding)
     hashed
-      .select(col(idCol), col("sz"), array_sort(array_distinct(col("__hs"))).as("shs"), sigs.as("__mh"))
+      .select(col(idCol) +: col("sz") +:
+        array_sort(array_distinct(col("__hs"))).as("shs") +: sigs.as("__mh") +:
+        extraNames.map(col): _*)
       .select(col(idCol) +: col("sz") +: col("shs") +:
-        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
+        ((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")) ++
+          extraNames.map(col)): _*)
   }
 
   /** k-wide MinHash signature per doc (see signatureFrame — shuffle-free). */
@@ -166,15 +181,33 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val enriched = signatureFrame(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(lshBands(enriched, idCol, b, k / b), idCol)
+    val out = nearDupPairsFromSignatures(enriched, idCol, k, b, minJaccard,
+      verifyBroadcastBytes)
+    enriched.unpersist()
+    out
+  }
+
+  /** Near-dup pairs from an ALREADY-SIGNED frame (signDocuments /
+    * signDocumentsWithFingerprint output, ideally persisted by the caller):
+    * LSH banding → candidate join → exact-Jaccard verify, skipping the
+    * signing scan entirely. The seam a curation funnel uses to share one
+    * signing pass across its dedup stages, and the batch path a warehouse
+    * with stored signatures calls directly. Result is eagerly checkpointed
+    * (O(candidate pairs)), so the caller may unpersist the signature frame
+    * as soon as this returns. */
+  def nearDupPairsFromSignatures(sig: DataFrame, idCol: String,
+                                 k: Int = 16, b: Int = 4,
+                                 minJaccard: Double = 0.5,
+                                 verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = jaccardFromSets(
-      enriched.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard,
+      sig.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard,
       cands, verifyBroadcastBytes)
     // pairs are O(candidates) — tiny next to the inputs; checkpointing them
     // lets the heavyweight caches go before the caller even runs an action
     val out = pairs.localCheckpoint(true)
-    enriched.unpersist()
     cands.unpersist()
     out
   }
@@ -191,6 +224,14 @@ object Dedup {
   def signDocuments(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, shingleN: Int = 5): DataFrame =
     signatureFrame(df, idCol, textCol, k, shingleN)
+
+  /** signDocuments plus the exact-dedup canonical fingerprint (`fp`) in the
+    * SAME text scan — one pass feeds both dedup stages of a curation
+    * funnel instead of re-reading (and re-deriving) the corpus per stage. */
+  def signDocumentsWithFingerprint(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int = 16, shingleN: Int = 5): DataFrame =
+    signatureFrameWith(df, idCol, textCol, k, shingleN,
+      Seq("fp" -> fingerprint(col(textCol))))
 
   /** Incremental near-dup: verify a NEW batch against an already-signed
     * corpus without re-signing it — the production shape for a growing

@@ -29,17 +29,17 @@ object CurationQueries {
     langs = Set("en", "und"), minQualityE4 = 4000L,
     minChars = 50, maxChars = 100000, minJaccard = 0.5)
 
-  /** q36: curated doc ids after the full funnel. The exact-deduped stage
-    * is materialized: the near-dup stage reads it for signatures AND for
-    * the final anti-join (a production funnel checkpoints here anyway). */
+  /** q36: curated doc ids after the full funnel, via the fused dedup path:
+    * ONE signing scan computes the exact-dedup fingerprint and the MinHash
+    * signatures together, exact survivors come from a min-id window over
+    * that frame, and the near-dup verify reuses the same signatures — the
+    * quality-filter lineage (8 regex passes/doc) evaluates once instead of
+    * once per dedup stage. */
   def q36CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val docs = Tables(spark, dir, "documents")
     val filtered = CorpusCuration.qualityFilter(docs, P)
-    val exact = CorpusCuration.exactDeduped(filtered, "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    CorpusCuration.nearDupRemoved(exact, "doc_id", P.minJaccard)
-      .select(col("doc_id")).orderBy(col("doc_id"))
+    CorpusCuration.dedupedIds(filtered, "doc_id", "text", P.minJaccard)
+      .orderBy(col("doc_id"))
   }
 
   /** q64: per-domain cap — at most 5 docs per source, best quality first

@@ -24,9 +24,13 @@ object ProfileCuration {
       .filter(col("pl").isNotNull).count())
     val filtered = CorpusCuration.qualityFilter(docs, p)
     time("qualityFilter")(filtered.count())
+    time("signWithFp")(graft.operators.Dedup
+      .signDocumentsWithFingerprint(filtered, "doc_id", "text").count())
     time("exactDeduped")(CorpusCuration.exactDeduped(filtered, "doc_id").count())
     val exact = CorpusCuration.exactDeduped(filtered, "doc_id")
     time("nearDupRemoved")(CorpusCuration.nearDupRemoved(exact, "doc_id", p.minJaccard).count())
+    time("fused dedupedIds")(
+      CorpusCuration.dedupedIds(filtered, "doc_id", "text", p.minJaccard).count())
     time("full curate")(CorpusCuration.curate(spark, docs, p)._1.count())
     spark.stop()
   }

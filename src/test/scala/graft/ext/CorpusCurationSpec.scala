@@ -48,6 +48,19 @@ class CorpusCurationSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("fused one-scan dedup ids equal the staged exact+near-dup pipeline") {
+    val docs = Tables(spark, sf, "documents")
+    val p = CorpusCuration.Params(langs = Set("en", "und"), minQualityE4 = 0L,
+      minChars = 1, minJaccard = 0.5)
+    val filtered = CorpusCuration.qualityFilter(docs, p)
+    val staged = CorpusCuration.nearDupRemoved(
+      CorpusCuration.exactDeduped(filtered, "doc_id"), "doc_id", p.minJaccard)
+      .select("doc_id").as[Long].collect().toSet
+    val fused = CorpusCuration.dedupedIds(filtered, "doc_id", "text", p.minJaccard)
+      .as[Long].collect().toSet
+    assert(fused === staged)
+  }
+
   test("near-dup removal keeps the smaller id of a planted dup pair") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
