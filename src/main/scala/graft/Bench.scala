@@ -59,7 +59,7 @@ object Bench {
     // steady-state number a long-lived session sees, insulated from a
     // transient GC pause or co-tenant I/O spike landing on one run
     // (run-to-run noise on this box is ±20%).
-    val results = selected.map { case (name, fn) =>
+    val queryResults = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val best = if (first > 1.0) {
         val second = timeOnce(name, fn)
@@ -67,6 +67,25 @@ object Bench {
       } else first
       name -> best
     }
+    // production-depth BPE training (not a Verify query — no SQL oracle
+    // exists for an iterative learner): 1000 merges over the documents
+    // table via the one-job in-memory learner; minCount=1 so the fixture
+    // vocabulary actually sustains the full depth
+    val extraResults =
+      if (only.forall(_.exists("x_bpe_learn_1000".startsWith(_)))) {
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            graft.operators.Bpe.learnMergesFast(docs, "text", 1000, minCount = 1L)
+              .nonEmpty
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] bpe_learn failed: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseAll()
+        Seq("x_bpe_learn_1000" -> (if (ok) dt else -1.0))
+      } else Seq.empty
+    val results = queryResults ++ extraResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

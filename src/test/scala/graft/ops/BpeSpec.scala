@@ -27,6 +27,46 @@ class BpeSpec extends SparkSpec {
     assert(out.toSeq === Seq(4L, 0L, 1L))
   }
 
+  test("batched learner equals the sequential learner merge for merge") {
+    val docs = Tables(spark, sf, "documents").limit(60)
+    val seq = Bpe.learnMerges(docs, "text", nMerges = 60)
+    for (bs <- Seq(2, 8, 32)) {
+      val (batched, rounds) = Bpe.learnMergesBatched(docs, "text", nMerges = 60,
+        batchSize = bs)
+      assert(batched === seq, s"batchSize=$bs diverged from sequential")
+      // exactness caps the fill on natural text (top character pairs
+      // overlap), so only require no worse than sequential pacing; the
+      // production-vocab fix is learnMergesFast's in-memory loop
+      assert(rounds <= 60, s"batchSize=$bs used $rounds rounds")
+    }
+    // the adversarial overlap shape: heavy chains force clash-stops
+    val chains = Seq("aaaa aaab abab baba bbbb aabb").toDF("text")
+    val seqC = Bpe.learnMerges(chains, "text", nMerges = 10)
+    val (batC, _) = Bpe.learnMergesBatched(chains, "text", nMerges = 10, batchSize = 8)
+    assert(batC === seqC)
+  }
+
+  test("fast learner equals the sequential learner and runs ONE Spark job") {
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val n = 80 // the 200-doc fixture supports ~89 merges at minCount=2
+    val seq = Bpe.learnMerges(docs, "text", nMerges = n)
+    val sc = spark.sparkContext
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    val fast = Bpe.learnMergesFast(docs, "text", nMerges = n)
+    val jobsUsed = sc.statusTracker.getJobIdsForGroup(null).length - jobsBefore
+    assert(fast === seq, "in-memory learner diverged from sequential")
+    assert(fast.size === n)
+    // the whole merge loop must ride the single vocab-collect job — this is
+    // the production-vocab fix (32k merges == 1 job, not 32k jobs)
+    assert(jobsUsed <= 2, s"fast learner ran $jobsUsed jobs; merges must not cost jobs")
+    // deeper run at minCount=1: exhausts shallow pairs, exercises chained
+    // merges whose symbols were created by earlier merges (the sequential
+    // baseline costs one job per merge, so keep its depth test-sized)
+    val deep = Bpe.learnMergesFast(docs, "text", nMerges = 120, minCount = 1L)
+    val deepSeq = Bpe.learnMerges(docs, "text", nMerges = 120, minCount = 1L)
+    assert(deep === deepSeq)
+  }
+
   test("learned merges compress the fixture corpus between ws and char counts") {
     val docs = Tables(spark, sf, "documents").limit(100)
     val merges = Bpe.learnMerges(docs, "text", nMerges = 40)
