@@ -33,9 +33,36 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** (id, cluster) for every node that appears in `edges`; cluster = the
-    * minimum node id reachable in the undirected graph. */
+    * minimum node id reachable in the undirected graph.
+    *
+    * `method`: "label" = pure min-label propagation (O(diameter) rounds —
+    * the right tool for shallow near-dup clusters; fails loudly past
+    * `maxIters`); "star" = large-star/small-star (O(log n) rounds for ANY
+    * graph, incl. pathological chains); "auto" (default) = label
+    * propagation first, star as the fallback when the diameter exceeds
+    * `maxIters` — q41/q54-class workloads keep their 2-4-round plan, a
+    * 10k-node path still converges instead of failing. */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIters: Int = 20): DataFrame = {
+                          bCol: String = "b_id", maxIters: Int = 20,
+                          method: String = "auto"): DataFrame = method match {
+    case "star" => starComponents(edges, aCol, bCol)
+    case "label" =>
+      labelComponents(edges, aCol, bCol, maxIters).getOrElse(
+        // silent partial propagation would split components and elect
+        // several "canonical" docs per real cluster — fail loudly instead
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(graph diameter exceeds maxIters — raise it, or use method=star)"))
+    case "auto" =>
+      labelComponents(edges, aCol, bCol, maxIters)
+        .getOrElse(starComponents(edges, aCol, bCol))
+    case other =>
+      throw new IllegalArgumentException(s"unknown method '$other' (label|star|auto)")
+  }
+
+  /** Min-label propagation; None when `maxIters` rounds did not converge. */
+  private def labelComponents(edges: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int): Option[DataFrame] = {
     // symmetric closure: propagate along both directions of each pair
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -59,12 +86,67 @@ object Clusters {
       labels = updated.select(col("id"), col("newlab").as("lab"))
       it += 1
     }
-    // silent partial propagation would split components and elect several
-    // "canonical" docs per real cluster — fail loudly instead
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(graph diameter exceeds maxIters — raise it for long chains)")
-    labels.select(col("id"), col("lab").as("cluster"))
+    if (converged) Some(labels.select(col("id"), col("lab").as("cluster")))
+    else None
+  }
+
+  /** Large-star/small-star components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): edges contract onto component
+    * minima in O(log n) alternating rounds REGARDLESS of diameter — a
+    * 10k-node path needs ~2·log₂ n rounds where label propagation needs
+    * 10k. Each round is two grouped aggregations + joins on uniform node
+    * keys (no driver data path); per-round state is the O(|E|) oriented
+    * edge frame, lineage-cut per round. Convergence = the oriented edge
+    * set reaching a fixed point (then it IS the star forest: every node
+    * points at its component minimum). */
+  private[operators] def starComponents(edges: DataFrame, aCol: String,
+                                        bCol: String): DataFrame = {
+    val nodes = edges.select(col(aCol).as("id"))
+      .unionByName(edges.select(col(bCol).as("id")))
+      .distinct().localCheckpoint(true)
+    // orient every edge (hi, lo), drop self-loops
+    var e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint(true)
+    val n = math.max(2L, nodes.count())
+    val maxRounds = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)).toInt + 4
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxRounds) {
+      // large-star: per node x (symmetric view), every STRICTLY LARGER
+      // neighbor y links to m(x) = min(neighbors ∪ {x}); y > x ≥ m keeps
+      // the (hi, lo) orientation
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy(col("x")).agg(min(col("y")).as("my"))
+        .select(col("x"), least(col("x"), col("my")).as("m"))
+      val ls = sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: per node u over its SMALLER neighbors v (that is every
+      // edge, given the orientation): all of them plus u link to the min
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = ls.join(mins2, "u")
+      val ss = withMin
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: distinct oriented sets of equal size with an empty
+      // difference are equal — then every edge already points at a root
+      converged = ss.count() == e.count() &&
+        ss.exceptAll(e).limit(1).count() == 0L
+      e = ss
+      it += 1
+    }
+    require(converged || it < maxRounds,
+      s"starComponents did not reach a fixed point in $maxRounds rounds")
+    nodes.join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Deterministic integer PageRank over a bipartite edge set (a, b) —

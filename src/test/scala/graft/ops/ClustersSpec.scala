@@ -32,6 +32,34 @@ class ClustersSpec extends SparkSpec {
     assert(got.length === 8 && got.forall(_._2 == 1L))
   }
 
+  test("star components solve a 4096-node path within the 2·log2(n) bound") {
+    // diameter 4095 — label propagation would need 4095 rounds; the
+    // large-star/small-star path must finish inside its own hard bound of
+    // 2·ceil(log2 n)+4 rounds (starComponents THROWS past it, so this
+    // passing IS the round-count proof), and auto must fall back to it
+    // instead of failing at maxIters
+    val n = 4096L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val star = Clusters.connectedComponents(edges, method = "star")
+      .as[(Long, Long)].collect()
+    assert(star.length === n && star.forall(_._2 == 0L))
+    val auto = Clusters.connectedComponents(edges, maxIters = 5)
+      .as[(Long, Long)].collect()
+    assert(auto.length === n && auto.forall(_._2 == 0L))
+  }
+
+  test("star components agree with label propagation on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val lab = Clusters.connectedComponents(edges, method = "label", maxIters = 50)
+      .as[(Long, Long)].collect().toMap
+    val star = Clusters.connectedComponents(edges, method = "star")
+      .as[(Long, Long)].collect().toMap
+    assert(star === lab)
+  }
+
   test("dedupClusters marks exactly one canonical (the min id) per cluster") {
     val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("a_id", "b_id")
     val got = Clusters.dedupClusters(pairs)
