@@ -71,6 +71,59 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally run.stop()
   }
 
+  test("kill and resume from the checkpoint emits each verdict exactly once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val (w1, w2) = (2 * HourUs, 3 * HourUs)
+    val srcDir = Files.createTempDirectory("graft_sfr_src_").toString
+    val ckpt = Files.createTempDirectory("graft_sfr_ck_").toString
+    // idempotent upsert sink: replays may re-deliver a verdict, but only
+    // IDENTICAL re-delivery is exactly-once to an upsert sink — any
+    // conflicting stage for a user is a real failure
+    val seen = new scala.collection.concurrent.TrieMap[Long, Int]
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def record(rows: Array[(Long, Int)]): Unit = rows.foreach { case (u, s) =>
+      seen.putIfAbsent(u, s).foreach(prev => if (prev != s) conflicts.incrementAndGet())
+    }
+    def stream(crashOnVerdicts: Boolean) = {
+      val src = spark.readStream
+        .schema(Seq.empty[FunnelEv].toDS().schema)
+        .parquet(s"$srcDir/*.parquet").as[FunnelEv]
+      StreamingFunnel.streaming(src, w1, w2, "1 hour").toDF()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getInt(1)))
+          record(rows)
+          if (crashOnVerdicts && rows.nonEmpty)
+            throw new RuntimeException("injected crash after sink write")
+        }
+        .start()
+    }
+    // file A: u1 converts (0,1,3); u2 clicks late; u3 purchases late;
+    // u4 never views; u98 is the watermark sentinel (deadline 35h)
+    Seq(ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 3),
+      ev(2, "view", 0), ev(2, "click", 3),
+      ev(3, "view", 0), ev(3, "click", 1), ev(3, "purchase", 6),
+      ev(4, "click", 1),
+      ev(98, "view", 30))
+      .toDS().coalesce(1).write.parquet(s"$srcDir/a.parquet")
+    val run1 = stream(crashOnVerdicts = false)
+    run1.awaitTermination()
+    // file B pushes the watermark past u98's deadline; this run is KILLED
+    // on its first verdict batch after the sink already wrote
+    Seq(ev(99, "view", 60)).toDS().coalesce(1).write.parquet(s"$srcDir/b.parquet")
+    val crashing = stream(crashOnVerdicts = true)
+    intercept[StreamingQueryException](crashing.awaitTermination())
+    // resume from the checkpoint: replayed deliveries must be identical,
+    // and the final verdict set must match the batch truth
+    val run3 = stream(crashOnVerdicts = false)
+    run3.awaitTermination()
+    assert(conflicts.get() === 0, "a replayed verdict differed from the original")
+    assert(seen.toMap === Map(1L -> 3, 2L -> 1, 3L -> 2, 98L -> 1),
+      s"got ${seen.toMap}")
+  }
+
   test("streaming verdict counts match the batch windowed funnel") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic synthetic population, all inside one watermark window
