@@ -123,6 +123,47 @@ object Relational {
     left.join(right, keys :+ "__salt").drop("__salt")
   }
 
+  /** Salt factor derived from a measured skew report (Profiler.skewReport
+    * output): enough salts that the hottest key's share lands near
+    * `targetShareE4` per task, clamped to [2, maxSalts]. Returns 0 when
+    * the report marks nothing hot (caller joins plain). */
+  def deriveSalts(report: DataFrame, targetShareE4: Long = 250L,
+                  maxSalts: Int = 256): Int = {
+    val hotShares = report.filter(col("hot")).select(col("share_e4"))
+      .collect().map(_.getLong(0))
+    if (hotShares.isEmpty) 0
+    else math.max(2, math.min(maxSalts,
+      math.ceil(hotShares.max.toDouble / targetShareE4).toInt))
+  }
+
+  /** Measurement-driven skew join: consumes the hot-key verdicts of
+    * `Profiler.skewReport` (keys as strings, share_e4, hot) instead of a
+    * caller-guessed salt constant. Rows with a MEASURED-hot key run
+    * through `saltedJoin` with the derived factor; everything else joins
+    * plain — so the build side replicates only its hot rows, and cold
+    * keys pay nothing. Result ≡ plain inner join (null keys match
+    * nothing in either path, as in any equi-join).
+    *
+    * This is the profile-then-join loop a 100 TB pipeline wants: the
+    * report costs one scan of the probe side's key column (run it on the
+    * ingest that landed the data), and the join plan adapts to the skew
+    * that is actually there rather than to a constant chosen when the
+    * data looked different. */
+  def adaptiveSaltedJoin(skewed: DataFrame, build: DataFrame, key: String,
+                         report: DataFrame, targetShareE4: Long = 250L,
+                         maxSalts: Int = 256): DataFrame = {
+    val salts = deriveSalts(report, targetShareE4, maxSalts)
+    if (salts == 0) skewed.join(build, Seq(key))
+    else {
+      val hotKeys = report.filter(col("hot")).select(col("key"))
+        .collect().map(_.getString(0)).toSeq
+      val isHot = col(key).cast("string").isin(hotKeys: _*)
+      val hot = saltedJoin(skewed.filter(isHot), build.filter(isHot), Seq(key), salts)
+      val cold = skewed.filter(!isHot).join(build, Seq(key))
+      hot.unionByName(cold)
+    }
+  }
+
   /** Incremental aggregate maintenance — refresh a stored rollup with a
     * new batch WITHOUT rescanning the base: aggregate the delta to the
     * same shape, union, and re-merge per key. Counts and sums merge by
