@@ -30,9 +30,17 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            content_md5: String, features: Array[Float])
   case class FrameFeatures(media_id: Long, frame_no: Int, offset_ms: Long,
-                           features: Array[Float])
+                           n_bytes: Long, features: Array[Float])
 
   val FeatureDim = 16
+
+  /** Hard per-row payload ceiling (256 MB). Media rows carry whole encoded
+    * payloads, so a single outsized row can OOM an executor or blow the
+    * 2 GB array limit long before any decode runs — every decode path
+    * checks it and fails LOUDLY with the offending media_id instead of
+    * dying opaquely mid-shuffle. Payloads beyond the ceiling belong in
+    * object storage with reference-typed rows, not inline bytes. */
+  val DefaultMaxBytes: Long = 256L << 20
 
   /** STUB decoder — deterministic fake: 16 floats from md5(bytes ++ salt).
     * A real implementation decodes/resamples here (JNI/FFI), consuming the
@@ -52,33 +60,57 @@ object Multimodal {
 
   /** Batched decode seam: one call per partition, iterator-in/iterator-out —
     * exactly the shape a vectorized (Arrow-batch) decoder needs. */
-  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+  private def decodeBatch(rows: Iterator[MediaRow],
+                          maxBytes: Long): Iterator[MediaFeatures] =
     rows.map { r =>
+      require(r.bytes.length.toLong <= maxBytes,
+        s"media payload ${r.bytes.length} exceeds maxBytes=$maxBytes (media_id=${r.media_id})")
       MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
         md5Hex(r.bytes), fakeDecode(r.bytes, 0))
     }
 
   /** Decode + featurize every media row. Repartitions by media_id first:
     * decode cost is per-row and huge relative to row count, so parallelism
-    * must not follow the input file layout. */
-  def decodeFeatures(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
+    * must not follow the input file layout. Rows over `maxBytes` fail
+    * loudly (see DefaultMaxBytes). */
+  def decodeFeatures(media: Dataset[MediaRow], partitions: Int,
+                     maxBytes: Long = DefaultMaxBytes): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions, col("media_id")).mapPartitions(decodeBatch)
+    media.repartition(partitions, col("media_id"))
+      .mapPartitions(decodeBatch(_, maxBytes))
   }
 
-  /** Evenly-spaced frame sampling for video rows: fan out to n frames per
-    * video BEFORE decoding so per-frame decode distributes across the
-    * cluster, then stub-decode each frame (salt = frame_no). */
+  /** Evenly-spaced frame sampling for video rows: each frame row carries
+    * ONLY its byte range of the payload — the ranges are cut ROW-LOCALLY
+    * before the shuffle (the stub analogue of reading a container's
+    * keyframe index), so the payload crosses the wire once in total, not
+    * once per frame. A 2-hour video therefore neither decodes on one core
+    * (per-frame rows spread by (media_id, frame_no)) NOR multiplies its
+    * gigabytes by nFrames through the exchange — the round-1 fan-out kept
+    * the first property but paid nFrames× shuffle amplification for it.
+    * Frame decode salts with frame_no + 1 over the frame's own slice. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int, durationMs: Long,
-                   partitions: Int): Dataset[FrameFeatures] = {
+                   partitions: Int, maxBytes: Long = DefaultMaxBytes): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
+    require(nFrames >= 1, "nFrames must be >= 1")
+    require(maxBytes <= Int.MaxValue.toLong, "maxBytes must fit an on-heap array")
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("total"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_no"))
+      // frame slice [f·total/n, (f+1)·total/n) — integer DIV, 1-based pos
+      .select(col("media_id"), col("frame_no"), col("total"),
+        expr(s"""substring(bytes,
+          CAST(frame_no * total DIV $nFrames AS INT) + 1,
+          CAST((frame_no + 1) * total DIV $nFrames - frame_no * total DIV $nFrames AS INT))""")
+          .as("frame_bytes"))
       .repartition(partitions, col("media_id"), col("frame_no"))
-      .as[(Long, Array[Byte], Int)]
-      .mapPartitions(_.map { case (id, bytes, f) =>
-        FrameFeatures(id, f, f.toLong * durationMs / nFrames, fakeDecode(bytes, f + 1))
+      .as[(Long, Int, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, f, total, slice) =>
+        require(total <= maxBytes,
+          s"media payload $total exceeds maxBytes=$maxBytes (media_id=$id)")
+        FrameFeatures(id, f, f.toLong * durationMs / nFrames,
+          slice.length.toLong, fakeDecode(slice, f + 1))
       })
   }
 

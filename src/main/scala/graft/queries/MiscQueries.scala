@@ -137,18 +137,20 @@ object MiscQueries {
       .orderBy(col("test"))
   }
 
-  /** q85: frame-sampled video features — the fan-out-BEFORE-decode path
-    * (Multimodal.sampleFrames): every video explodes to 4 evenly-spaced
-    * frames, each stub-decoded independently (salt = frame_no + 1), so a
-    * 2-hour video never decodes on one core. Stub features are md5-
-    * derived, hence fully oracle-checked like q32. */
+  /** q85: frame-sampled video features — the slice-before-shuffle path
+    * (Multimodal.sampleFrames): every video cuts 4 evenly-spaced byte
+    * ranges row-locally, each frame row carries ONLY its slice (payload
+    * crosses the exchange once in total), and each slice stub-decodes
+    * independently (salt = frame_no + 1) on its own task. Slice bounds
+    * and md5-derived features are integer/ASCII-exact, hence fully
+    * oracle-checked like q32. */
   def q85FrameFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(spark, dir), nFrames = 4,
       durationMs = 60000L,
       partitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .toDF()
-      .select(col("media_id"), col("frame_no"), col("offset_ms"),
+      .select(col("media_id"), col("frame_no"), col("offset_ms"), col("n_bytes"),
         floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
           .cast("long").as("f0_e4"))
       .orderBy(col("media_id"), col("frame_no"))
@@ -278,14 +280,21 @@ object MiscQueries {
            CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS supp_span
          FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     "q85_frame_features" ->
-      """WITH v AS (SELECT doc_id AS media_id, text FROM documents
+      """WITH v AS (SELECT doc_id AS media_id, text,
+             CAST(len(text) AS BIGINT) AS L FROM documents
            WHERE doc_id % 3 + 1 = 3),
-         f AS (SELECT media_id, text, CAST(unnest(range(0, 4)) AS INT) AS frame_no FROM v),
-         h AS (SELECT media_id, frame_no,
+         f AS (SELECT media_id, text, L,
+             CAST(unnest(range(0, 4)) AS INT) AS frame_no FROM v),
+         s AS (SELECT media_id, frame_no,
              CAST((frame_no * 60000) // 4 AS BIGINT) AS offset_ms,
-             CAST('0x'||substr(md5(text || CAST(frame_no + 1 AS VARCHAR)),1,2) AS INT) AS b0
-           FROM f)
-         SELECT media_id, frame_no, offset_ms,
+             CAST(((frame_no + 1) * L) // 4 - (frame_no * L) // 4 AS BIGINT) AS n_bytes,
+             substr(text, CAST((frame_no * L) // 4 AS BIGINT) + 1,
+               CAST(((frame_no + 1) * L) // 4 - (frame_no * L) // 4 AS BIGINT)) AS fb
+           FROM f),
+         h AS (SELECT media_id, frame_no, offset_ms, n_bytes,
+             CAST('0x'||substr(md5(fb || CAST(frame_no + 1 AS VARCHAR)),1,2) AS INT) AS b0
+           FROM s)
+         SELECT media_id, frame_no, offset_ms, n_bytes,
            CAST(floor((CASE WHEN b0 >= 128 THEN b0 - 256 ELSE b0 END)/128.0*10000 + 0.5)
              AS BIGINT) AS f0_e4
          FROM h ORDER BY media_id, frame_no""",

@@ -39,6 +39,39 @@ class MultimodalSpec extends SparkSpec {
     assert(one.map(_.features.toSeq).distinct.length === one.length)
   }
 
+  test("frame rows carry only their slice of a multi-MB payload, never the whole") {
+    val payload = new Array[Byte](4 << 20) // 4 MB video stand-in
+    var i = 0
+    while (i < payload.length) { payload(i) = (i % 251).toByte; i += 1 }
+    val ds = Seq(Multimodal.MediaRow(1L, "video", "stub", payload)).toDS()
+    val frames = Multimodal
+      .sampleFrames(ds, nFrames = 8, durationMs = 8000, partitions = 4)
+      .collect().sortBy(_.frame_no)
+    assert(frames.length === 8)
+    // the slices PARTITION the payload — total bytes across frame rows is
+    // exactly one payload, not nFrames of them
+    assert(frames.map(_.n_bytes).sum === (4L << 20))
+    assert(frames.forall(_.n_bytes === (4L << 20) / 8))
+    // each slice decodes to its own features (salt + distinct bytes)
+    assert(frames.map(_.features.toSeq).distinct.length === 8)
+  }
+
+  test("payloads beyond maxBytes fail loudly, naming the media id") {
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val ds = Seq(Multimodal.MediaRow(7L, "video", "stub",
+      Array.fill(1000)(1.toByte))).toDS()
+    val e1 = intercept[Exception](
+      Multimodal.sampleFrames(ds, 4, 1000, 2, maxBytes = 100L).collect())
+    assert(rootMessages(e1).contains("maxBytes=100") &&
+      rootMessages(e1).contains("media_id=7"))
+    val e2 = intercept[Exception](
+      Multimodal.decodeFeatures(ds, 2, maxBytes = 100L).collect())
+    assert(rootMessages(e2).contains("maxBytes=100") &&
+      rootMessages(e2).contains("media_id=7"))
+  }
+
   test("resizePlan carries target dims and a content id") {
     val out = Multimodal.resizePlan(media.toDF(), 224, 224)
     val r = out.select("target_width", "target_height", "resized_md5").head()
