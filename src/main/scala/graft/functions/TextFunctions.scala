@@ -110,13 +110,13 @@ object TextFunctions {
     * containment/plagiarism detector. Entirely row-local; ~|text|/(w/2)
     * fingerprints per doc. */
   def winnowingFingerprints(c: Column, n: Int, w: Int): Column = {
-    val grams = when(length(c) >= n,
-      transform(sequence(lit(1), length(c) - n + 1), i => c.substr(i, lit(n))))
-      .otherwise(array(c))
-    val hs = transform(grams, g => stableHash60(g))
-    // codegen'd one-pass sliding minima: a transform(sequence,
-    // i -> array_min(slice(hs, ...))) formulation captures the whole hash
-    // chain in the lambda and re-evaluates it PER WINDOW (O(n·w) md5s/doc)
+    // fused shingle+hash (positional, NOT distinct — windows must see the
+    // true sequence), then codegen'd one-pass sliding minima: a
+    // transform(sequence, i -> array_min(slice(hs, ...))) formulation
+    // captures the whole hash chain in the lambda and re-evaluates it PER
+    // WINDOW (O(n·w) md5s/doc)
+    val hs = org.apache.spark.sql.graft.MinHashExprs
+      .hashedShingles(c, n, distinct = false)
     org.apache.spark.sql.graft.MinHashExprs.winnowMins(hs, w)
   }
 

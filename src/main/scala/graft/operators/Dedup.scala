@@ -82,14 +82,19 @@ object Dedup {
                                  k: Int, shingleN: Int,
                                  extra: Seq[(String, Column)]): DataFrame = {
     val extraNames = extra.map(_._1)
+    // fused shingle+hash expression: one JVM pass per doc instead of two
+    // interpreted HOF lambdas and a hex-string md5 round-trip per shingle
+    // (bit-identical to the composable form — see HashedShingles)
     val hashed = df
       .select(col(idCol), col(textCol))
       .repartition(fanoutPartitions(df)) // spread row-local work BEFORE shingling
-      .select(col(idCol) +: charShingles(col(textCol), shingleN).as("__shs") +:
+      .select(col(idCol) +:
+        org.apache.spark.sql.graft.MinHashExprs
+          .hashedShingles(col(textCol), shingleN, distinct = true).as("__hs") +:
         extra.map { case (n, c) => c.as(n) }: _*)
       .select(col(idCol) +:
-        size(col("__shs")).cast("long").as("sz") +:
-        transform(col("__shs"), s => stableHash60(s)).as("__hs") +:
+        size(col("__hs")).cast("long").as("sz") +:
+        col("__hs") +:
         extraNames.map(col): _*)
     // all k minima in one codegen'd pass (MinHashSigs) instead of k
     // interpreted array_min(transform(..)) traversals

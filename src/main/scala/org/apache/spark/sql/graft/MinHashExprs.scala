@@ -261,6 +261,78 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd fused shingle-and-hash: character n-gram shingles of a string
+  * (optionally first-occurrence-distinct, texts shorter than n shingle to
+  * themselves) hashed to 60-bit md5 longs in ONE row-local JVM pass. The
+  * composable form — `transform(charShingles(c, n), s => stableHash60(s))`
+  * — walks two interpreted HOF lambdas per document and per shingle builds
+  * an md5 HEX STRING, substrings it, and string-parses it through conv();
+  * this slices characters once, digests bytes once, and takes the top 60
+  * bits of the digest numerically. Bit-identical to the composable form
+  * (first 15 hex digits of md5 == the first 8 digest bytes, big-endian,
+  * >>> 4), so every oracle that recomputes `CAST('0x'||substr(md5(s),1,15)
+  * AS BIGINT)` still matches. `distinct` keeps array_distinct's
+  * first-occurrence order; sz/minima/set semantics downstream are
+  * unchanged (hashes of distinct strings ≡ distinct-string hashes). */
+case class HashedShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  private def hash60(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // first 15 hex digits of the md5 == top 60 bits of the digest
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = HashedShingles.digests.get()
+    val text = input.asInstanceOf[UTF8String]
+    val chars = text.numChars()
+    if (chars < n) return new GenericArrayData(Array(hash60(md, text)))
+    val windows = chars - n + 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
+      var i = 0
+      while (i < windows) { seen.add(text.substringSQL(i + 1, n)); i += 1 }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = hash60(md, it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](windows)
+      var i = 0
+      while (i < windows) { out(i) = hash60(md, text.substringSQL(i + 1, n)); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[HashedShingles].getName
+    val ref = ctx.addReferenceObj("shingleHasher", this, cls)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  /** One digest per thread — expression instances are shared across the
+    * rows of a task and may be shared across tasks of an executor. */
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 object MinHashExprs {
   def minhashSigs(hs: Column, k: Int, p20: Long, p31: Long,
                   aBase: Long, aStep: Long, bBase: Long, bStep: Long): Column =
@@ -282,4 +354,8 @@ object MinHashExprs {
 
   def winnowMins(hs: Column, w: Int): Column =
     ExpressionUtils.column(WinnowMins(ExpressionUtils.expression(hs), w))
+
+  /** Fused char-n-gram shingle + 60-bit md5 hash (see HashedShingles). */
+  def hashedShingles(text: Column, n: Int, distinct: Boolean): Column =
+    ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(text), n, distinct))
 }

@@ -25,6 +25,33 @@ class TextEdgeCasesSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("s")).forall(_ >= 1))
   }
 
+  test("fused hashedShingles is bit-identical to the composable form") {
+    import org.apache.spark.sql.graft.MinHashExprs
+    // edge rows plus realistic text, repeats (distinct-order matters),
+    // and a non-ASCII doc (char-based substring semantics must match)
+    val docs = edge.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "ababababab"), (8L, "héllo wörld again")).toDF("doc_id", "text"))
+    for (n <- Seq(3, 5)) {
+      val fusedD = docs.select(col("doc_id"),
+        MinHashExprs.hashedShingles(col("text"), n, distinct = true).as("h"))
+      val composD = docs.select(col("doc_id"),
+        transform(charShingles(col("text"), n), s => stableHash60(s)).as("h"))
+      assert(fusedD.exceptAll(composD).isEmpty && composD.exceptAll(fusedD).isEmpty,
+        s"distinct path diverged at n=$n")
+      val grams = when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - n + 1),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array(col("text")))
+      val fusedP = docs.select(col("doc_id"),
+        MinHashExprs.hashedShingles(col("text"), n, distinct = false).as("h"))
+      val composP = docs.select(col("doc_id"),
+        transform(grams, g => stableHash60(g)).as("h"))
+      assert(fusedP.exceptAll(composP).isEmpty && composP.exceptAll(fusedP).isEmpty,
+        s"positional path diverged at n=$n")
+    }
+  }
+
   test("quality score stays in [0,1] on degenerate inputs") {
     val q = edge.select(qualityScore(col("text"))).as[Double].collect()
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
