@@ -364,4 +364,119 @@ object Similarity {
       .select(col(idCol), col("label"), col("dist_sq"),
         (col("dist_sq") > lit(factor.toLong) * col("mean_dist")).as("is_outlier"))
   }
+
+  // ---- Product quantization (PQ) ----
+
+  /** (id, sub, qe): every vector's quantized subvectors, one row per
+    * subspace — the shared slicing for codebook training, encoding, and
+    * the query lookup table. Row-local explode; no shuffle. */
+  private def pqSliced(df: DataFrame, m: Int, dim: Int,
+                       idCol: String, embCol: String): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val len = dim / m
+    val subs = (0 until m).map(s => struct(lit(s).as("sub"),
+      slice(col("__qe"), s * len + 1, len).as("qe")))
+    df.select(col(idCol), quantize(col(embCol)).as("__qe"))
+      .select(col(idCol), explode(array(subs: _*)).as("__x"))
+      .select(col(idCol), col("__x.sub").as("sub"), col("__x.qe").as("qe"))
+  }
+
+  /** PQ codebooks: an independent deterministic Lloyd's (kmeansCentroids'
+    * exact semantics — lowest-id seeds, integer means, label tie-breaks)
+    * per subspace, but trained for ALL m subspaces in the SAME jobs: the
+    * corpus explodes once to (id, sub, subvector) rows and every
+    * assignment/mean keys on (sub, label), so m subspaces cost the job
+    * count of one (a per-subspace driver loop would run m× the Spark
+    * jobs for identical results). Output (sub, label, ce) — m·k rows,
+    * broadcast-sized for any real m/k. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int, iters: Int = 2,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sliced = pqSliced(corpus, m, dim, idCol, embCol).localCheckpoint(true)
+    // seeds: the k lowest-id vectors' slices; label = id rank, per subspace
+    // (the same k ids in every subspace, so one TakeOrdered feeds all m)
+    val low = corpus.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k)
+    var cent = pqSliced(low, m, dim, idCol, embCol)
+      .withColumn("label", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("sub"), col("label"), col("qe").as("ce"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("__cs").desc, col("label"))
+      val assigned = sliced.join(broadcast(cent), Seq("sub"))
+        .withColumn("__cs", qcosine(col("qe"), col("ce")))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col("sub"), col("label"), col("qe"))
+      val means = assigned
+        .select(col("sub"), col("label"), posexplode(col("qe")).as(Seq("d", "v")))
+        .groupBy(col("sub"), col("label"), col("d"))
+        .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("c"))
+        .groupBy(col("sub"), col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          x => x.getField("c")).as("ce"))
+      // clusters that lost every member keep their previous centroid
+      val kept = cent.join(means.select(col("sub"), col("label")),
+        Seq("sub", "label"), "left_anti")
+      cent = means.unionByName(kept).localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** PQ encoding: each vector's nearest codebook entry per subspace by the
+    * same cosine+tie-break as ivfAssign. Output (id, sub, label) — the
+    * stored index is m small codes per vector (3 bits each at k = 8;
+    * 16× beyond SQ8's 4× on a 64-dim float vector). One corpus scan, the
+    * codebook broadcast, one rank window keyed (id, sub). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val scored = pqSliced(corpus, m, dim, idCol, embCol)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__cs", qcosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__cs").desc, col("label"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col("sub"), col("label"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): the query's subvectors dot every
+    * codebook entry ONCE (an m·k lookup table per query, broadcast), then
+    * every corpus vector scores through its codes alone — the ranking
+    * reads nothing wider than (sub, label) ints, and the reconstruction
+    * norm² comes from the codebook self-dots. Approximate dot = Σ_sub
+    * lut(q, sub, code); cos against the reconstruction's norm, exact-int
+    * inputs → identical doubles → e4 fixed point, like every ANN ranking
+    * here. At 100 TB compose with IVF lists to prune candidates first
+    * (this is the FAISS IVFADC shape); ADC itself is the memory/IO win,
+    * not a candidate filter. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+             k: Int, m: Int, dim: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
+    val codes = pqEncode(corpus, cb.select("sub", "label", "ce"), m, dim, idCol, embCol)
+    // per-vector reconstruction norm² — m tiny rows per vector
+    val recon = codes.join(broadcast(cb.select(col("sub"), col("label"), col("cn2"))),
+      Seq("sub", "label"))
+      .groupBy(col(idCol)).agg(sum(col("cn2")).as("rn2"))
+    val lut = broadcast(
+      pqSliced(queries, m, dim, idCol, embCol)
+        .withColumnRenamed(idCol, "q_id")
+        .join(cb.select(col("sub"), col("label"), col("ce")), Seq("sub"))
+        .select(col("q_id"), col("sub"), col("label"),
+          qdot(col("qe"), col("ce")).as("pd")))
+    val qn = broadcast(queries
+      .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe"))
+      .select(col("q_id"), qdot(col("__qe"), col("__qe")).as("qn2")))
+    val scored = codes.join(lut, Seq("sub", "label"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("pd")).as("dot"))
+      .join(recon, Seq(idCol)).join(qn, Seq("q_id"))
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        col("dot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -109,9 +109,26 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  private val PqM = 4
+
+  /** q89: product-quantized ANN — 4 subspaces × 8 centroids learned with
+    * the deterministic per-subspace Lloyd's (q39's machinery, sliced),
+    * corpus stored as 4 tiny codes per vector (16× compression beyond
+    * SQ8's 4×), queries ranked by asymmetric distance: an m·k lookup
+    * table per query, reconstruction norms from the codebook self-dots —
+    * the serving path never touches a stored vector. */
+  def q89PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.pqTopK(queriesDf(spark, dir), emb,
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      TopK, m = PqM, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
+    "q89_pq_topk" -> (q89PqTopK _),
     "q60_embedding_outliers" -> (q60EmbeddingOutliers _),
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
@@ -149,6 +166,63 @@ object SimQueries {
         UNION ALL SELECT p.label, p.ce FROM $prev p
         WHERE p.label NOT IN (SELECT DISTINCT label FROM $a)"""
 
+  /** Nearest-centroid assignment of CTE `e0` against centroid CTE `cent` —
+    * assignSql with the vector CTE parameterized (the PQ oracle runs one
+    * chain per subspace). */
+  private def pqAssignSql(e0: String, cent: String) =
+    s"""SELECT vec_id, qe, label FROM (
+        SELECT t.vec_id, t.qe, c.label,
+          row_number() OVER (PARTITION BY t.vec_id ORDER BY
+            list_dot_product(t.qe, c.ce)/(sqrt(CAST(list_dot_product(t.qe,t.qe) AS DOUBLE))
+              *sqrt(CAST(list_dot_product(c.ce,c.ce) AS DOUBLE))) DESC, c.label) AS r
+        FROM $e0 t, $cent c) WHERE r = 1"""
+
+  /** The q89 oracle: per-subspace Lloyd's chains (seeds → 2×(assign, step)),
+    * codebook/code unions, and the asymmetric-distance ranking. */
+  private def pqOracleSql: String = {
+    val len = Dim / PqM
+    val es = (0 until PqM).map(s =>
+      s"es$s AS (SELECT vec_id, list_slice(qe, ${s * len + 1}, ${(s + 1) * len}) AS qe FROM e)")
+    val sd = (0 until PqM).map(s =>
+      s"""sd$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label,
+            qe AS ce FROM (SELECT vec_id, qe FROM es$s ORDER BY vec_id LIMIT 8))""")
+    val chains = (0 until PqM).map(s =>
+      s"""a${s}1 AS (${pqAssignSql(s"es$s", s"sd$s")}),
+         c${s}1 AS (${stepSql(s"a${s}1", s"sd$s")}),
+         a${s}2 AS (${pqAssignSql(s"es$s", s"c${s}1")}),
+         c${s}2 AS (${stepSql(s"a${s}2", s"c${s}1")}),
+         af$s AS (SELECT vec_id, $s AS sub, label FROM (${pqAssignSql(s"es$s", s"c${s}2")}))""")
+    val cbUnion = (0 until PqM).map(s => s"SELECT $s AS sub, label, ce FROM c${s}2")
+      .mkString(" UNION ALL ")
+    val codesUnion = (0 until PqM).map(s => s"SELECT vec_id, sub, label FROM af$s")
+      .mkString(" UNION ALL ")
+    raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+       ${es.mkString(",\n")},
+       ${sd.mkString(",\n")},
+       ${chains.mkString(",\n")},
+       cb AS ($cbUnion),
+       cbn AS (SELECT sub, label, ce,
+           CAST(list_dot_product(ce, ce) AS BIGINT) AS cn2 FROM cb),
+       codes AS ($codesUnion),
+       rn AS (SELECT codes.vec_id, CAST(sum(cn2) AS BIGINT) AS rn2
+         FROM codes JOIN cbn USING (sub, label) GROUP BY 1),
+       qs AS (SELECT vec_id AS q_id, qe FROM e WHERE vec_id < 10),
+       qn AS (SELECT q_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS qn2 FROM qs),
+       lut AS (SELECT q_id, sub, label,
+           CAST(list_dot_product(list_slice(qe, sub*$len + 1, (sub+1)*$len), ce) AS BIGINT) AS pd
+         FROM qs, cbn),
+       scored AS (SELECT l.q_id, c.vec_id, CAST(sum(pd) AS BIGINT) AS dot
+         FROM codes c JOIN lut l USING (sub, label) GROUP BY 1, 2),
+       ranked AS (SELECT s.q_id, s.vec_id AS neighbor_id,
+           CAST(floor(dot/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(rn2 AS DOUBLE)))*10000 + 0.5) AS BIGINT) AS cos_e4
+         FROM scored s JOIN rn ON rn.vec_id = s.vec_id JOIN qn USING (q_id)
+         WHERE s.q_id <> s.vec_id)
+       SELECT q_id, neighbor_id, cos_e4, CAST(rr AS INT) AS rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY cos_e4 DESC, neighbor_id) AS rr FROM ranked)
+       WHERE rr <= $TopK ORDER BY q_id, rank"""
+  }
+
   private val planesCte =
     raw"""planes AS (SELECT p,
         [CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) % 1001 - 500 for d in range(0,$Dim)] AS w
@@ -161,6 +235,7 @@ object SimQueries {
         FROM e, planes GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q89_pq_topk" -> pqOracleSql,
     "q80_ivf_sq8" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

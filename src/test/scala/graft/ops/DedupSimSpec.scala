@@ -134,6 +134,32 @@ class DedupSimSpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("PQ: codebooks are m×k, codes are m per vector, ADC recalls exact neighbors") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val (m, k, dim, topK) = (4, 8, 64, 5)
+    val cb = Similarity.pqCodebooks(emb, m, k, dim)
+    assert(cb.count() === (m * k).toLong)
+    assert(cb.select("sub").distinct().count() === m.toLong)
+    val codes = Similarity.pqEncode(emb, cb, m, dim)
+    assert(codes.count() === emb.count() * m)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= m).isEmpty)
+    val pq = Similarity.pqTopK(q, emb, cb, topK, m, dim)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.size === 10 && pq.values.forall(_.size === topK))
+    val exact = Similarity.bruteForceTopK(q, emb, topK)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = pq.map { case (qid, ns) =>
+      ns.intersect(exact(qid)).size.toDouble / topK }.sum / pq.size
+    info(f"PQ recall@$topK = $recall%.2f")
+    // 0.22 on the current fixture; the bound guards against degenerate
+    // codebooks (random ranking ~ topK/corpus ≈ 0.0025), with slack for
+    // driver fixture regeneration between rounds
+    assert(recall >= 0.12, f"ADC recall $recall%.2f collapsed — codebooks degenerate?")
+  }
+
   test("centroid outliers: the far vector flags, tight cluster members don't") {
     import graft.operators.Similarity
     // label 0: three vectors near (1,0) and one at (-40,-40) — the noise
