@@ -454,23 +454,22 @@ object Similarity {
              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
     val codes = pqEncode(corpus, cb.select("sub", "label", "ce"), m, dim, idCol, embCol)
-    // per-vector reconstruction norm² — m tiny rows per vector
-    val recon = codes.join(broadcast(cb.select(col("sub"), col("label"), col("cn2"))),
-      Seq("sub", "label"))
-      .groupBy(col(idCol)).agg(sum(col("cn2")).as("rn2"))
+    // the lut carries the codebook entry's self-dot next to the query dot,
+    // so ONE (q_id, vec_id) aggregation yields both the approximate dot
+    // and the reconstruction norm² — no corpus-sized norm join afterwards
     val lut = broadcast(
       pqSliced(queries, m, dim, idCol, embCol)
         .withColumnRenamed(idCol, "q_id")
-        .join(cb.select(col("sub"), col("label"), col("ce")), Seq("sub"))
+        .join(cb.select(col("sub"), col("label"), col("ce"), col("cn2")), Seq("sub"))
         .select(col("q_id"), col("sub"), col("label"),
-          qdot(col("qe"), col("ce")).as("pd")))
+          qdot(col("qe"), col("ce")).as("pd"), col("cn2")))
     val qn = broadcast(queries
       .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe"))
       .select(col("q_id"), qdot(col("__qe"), col("__qe")).as("qn2")))
     val scored = codes.join(lut, Seq("sub", "label"))
       .groupBy(col("q_id"), col(idCol))
-      .agg(sum(col("pd")).as("dot"))
-      .join(recon, Seq(idCol)).join(qn, Seq("q_id"))
+      .agg(sum(col("pd")).as("dot"), sum(col("cn2")).as("rn2"))
+      .join(qn, Seq("q_id"))
       .filter(col("q_id") =!= col(idCol))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         col("dot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))), 4))
