@@ -34,9 +34,11 @@ object Decontaminate {
   def contaminated(corpus: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
     // an unresolved Column — binds to whichever frame selects it (a df
-    // parameter here would be ignored and only suggest per-frame binding)
-    val gramHashes = transform(
-      TextFunctions.wordNgrams(col(textCol), n), g => TextFunctions.stableHash60(g))
+    // parameter here would be ignored and only suggest per-frame binding).
+    // Fused tokenize+gram+hash expression (bit-identical to
+    // transform(wordNgrams, stableHash60) — parity-spec'd)
+    val gramHashes =
+      org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)
     val evalGrams = evalDocs
       .select(explode(gramHashes).as("gh"))
       .distinct()

@@ -331,6 +331,71 @@ object HashedShingles {
     * rows of a task and may be shared across tasks of an executor. */
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private[graft] def digest(): java.security.MessageDigest = digests.get()
+}
+
+/** Codegen'd fused word-n-gram + hash: whitespace tokens (trim + \s+
+  * split, exactly TextFunctions.wsTokens' semantics), space-joined n-gram
+  * strings, first-occurrence-distinct, hashed to 60-bit md5 longs — one
+  * JVM pass replacing wordNgrams' interpreted slice/concat lambdas plus a
+  * per-gram md5-hex/conv round trip. Texts with fewer than n tokens yield
+  * an empty array (wordNgrams' contract). Bit-identical to
+  * `transform(wordNgrams(c, n), stableHash60)`. */
+case class HashedWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_word_ngrams"
+
+  private def hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = HashedShingles.digest()
+    // UTF8String.trim trims ASCII 0x20 only — same as SQL trim()
+    val t = input.asInstanceOf[UTF8String].trim().toString
+    if (t.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    // on trimmed input Java split(regex) ≡ Spark split (no boundary empties)
+    val toks = HashedWordNgrams.ws.split(t)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = hash60(md, it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[HashedWordNgrams].getName
+    val ref = ctx.addReferenceObj("wordGramHasher", this, cls)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWordNgrams =
+    copy(child = newChild)
+}
+
+object HashedWordNgrams {
+  private[graft] val ws: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
 }
 
 object MinHashExprs {
@@ -358,4 +423,8 @@ object MinHashExprs {
   /** Fused char-n-gram shingle + 60-bit md5 hash (see HashedShingles). */
   def hashedShingles(text: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(text), n, distinct))
+
+  /** Fused distinct word-n-gram + 60-bit md5 hash (see HashedWordNgrams). */
+  def hashedWordNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(HashedWordNgrams(ExpressionUtils.expression(text), n))
 }

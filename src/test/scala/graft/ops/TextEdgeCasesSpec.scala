@@ -52,6 +52,22 @@ class TextEdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("fused hashedWordNgrams is bit-identical to the composable form") {
+    import org.apache.spark.sql.graft.MinHashExprs
+    val docs = edge.unionByName(Seq(
+      (6L, "the quick brown fox the quick brown fox"), // repeat grams
+      (7L, "  padded   with \t odd\nwhitespace  "),
+      (8L, "uno"), (9L, "héllo wörld wieder héllo wörld")).toDF("doc_id", "text"))
+    for (n <- Seq(2, 3)) {
+      val fused = docs.select(col("doc_id"),
+        MinHashExprs.hashedWordNgrams(col("text"), n).as("h"))
+      val compos = docs.select(col("doc_id"),
+        transform(wordNgrams(col("text"), n), g => stableHash60(g)).as("h"))
+      assert(fused.exceptAll(compos).isEmpty && compos.exceptAll(fused).isEmpty,
+        s"word-gram path diverged at n=$n")
+    }
+  }
+
   test("quality score stays in [0,1] on degenerate inputs") {
     val q = edge.select(qualityScore(col("text"))).as[Double].collect()
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
