@@ -478,4 +478,72 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Exact re-rank of an ANN shortlist — stage two of the standard
+    * two-stage serving pipeline (compressed-code recall stage → exact
+    * precision stage). The shortlist (q_id, neighbor_id) is broadcast into
+    * the corpus scan, so the corpus is filtered to shortlist members
+    * without shuffling; only |Q|·shortlistK raw vectors are ever scored
+    * exactly. Final ranking uses the full-precision quantized cosine. */
+  def rerankExact(queries: DataFrame, corpus: DataFrame, shortlist: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val sl = broadcast(shortlist.select(col("q_id"), col("neighbor_id")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("__ce"))
+      .join(sl, Seq("neighbor_id"))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe")))
+    val scored = c.join(q, Seq("q_id"))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qcosine(col("__qe"), col("__ce")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("cos_e4"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** IVFADC — the full FAISS-shaped serving stack: coarse inverted lists
+    * prune candidates (corpus assigned once at ingest, queries probe
+    * `probes` lists), PQ codes score them (ADC over raw vectors; the
+    * residual-encoding refinement is a model choice this oracle-exact
+    * variant omits). Query-side cost ≈ corpus/nlists × probes vectors
+    * scored per query, each through m code lookups — candidate pruning ×
+    * 16× compression composed, reading neither stored vectors nor
+    * anything wider than (sub, label) ints on the serving path. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+                codebooks: DataFrame, k: Int, probes: Int = 2,
+                m: Int = 4, dim: Int = 64,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
+    val codes = pqEncode(corpus, cb.select("sub", "label", "ce"), m, dim, idCol, embCol)
+    val corpusList = ivfAssign(corpus, coarse, probes = 1, idCol, embCol)
+      .select(col(idCol), col("label").as("clist"))
+    val qList = broadcast(ivfAssign(queries, coarse, probes, idCol, embCol)
+      .select(col(idCol).as("q_id"), col("label").as("clist")))
+    // each corpus vector lives in exactly one list, so a (q, vec) pair
+    // matches at most once — no distinct needed
+    val cand = corpusList.join(qList, Seq("clist")).select(col("q_id"), col(idCol))
+    val lut = broadcast(
+      pqSliced(queries, m, dim, idCol, embCol)
+        .withColumnRenamed(idCol, "q_id")
+        .join(cb.select(col("sub"), col("label"), col("ce"), col("cn2")), Seq("sub"))
+        .select(col("q_id"), col("sub"), col("label"),
+          qdot(col("qe"), col("ce")).as("pd"), col("cn2")))
+    val qn = broadcast(queries
+      .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe"))
+      .select(col("q_id"), qdot(col("__qe"), col("__qe")).as("qn2")))
+    val scored = cand.join(codes, Seq(idCol))
+      .join(lut, Seq("q_id", "sub", "label"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("pd")).as("dot"), sum(col("cn2")).as("rn2"))
+      .join(qn, Seq("q_id"))
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        col("dot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
+        col("rank").cast("int").as("rank"))
+  }
 }

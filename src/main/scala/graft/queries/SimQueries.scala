@@ -110,6 +110,7 @@ object SimQueries {
   }
 
   private val PqM = 4
+  private val ShortlistK = 20
 
   /** q89: product-quantized ANN — 4 subspaces × 8 centroids learned with
     * the deterministic per-subspace Lloyd's (q39's machinery, sliced),
@@ -125,10 +126,41 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q90: IVFADC — the full FAISS-shaped stack composed from parts the
+    * suite already proves separately: coarse inverted lists (q37's
+    * label-derived centroids, queries probe 2) prune candidates, PQ codes
+    * (q89's per-subspace codebooks) score them by asymmetric distance.
+    * Candidate pruning × 16× compression on one serving path. */
+  def q90IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(queriesDf(spark, dir), emb,
+      Similarity.ivfCentroids(emb, "label"),
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      TopK, probes = 2, m = PqM, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q91: two-stage serving — PQ/ADC recall stage shortlists 20 candidates
+    * per query (q89's machinery), an exact full-precision cosine re-ranks
+    * the shortlist to the final top-5. The shortlist broadcast-filters the
+    * corpus scan, so the precision stage touches |Q|·20 raw vectors — the
+    * production answer to PQ's quantization error without PQ's IO cost. */
+  def q91PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = queriesDf(spark, dir)
+    val shortlist = Similarity.pqTopK(q, emb,
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      ShortlistK, m = PqM, dim = Dim)
+    Similarity.rerankExact(q, emb, shortlist, TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
+    "q91_pq_rerank" -> (q91PqRerank _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q89_pq_topk" -> (q89PqTopK _),
+    "q90_ivf_pq" -> (q90IvfPq _),
     "q60_embedding_outliers" -> (q60EmbeddingOutliers _),
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_ann_topk" -> (q23AnnTopK _),
@@ -177,9 +209,15 @@ object SimQueries {
               *sqrt(CAST(list_dot_product(c.ce,c.ce) AS DOUBLE))) DESC, c.label) AS r
         FROM $e0 t, $cent c) WHERE r = 1"""
 
-  /** The q89 oracle: per-subspace Lloyd's chains (seeds → 2×(assign, step)),
-    * codebook/code unions, and the asymmetric-distance ranking. */
-  private def pqOracleSql: String = {
+  /** PQ/ADC oracle builder: per-subspace Lloyd's chains (seeds →
+    * 2×(assign, step)), codebook/code unions, and the asymmetric-distance
+    * ranking. `coarsePrune` adds q80-style coarse-list CTEs (centroids
+    * from the label column, corpus r=1 / query r≤2 assignment) and
+    * restricts scoring to list-matched (q_id, vec_id) pairs — the IVFADC
+    * oracle; without it, every corpus vector scores (plain ADC, q89).
+    * `rerank` keeps the top `ShortlistK` by ADC score as a shortlist and
+    * re-ranks it by the exact full-precision cosine (q91). */
+  private def pqOracleSql(coarsePrune: Boolean, rerank: Boolean = false): String = {
     val len = Dim / PqM
     val es = (0 until PqM).map(s =>
       s"es$s AS (SELECT vec_id, list_slice(qe, ${s * len + 1}, ${(s + 1) * len}) AS qe FROM e)")
@@ -196,7 +234,40 @@ object SimQueries {
       .mkString(" UNION ALL ")
     val codesUnion = (0 until PqM).map(s => s"SELECT vec_id, sub, label FROM af$s")
       .mkString(" UNION ALL ")
-    raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+    // coarse-list CTEs mirror q80's: per-label element means, corpus r=1
+    // assignment, query r<=2 assignment, list-matched candidate pairs
+    val coarse = if (!coarsePrune) "" else
+      raw""",
+       pe AS (SELECT clab, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+       cagg AS (SELECT clab, d,
+           CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+       ccent AS (SELECT clab, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+       ca AS (SELECT vec_id, clab FROM (
+           SELECT e.vec_id, ccent.clab,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.qe, ccent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                 *sqrt(CAST(list_dot_product(ccent.ce,ccent.ce) AS DOUBLE))) DESC, ccent.clab) AS r
+           FROM e, ccent) WHERE r <= 1),
+       qa AS (SELECT vec_id AS q_id, clab FROM (
+           SELECT e.vec_id, ccent.clab,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.qe, ccent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                 *sqrt(CAST(list_dot_product(ccent.ce,ccent.ce) AS DOUBLE))) DESC, ccent.clab) AS r
+           FROM e, ccent WHERE e.vec_id < 10) WHERE r <= 2),
+       cand AS (SELECT qa.q_id, ca.vec_id FROM ca JOIN qa USING (clab))"""
+    val scoredSql =
+      if (coarsePrune)
+        raw"""SELECT l.q_id, c.vec_id, CAST(sum(pd) AS BIGINT) AS dot
+         FROM codes c JOIN cand ON cand.vec_id = c.vec_id
+         JOIN lut l ON l.q_id = cand.q_id AND l.sub = c.sub AND l.label = c.label
+         GROUP BY 1, 2"""
+      else
+        raw"""SELECT l.q_id, c.vec_id, CAST(sum(pd) AS BIGINT) AS dot
+         FROM codes c JOIN lut l USING (sub, label) GROUP BY 1, 2"""
+    val eCte =
+      if (coarsePrune) s"e AS (SELECT vec_id, label AS clab, $quantSql AS qe FROM embeddings)"
+      else s"e AS (SELECT vec_id, $quantSql AS qe FROM embeddings)"
+    raw"""WITH $eCte,
        ${es.mkString(",\n")},
        ${sd.mkString(",\n")},
        ${chains.mkString(",\n")},
@@ -210,17 +281,29 @@ object SimQueries {
        qn AS (SELECT q_id, CAST(list_dot_product(qe, qe) AS BIGINT) AS qn2 FROM qs),
        lut AS (SELECT q_id, sub, label,
            CAST(list_dot_product(list_slice(qe, sub*$len + 1, (sub+1)*$len), ce) AS BIGINT) AS pd
-         FROM qs, cbn),
-       scored AS (SELECT l.q_id, c.vec_id, CAST(sum(pd) AS BIGINT) AS dot
-         FROM codes c JOIN lut l USING (sub, label) GROUP BY 1, 2),
+         FROM qs, cbn)$coarse,
+       scored AS ($scoredSql),
        ranked AS (SELECT s.q_id, s.vec_id AS neighbor_id,
            CAST(floor(dot/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(rn2 AS DOUBLE)))*10000 + 0.5) AS BIGINT) AS cos_e4
          FROM scored s JOIN rn ON rn.vec_id = s.vec_id JOIN qn USING (q_id)
          WHERE s.q_id <> s.vec_id)
-       SELECT q_id, neighbor_id, cos_e4, CAST(rr AS INT) AS rank FROM (
-         SELECT *, row_number() OVER (PARTITION BY q_id
-           ORDER BY cos_e4 DESC, neighbor_id) AS rr FROM ranked)
-       WHERE rr <= $TopK ORDER BY q_id, rank"""
+       ${if (!rerank)
+        raw"""SELECT q_id, neighbor_id, cos_e4, CAST(rr AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_e4 DESC, neighbor_id) AS rr FROM ranked)
+         WHERE rr <= $TopK ORDER BY q_id, rank"""
+      else
+        raw""", sl AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_e4 DESC, neighbor_id) AS rr FROM ranked)
+           WHERE rr <= $ShortlistK),
+         ex AS (SELECT sl.q_id, sl.neighbor_id, ${cosSql("qq.qe", "cc.qe")} AS cos_e4
+           FROM sl JOIN e qq ON qq.vec_id = sl.q_id
+           JOIN e cc ON cc.vec_id = sl.neighbor_id)
+         SELECT q_id, neighbor_id, cos_e4, CAST(rr AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_e4 DESC, neighbor_id) AS rr FROM ex)
+         WHERE rr <= $TopK ORDER BY q_id, rank"""}"""
   }
 
   private val planesCte =
@@ -235,7 +318,9 @@ object SimQueries {
         FROM e, planes GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
-    "q89_pq_topk" -> pqOracleSql,
+    "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
+    "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
+    "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
     "q80_ivf_sq8" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

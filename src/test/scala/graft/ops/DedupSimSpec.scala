@@ -160,6 +160,46 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.12, f"ADC recall $recall%.2f collapsed — codebooks degenerate?")
   }
 
+  test("rerankExact on a full shortlist reproduces bruteForceTopK exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+    // shortlist = every (q, candidate) pair → re-rank must equal exact
+    val full = q.select(col("vec_id").as("q_id"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+      .filter(col("q_id") =!= col("neighbor_id"))
+    val rr = Similarity.rerankExact(q, emb, full, 5)
+    assert(rr.orderBy("q_id", "rank").collect()
+      === exact.orderBy("q_id", "rank").collect())
+  }
+
+  test("rerankExact never ranks outside its shortlist, improves PQ recall") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val (m, dim, topK) = (4, 64, 5)
+    val cb = Similarity.pqCodebooks(emb, m, 8, dim)
+    val shortlist = Similarity.pqTopK(q, emb, cb, 20, m, dim)
+    val rr = Similarity.rerankExact(q, emb, shortlist, topK)
+    val slSet = shortlist.select("q_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(rr.select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .forall(slSet.contains))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(q, emb, topK)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = df.select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      got.map { case (k, ns) => ns.intersect(exact(k)).size.toDouble / topK }
+        .sum / got.size
+    }
+    val adc = recallOf(Similarity.pqTopK(q, emb, cb, topK, m, dim))
+    val reranked = recallOf(rr)
+    info(f"recall@$topK: ADC $adc%.2f → reranked $reranked%.2f")
+    assert(reranked >= adc,
+      f"exact re-rank of a superset shortlist cannot lose recall ($adc%.2f → $reranked%.2f)")
+  }
+
   test("centroid outliers: the far vector flags, tight cluster members don't") {
     import graft.operators.Similarity
     // label 0: three vectors near (1,0) and one at (-40,-40) — the noise
