@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -77,8 +78,88 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q92: bigram-LM fluency score — the conditional-probability upgrade of
+    * q52's unigram proxy (CCNet-style perplexity filters rank docs by how
+    * predictable each token is from its predecessor; rare CONTEXTS, not
+    * just rare tokens, mark noise). p(w₂|w₁) = c(w₁w₂)/c(w₁·) from corpus
+    * counts, each distinct bigram's probability e4-quantized ONCE, then a
+    * per-doc integer mean — exact in any aggregation order. Counts derive
+    * from one row-local bigram projection: the context table is sum(cnt)
+    * over the bigram table (vocab²-bounded), never a second corpus pass. */
+  def q92BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsWide(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+    val big = toks.select(col("doc_id"), explode(
+      when(size(col("ts")) < 2, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(ts)-1), " +
+          "i -> concat(element_at(ts, CAST(i AS INT)), ' ', element_at(ts, CAST(i+1 AS INT))))")))
+      .as("bg"))
+    val freq = big.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val ctx = freq.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    val prob = freq.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .select(col("bg"), fixedPoint(col("cnt") / col("ctx"), 4).as("p_e4"))
+    val perDoc = big.join(broadcast(prob), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e4")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        fixedPoint(col("s") / col("n_bigrams"), 0).as("mean_p_e4"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_p_e4"), lit(0L)).as("mean_p_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q93 blocklist fixture: mixed 2/3/4-word phrases, some present in
+    * the corpus and some deliberately absent (the absent ones prove the
+    * match is consecutive-sequence, not bag-of-words). MUST stay equal to
+    * the VALUES list in the q93 oracle. */
+  private val BlockPhrases = Seq(
+    "table hash", "slow key", "customer join", "drop table", "select star",
+    "slow filter value", "the part data", "key agg row scan")
+
+  /** q93: blocklist phrase filtering — which documents contain which
+    * policy-list phrases, and how often. One corpus scan emits every
+    * 2/3/4-word gram row-locally; the broadcast phrase join keeps matches
+    * only, so the single shuffle carries violations, not the corpus. */
+  def q93Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrases = BlockPhrases.toDF("phrase")
+    graft.operators.Blocklist.matches(
+      docsWide(spark, dir), phrases, "doc_id", "text")
+      .orderBy(col("doc_id"), col("phrase"))
+  }
+
+  /** q94: per-language quality-quantile gate — keep the top 75% of docs by
+    * quality score WITHIN each language (a global threshold would let a
+    * high-scoring language crowd out the rest of the mixture; per-stratum
+    * quantiles are how production filters set their cut). The threshold is
+    * pure integer arithmetic — rank·4 ≤ n·3 — no percentile doubles to
+    * disagree on. One window per language stratum: scales as long as no
+    * single language is a whole-cluster partition, the documented
+    * window-per-stratum envelope. */
+  def q94QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsWide(spark, dir).select(
+      col("doc_id"), col("lang"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_e4").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), col("lang"), col("quality_e4"),
+        (col("rn") * 4 <= col("n") * 3).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
+    "q92_bigram_lm" -> (q92BigramLm _),
+    "q93_blocklist" -> (q93Blocklist _),
+    "q94_quality_gate" -> (q94QualityGate _),
     "q17_quality_scores" -> (q17QualityScores _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
@@ -126,6 +207,51 @@ object TextQueries {
       raw"""SELECT md5(regexp_replace(lower(trim(substr(text,1,40))), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q92_bigram_lm" ->
+      raw"""WITH t AS (SELECT doc_id, CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END AS ts FROM documents),
+         big AS (SELECT doc_id,
+             unnest([ts[i+1] || ' ' || ts[i+2] for i in range(0, len(ts)-1)]) AS bg FROM t),
+         freq AS (SELECT bg, count(*) AS cnt FROM big GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx
+           FROM freq GROUP BY 1),
+         prob AS (SELECT bg, CAST(floor(cnt/ctx*10000 + 0.5) AS BIGINT) AS p_e4
+           FROM freq JOIN ctx ON split_part(bg, ' ', 1) = w1),
+         d AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_e4) AS BIGINT) AS s
+           FROM big JOIN prob USING (bg) GROUP BY 1)
+         SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(CAST(floor(s/n_bigrams + 0.5) AS BIGINT), 0) AS mean_p_e4
+         FROM t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""",
+    "q94_quality_gate" ->
+      raw"""WITH t AS (SELECT doc_id, lang, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
+           FROM documents),
+         s AS (SELECT doc_id, lang,
+           CAST(floor((least(n_tok/100.0, 1.0)*0.4
+             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM t),
+         r AS (SELECT *,
+           row_number() OVER (PARTITION BY lang ORDER BY quality_e4 DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n FROM s)
+         SELECT doc_id, lang, quality_e4, rn*4 <= n*3 AS kept
+         FROM r ORDER BY doc_id""",
+    "q93_blocklist" ->
+      raw"""WITH ph AS (SELECT regexp_replace(lower(trim(phrase)), '\s+', ' ', 'g') AS g
+           FROM (VALUES ('table hash'), ('slow key'), ('customer join'),
+             ('drop table'), ('select star'), ('slow filter value'),
+             ('the part data'), ('key agg row scan')) t(phrase)),
+         t AS (SELECT doc_id, CASE WHEN len(tn)=0 THEN []
+             ELSE regexp_split_to_array(tn, '\s+') END AS ts
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tn
+             FROM documents)),
+         g AS (SELECT doc_id, unnest(
+             [array_to_string(list_slice(ts, i+1, i+2), ' ') for i in range(0, len(ts)-1)]
+             || [array_to_string(list_slice(ts, i+1, i+3), ' ') for i in range(0, len(ts)-2)]
+             || [array_to_string(list_slice(ts, i+1, i+4), ' ') for i in range(0, len(ts)-3)]) AS g
+           FROM t)
+         SELECT doc_id, g AS phrase, count(*) AS n_hits
+         FROM g JOIN ph USING (g) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q52_token_commonness" ->
       raw"""WITH occ AS (SELECT doc_id, unnest(CASE WHEN len(trim(text))=0 THEN []
              ELSE regexp_split_to_array(trim(text),'\s+') END) AS token FROM documents),
