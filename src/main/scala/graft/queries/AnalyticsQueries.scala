@@ -213,7 +213,27 @@ object AnalyticsQueries {
       .orderBy(col("stage"))
   }
 
+  /** q95: CUBE over (event_type × hour-of-day) — all four granularities
+    * (cell, per-type, per-hour, grand total) from ONE aggregate pass, the
+    * diurnal-traffic matrix next to q68's rollup. Event values are
+    * e4-quantized PER ROW before the sum so the double column aggregates
+    * as exact integers in any order; distinct users stay integer-exact. */
+  def q95Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+        col("user_id"), fixedPoint(col("value"), 4).as("v_e4"))
+      .cube(col("event_type"), col("hr"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("v_e4")).as("sum_value_e4"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
+        coalesce(col("hr").cast("string"), lit("ALL")).as("hr_g"),
+        col("gid").cast("long").as("gid"), col("n_events"), col("n_users"),
+        col("sum_value_e4"))
+      .orderBy(col("gid"), col("event_type_g"), col("hr_g"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cube" -> (q95Cube _),
     "q75_supplier_rank" -> (q75SupplierRank _),
     "q83_top_paths" -> (q83TopPaths _),
     "q84_user_growth" -> (q84UserGrowth _),
@@ -273,6 +293,17 @@ object AnalyticsQueries {
            FROM e JOIN degc USING (c) JOIN rc1 USING (c) GROUP BY 1)
          SELECT s AS s_suppkey, CAST(r AS BIGINT) AS rank_e4
          FROM rs2 ORDER BY rank_e4 DESC, s_suppkey LIMIT 25""",
+    "q95_cube" ->
+      raw"""WITH t AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             user_id, CAST(floor(value*10000 + 0.5) AS BIGINT) AS v_e4
+             FROM events)
+         SELECT coalesce(event_type, 'ALL') AS event_type_g,
+           coalesce(CAST(hr AS VARCHAR), 'ALL') AS hr_g,
+           CAST(grouping_id(event_type, hr) AS BIGINT) AS gid,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
+         FROM t GROUP BY CUBE(event_type, hr)
+         ORDER BY gid, event_type_g, hr_g""",
     "q68_rollup" ->
       raw"""WITH t AS (SELECT lang, source, CAST($tokCountSql AS BIGINT) AS n_tok
              FROM documents)
