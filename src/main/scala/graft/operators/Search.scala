@@ -63,6 +63,57 @@ object Search {
       .orderBy(col("mlt_score").desc, col(idCol)).limit(k)
   }
 
+  /** moreLikeThis for a SET of query docs in one pass: the tf table is
+    * built once, the query vectors (all tokens of all query docs)
+    * broadcast together, and one join + one groupBy(q_id, doc) scores
+    * every (query, candidate) pair — |Q| queries cost one corpus scan,
+    * not |Q|. Output: (q_id, idCol, mlt_score, rank ≤ k). */
+  def moreLikeThisMulti(docs: DataFrame, idCol: String, textCol: String,
+                        queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "moreLikeThisMulti needs at least one query doc")
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.wsTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(stats), lit(true))
+      .select(col("token"), TextFunctions.fixedPoint(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)), 4)
+        .as("idf_e4"))
+    val qvec = tf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col("token"), col("tf").as("q_tf"))
+    val scored = tf.join(broadcast(qvec), "token")
+      .filter(col("q_id") =!= col(idCol))
+      .join(idf, "token")
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("tf") * col("q_tf") * col("idf_e4")).as("mlt_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("mlt_score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists — the standard way to
+    * combine lexical (BM25/tf-idf) and vector (cosine) retrieval without
+    * comparable score scales: fused = Σ 1/(c + rank) over the legs a doc
+    * appears in. Each leg's reciprocal is e6-quantized ONCE (ranks are
+    * small ints, so the quantized table is exact and engine-portable);
+    * the fusion sum is integer. Inputs carry (q_id, `idCol`, rank);
+    * output (q_id, idCol, rrf_e6, rank ≤ k) per query. */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    def recip(df: DataFrame, as: String) = df.select(col("q_id"), col(idCol),
+      TextFunctions.fixedPoint(lit(1.0) / (lit(c) + col("rank")), 6).as(as))
+    val fused = recip(legA, "ra").join(recip(legB, "rb"),
+        Seq("q_id", idCol), "full_outer")
+      .select(col("q_id"), col(idCol),
+        (coalesce(col("ra"), lit(0L)) + coalesce(col("rb"), lit(0L))).as("rrf_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_e6").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("rrf_e6"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Per-document BM25 score (e4-quantized) for `terms`, top `k` rows by
     * (score desc, id asc). Output: (idCol, bm25_e4). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

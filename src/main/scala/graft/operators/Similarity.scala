@@ -479,6 +479,45 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped by LEARNED
+    * k-means clusters — embeddings cluster first, pairwise cosine runs
+    * only WITHIN a cluster (Σ|cluster|² pairs, never corpus²; cluster
+    * count scales with the corpus so cluster size stays bounded), pairs
+    * ≥ `tauE4` connect into duplicate groups, and each group keeps the
+    * member FARTHEST from its centroid (the paper's keep-the-outlier
+    * rule — prototypical members are the redundant ones), tie-broken by
+    * id. Output: (cluster, idCol, dist_sq, keep) for every grouped
+    * vector; singletons are implicitly kept. */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int, tauE4: Long,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = kmeansCentroids(corpus, k, iters, idCol, embCol)
+    val assigned = ivfAssign(corpus, cent, probes = 1, idCol, embCol)
+      .persist()
+    val a = assigned.select(col(idCol).as("a_id"), col("label"),
+      col("__qe").as("ae"), col("__n").as("an"))
+    val b = assigned.select(col(idCol).as("b_id"), col("label"),
+      col("__qe").as("be"), col("__n").as("bn"))
+    val pairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("ae"), col("be")) / (col("an") * col("bn")), 4))
+      .filter(col("cos_e4") >= tauE4)
+      .select(col("a_id"), col("b_id"))
+    val comp = Clusters.dedupClusters(pairs)
+    val dist = assigned.join(broadcast(cent), "label")
+      .select(col(idCol),
+        (qdot(col("__qe"), col("__qe")) + qdot(col("ce"), col("ce"))
+          - lit(2) * qdot(col("__qe"), col("ce"))).as("dist_sq"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist_sq").desc, col(idCol))
+    val out = comp.select(col("cluster"), col("doc_id").as(idCol))
+      .join(dist, idCol)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("cluster"), col(idCol), col("dist_sq"), col("keep"))
+    // materialize before releasing the assignment cache the plan reads 3×
+    val ck = out.localCheckpoint(true)
+    assigned.unpersist()
+    ck
+  }
+
   /** Exact re-rank of an ANN shortlist — stage two of the standard
     * two-stage serving pipeline (compressed-code recall stage → exact
     * precision stage). The shortlist (q_id, neighbor_id) is broadcast into

@@ -185,7 +185,26 @@ object CorpusQueries {
     Chunker.dropRepeatedPassages(docsWide(spark, dir), "doc_id", "text", size = 2)
       .orderBy(col("doc_id"))
 
+  /** q96: hybrid retrieval — lexical (tf-idf more-like-this) and vector
+    * (exact cosine) rankings for 3 query docs, fused by reciprocal-rank
+    * fusion (Σ 1/(60+rank)): the standard RAG serving pattern when score
+    * scales aren't comparable. The text leg scores all queries in ONE
+    * corpus pass (broadcast query vectors); the vector leg is q22's
+    * broadcast-queries scan; fusion is a full-outer join of two ≤ |Q|·20
+    * frames. doc_id ≡ vec_id in the fixture (aligned tables). */
+  def q96HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val text = Search.moreLikeThisMulti(
+      docsWide(spark, dir), "doc_id", "text", Seq(0L, 1L, 2L), 20)
+    val vec = graft.operators.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 20)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    Search.rrfFuse(text, vec, "doc_id", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_hybrid_retrieval" -> (q96HybridRetrieval _),
     "q67_repetition_removal" -> (q67RepetitionRemoval _),
     "q63_sequence_pack" -> (q63SequencePack _),
     "q57_token_chunks" -> (q57TokenChunks _),
@@ -211,6 +230,41 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q96_hybrid_retrieval" ->
+      raw"""WITH occ AS (SELECT doc_id, unnest($tksSql) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         idf AS (SELECT token,
+             CAST(floor((n_docs - df + 0.5)/(df + 0.5)*10000 + 0.5) AS BIGINT) AS idf_e4
+           FROM (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), st),
+         qv AS (SELECT doc_id AS q_id, token, tf AS q_tf FROM tf WHERE doc_id < 3),
+         ts AS (SELECT q_id, tf.doc_id, CAST(sum(tf.tf * q_tf * idf_e4) AS BIGINT) AS s
+           FROM tf JOIN qv USING (token) JOIN idf USING (token)
+           WHERE tf.doc_id <> q_id GROUP BY 1, 2),
+         tr AS (SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rank FROM ts),
+         tl AS (SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank)*1000000 + 0.5) AS BIGINT) AS ra
+           FROM tr WHERE rank <= 20),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe
+           FROM embeddings),
+         vs AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+             CAST(floor(list_dot_product(q.qe,c.qe)/(sqrt(CAST(list_dot_product(q.qe,q.qe) AS DOUBLE))
+               *sqrt(CAST(list_dot_product(c.qe,c.qe) AS DOUBLE)))*10000 + 0.5) AS BIGINT) AS cs
+           FROM e q, e c WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+         vr AS (SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, doc_id) AS rank FROM vs),
+         vl AS (SELECT q_id, doc_id,
+             CAST(floor(1.0/(60 + rank)*1000000 + 0.5) AS BIGINT) AS rb
+           FROM vr WHERE rank <= 20),
+         f AS (SELECT q_id, doc_id,
+             coalesce(ra, 0) + coalesce(rb, 0) AS rrf_e6
+           FROM tl FULL JOIN vl USING (q_id, doc_id))
+         SELECT q_id, doc_id, rrf_e6, CAST(rr AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf_e6 DESC, doc_id) AS rr FROM f)
+         WHERE rr <= 5 ORDER BY q_id, rank""",
     "q67_repetition_removal" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          c AS (SELECT doc_id,

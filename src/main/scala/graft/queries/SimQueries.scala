@@ -155,9 +155,21 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q97: SemDeDup — semantic dedup scoped by LEARNED k-means clusters
+    * (q39's deterministic centroids), vs q54's LSH-bucket scoping: pairs
+    * ≥ 0.35 within a cluster form duplicate groups, each group keeps the
+    * member farthest from its centroid (the paper's keep-the-outlier
+    * rule). Exercises clustering → pairing → components → canonical
+    * selection as one composed library call. */
+  def q97SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables(spark, dir, "embeddings"),
+      k = 8, iters = 2, tauE4 = 3500L)
+      .orderBy(col("cluster"), col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q91_pq_rerank" -> (q91PqRerank _),
+    "q97_semdedup" -> (q97SemDedup _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q89_pq_topk" -> (q89PqTopK _),
     "q90_ivf_pq" -> (q90IvfPq _),
@@ -321,6 +333,36 @@ object SimQueries {
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
+    "q97_semdedup" ->
+      raw"""WITH RECURSIVE e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
+                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (${assignSql("seeds")}),
+         c1 AS (${stepSql("a1", "seeds")}),
+         a2 AS (${assignSql("c1")}),
+         c2 AS (${stepSql("a2", "c1")}),
+         af AS (${assignSql("c2")}),
+         epairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM af a JOIN af b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.qe", "b.qe")} >= 3500),
+         edges AS (SELECT a_id AS s, b_id AS d FROM epairs
+                   UNION ALL SELECT b_id, a_id FROM epairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e2.d, r.lab FROM reach r JOIN edges e2 ON e2.s = r.id
+           WHERE r.lab < e2.d),
+         comp AS (SELECT min(lab) AS cluster, id AS vec_id FROM reach GROUP BY id),
+         dist AS (SELECT af.vec_id,
+             CAST(list_dot_product(af.qe, af.qe) + list_dot_product(c2.ce, c2.ce)
+               - 2*list_dot_product(af.qe, c2.ce) AS BIGINT) AS dist_sq
+           FROM af JOIN c2 USING (label)),
+         r AS (SELECT comp.cluster, comp.vec_id, dist.dist_sq,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY dist_sq DESC, comp.vec_id) AS rn
+           FROM comp JOIN dist ON dist.vec_id = comp.vec_id)
+         SELECT cluster, vec_id, dist_sq, rn = 1 AS keep
+         FROM r ORDER BY cluster, vec_id""",
     "q80_ivf_sq8" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

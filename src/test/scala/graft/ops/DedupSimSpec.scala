@@ -200,6 +200,30 @@ class DedupSimSpec extends SparkSpec {
       f"exact re-rank of a superset shortlist cannot lose recall ($adc%.2f → $reranked%.2f)")
   }
 
+  test("semDedup: one keep per group, and it is the farthest-from-centroid member") {
+    val emb = Tables(spark, sf, "embeddings")
+    val out = Similarity.semDedup(emb, k = 8, iters = 2, tauE4 = 3500L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.nonEmpty, "fixture should contain semantic dup groups at tau=0.35")
+    out.groupBy(_._1).foreach { case (cluster, members) =>
+      assert(members.count(_._4) === 1, s"cluster $cluster keeps exactly one")
+      val kept = members.find(_._4).get
+      val maxDist = members.map(_._3).max
+      assert(kept._3 === maxDist, s"cluster $cluster must keep the outlier")
+      // tie-break: among max-dist members the lowest id wins
+      assert(kept._2 === members.filter(_._3 === maxDist).map(_._2).min)
+    }
+  }
+
+  test("rrfFuse: both-leg docs beat single-leg docs at equal ranks; ids stay in-universe") {
+    val legA = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q_id", "doc_id", "rank")
+    val legB = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("q_id", "doc_id", "rank")
+    val fused = graft.operators.Search.rrfFuse(legA, legB, "doc_id", 10)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(fused.map(_._2) === Seq(10L, 12L, 11L)) // 1/61+1/62 > 1/61 > 1/62
+    assert(fused.map(_._3).distinct.size === 3)
+  }
+
   test("centroid outliers: the far vector flags, tight cluster members don't") {
     import graft.operators.Similarity
     // label 0: three vectors near (1,0) and one at (-40,-40) — the noise
