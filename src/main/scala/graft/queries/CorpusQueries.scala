@@ -203,8 +203,39 @@ object CorpusQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q98: epoch-planned mixture materialization — the step AFTER q59's
+    * rate planning: actually EMIT the training rows, with small
+    * high-value sources upsampled across multiple epochs (capped at 3.0)
+    * and fractional epochs realized by the q45 deterministic hash bucket.
+    * Per-source epoch factor = min(3.0, budget/source_tokens) with budget
+    * = 2× corpus tokens split evenly — all integer DIV arithmetic. A doc
+    * with factor 2.3 appears in epochs 0 and 1, plus epoch 2 iff its
+    * bucket < 3000. Replication is a row-local sequence explode — the
+    * output shuffles nowhere; at 100 TB the materialization is
+    * write-bound, exactly as it should be. */
+  def q98EpochMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWide(spark, dir).select(col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tok"))
+    val s = d.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok_s"))
+    val tot = s.agg(sum(col("n_tok_s")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val plan = s.join(broadcast(tot), lit(true))
+      .withColumn("epochs_e4",
+        least(lit(30000L), expr("((2 * total) DIV n_sources * 10000) DIV n_tok_s")))
+      .select(col("source"), col("epochs_e4"))
+    d.join(broadcast(plan), "source")
+      .withColumn("copies", expr("epochs_e4 DIV 10000")
+        + when(TextFunctions.sampleBucket(col("doc_id")) < col("epochs_e4") % 10000,
+          1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(CAST(0 AS BIGINT), copies - 1)")).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_hybrid_retrieval" -> (q96HybridRetrieval _),
+    "q98_epoch_mixture" -> (q98EpochMixture _),
     "q67_repetition_removal" -> (q67RepetitionRemoval _),
     "q63_sequence_pack" -> (q63SequencePack _),
     "q57_token_chunks" -> (q57TokenChunks _),
@@ -230,6 +261,21 @@ object CorpusQueries {
          ELSE [] END"""
 
   val oracles: Map[String, String] = Map(
+    "q98_epoch_mixture" ->
+      raw"""WITH d AS (SELECT doc_id, source, CAST(len($tksSql) AS BIGINT) AS n_tok
+             FROM documents),
+         s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok_s FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tok_s) AS BIGINT) AS total,
+             count(*) AS n_sources FROM s),
+         plan AS (SELECT source,
+             least(30000, ((2 * total) // n_sources * 10000) // n_tok_s) AS epochs_e4
+           FROM s, tot),
+         c AS (SELECT doc_id, d.source, epochs_e4 // 10000
+             + CASE WHEN CAST(('0x'||substr(md5('samp:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+                 % 10000 < epochs_e4 % 10000 THEN 1 ELSE 0 END AS copies
+           FROM d JOIN plan ON d.source = plan.source)
+         SELECT doc_id, source, unnest(range(copies)) AS epoch
+         FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
     "q96_hybrid_retrieval" ->
       raw"""WITH occ AS (SELECT doc_id, unnest($tksSql) AS token FROM documents),
          tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),

@@ -37,8 +37,26 @@ object DedupQueries {
     Dedup.winnowingPairs(Tables(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q99: incremental near-dup on the oracle surface — the even-id half of
+    * the corpus is the already-signed prior batch (its signatures come
+    * from storage, never re-derived from text), the odd half is the
+    * arriving batch; output is every verified pair touching ≥ 1 new doc.
+    * The oracle is q20's full-corpus derivation restricted to
+    * new-touching pairs — pinning that per-batch cost O(batch) loses NO
+    * pairs vs re-running the whole corpus. */
+  def q99IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val prior = Dedup.signDocuments(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val (pairs, _) = Dedup.nearDupPairsIncremental(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior,
+      k = K, b = B, shingleN = N, minJaccard = 0.5)
+    pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lsh_near_dup" -> (q20LshNearDup _),
+    "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _))
 
@@ -84,6 +102,11 @@ object DedupQueries {
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
+    "q99_incremental_near_dup" ->
+      raw"""WITH $nearDupPairsCtes
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
+         WHERE jaccard_e4 >= 5000 AND (a_id % 2 = 1 OR b_id % 2 = 1)
+         ORDER BY 1, 2""",
     "q38_winnowing_pairs" ->
       raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
            THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
