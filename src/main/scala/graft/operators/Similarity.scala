@@ -479,6 +479,67 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Top principal component of an embedding column by distributed power
+    * iteration — the whitening/compression primitive (project embeddings
+    * onto their dominant direction; also the "remove the common-crawl
+    * direction" trick from sentence-embedding postprocessing).
+    *
+    * Shape: ONE corpus scan builds the d×d covariance as an aggregation
+    * (each row emits its d² centered outer-product cells row-locally;
+    * partial sums combine map-side — the corpus never shuffles, only d²
+    * cells do). Power iterations then run on the d²-row covariance frame
+    * with the current vector broadcast — corpus-independent cost. Every
+    * step is integer: quantized embeddings, floor-quantized means,
+    * integer cell sums, and the iterate re-quantized to ±1000 per step
+    * (floor(raw/max·1000+0.5) — IEEE-exact in any engine).
+    *
+    * Scale note: |cell|·1000·d must stay under 2^63 — with ×1000
+    * embedding quantization that bounds the corpus at ~10^7 rows per
+    * covariance build; beyond that, drop the embedding quantization to
+    * ×100 or compute the covariance over a deterministic sample (the
+    * component converges on a fraction of the data).
+    *
+    * Returns (idCol, pc1_proj): the integer projection of each CENTERED
+    * vector onto the (±1000-scaled) dominant eigenvector. */
+  def pcaProjection(corpus: DataFrame, iters: Int = 8,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val mArr = e.select(posexplode(col("qe")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        x => x.getField("m")).as("marr"))
+    val centered = e.join(broadcast(mArr), lit(true))
+      .select(col(idCol), zip_with(col("qe"), col("marr"), (a, b) => a - b).as("ce"))
+      .persist()
+    val cov = centered.select(explode(expr(
+        "flatten(transform(ce, (x, i) -> transform(ce, (y, j) -> struct(i, j, x * y AS p))))"))
+        .as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+      .agg(sum(col("cell.p")).as("c"))
+      .localCheckpoint(true)
+    var v = cov.select(col("i").as("d")).distinct()
+      .withColumn("vv", lit(1000L))
+    for (_ <- 1 to iters) {
+      val raw = cov.join(broadcast(v.withColumnRenamed("d", "j")), "j")
+        .groupBy(col("i").as("d"))
+        .agg(sum(col("c") * col("vv")).as("raw"))
+      val mx = raw.agg(greatest(max(abs(col("raw"))), lit(1L)).as("mx"))
+      v = raw.join(broadcast(mx), lit(true))
+        .select(col("d"), graft.functions.TextFunctions.fixedPoint(
+          col("raw") / col("mx"), 3).as("vv"))
+        .localCheckpoint(true)
+    }
+    val vArr = v
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("vv")))),
+        x => x.getField("vv")).as("varr"))
+    val out = centered.join(broadcast(vArr), lit(true))
+      .select(col(idCol), qdot(col("ce"), col("varr")).as("pc1_proj"))
+      .localCheckpoint(true)
+    centered.unpersist()
+    out
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup scoped by LEARNED
     * k-means clusters — embeddings cluster first, pairwise cosine runs
     * only WITHIN a cluster (Σ|cluster|² pairs, never corpus²; cluster

@@ -166,10 +166,20 @@ object SimQueries {
       k = 8, iters = 2, tauE4 = 3500L)
       .orderBy(col("cluster"), col("vec_id"))
 
+  /** q100: distributed PCA — every embedding projected onto the corpus's
+    * dominant principal direction (8 power iterations over a covariance
+    * built in ONE corpus scan). The whitening/compression primitive:
+    * 64 floats → 1 int per vector, with the iterate re-quantized to
+    * ±1000 each step so both engines walk identical integers. */
+  def q100PcaProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaProjection(Tables(spark, dir, "embeddings"), iters = 8)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q91_pq_rerank" -> (q91PqRerank _),
     "q97_semdedup" -> (q97SemDedup _),
+    "q100_pca_projection" -> (q100PcaProjection _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q89_pq_topk" -> (q89PqTopK _),
     "q90_ivf_pq" -> (q90IvfPq _),
@@ -333,6 +343,33 @@ object SimQueries {
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
+    "q100_pca_projection" -> {
+      // one reference per CTE (normalize via max() OVER ()) + MATERIALIZED
+      // hints — a doubly-referenced chain would inline-explode 2^iters
+      val iterCtes = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""v$k AS MATERIALIZED (SELECT d,
+              CAST(floor(raw/greatest(max(abs(raw)) OVER (), 1)*1000 + 0.5) AS BIGINT) AS vv
+              FROM (SELECT i AS d, CAST(sum(c * vv) AS BIGINT) AS raw
+                FROM cp JOIN $prev ON cp.j = $prev.d GROUP BY 1))"""
+      }.mkString(",\n")
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT vec_id, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         m AS (SELECT d, CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS m
+           FROM pe GROUP BY 1),
+         ma AS (SELECT list(m ORDER BY d) AS marr FROM m),
+         c AS MATERIALIZED (SELECT vec_id,
+             [qe[i+1] - marr[i+1] for i in range(0, len(qe))] AS ce
+           FROM e, ma),
+         pc AS (SELECT vec_id, generate_subscripts(ce, 1) AS d, unnest(ce) AS v FROM c),
+         cp AS MATERIALIZED (SELECT d1.d AS i, d2.d AS j, CAST(sum(d1.v * d2.v) AS BIGINT) AS c
+           FROM pc d1 JOIN pc d2 USING (vec_id) GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT i AS d, CAST(1000 AS BIGINT) AS vv FROM cp),
+         $iterCtes,
+         va AS (SELECT list(vv ORDER BY d) AS varr FROM v8)
+         SELECT vec_id, CAST(list_dot_product(ce, varr) AS BIGINT) AS pc1_proj
+         FROM c, va ORDER BY vec_id"""
+    },
     "q97_semdedup" ->
       raw"""WITH RECURSIVE e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce

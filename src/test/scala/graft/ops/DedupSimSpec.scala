@@ -215,6 +215,37 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("pcaProjection equals a driver-side exact replica of the integer power iteration") {
+    val emb = Tables(spark, sf, "embeddings")
+    val got = Similarity.pcaProjection(emb).as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    // exact replica: same quantization, floor-mean, covariance, 8
+    // max-normalized iterations — any arithmetic drift in the
+    // distributed path shows up as an exact mismatch here
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val q = rows.map { case (id, a) =>
+      id -> a.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong) }
+    val dims = q.head._2.length
+    val mean = (0 until dims).map { d =>
+      math.floor(q.map(_._2(d)).sum.toDouble / q.length + 0.5).toLong }
+    val ce = q.map { case (id, a) =>
+      id -> a.indices.map(d => a(d) - mean(d)).toArray }
+    val cov = Array.ofDim[Long](dims, dims)
+    for ((_, v) <- ce; i <- 0 until dims; j <- 0 until dims)
+      cov(i)(j) += v(i) * v(j)
+    var vv = Array.fill(dims)(1000L)
+    for (_ <- 1 to 8) {
+      val raw = (0 until dims).map(i =>
+        (0 until dims).map(j => cov(i)(j) * vv(j)).sum).toArray
+      val mx = math.max(raw.map(math.abs).max, 1L)
+      vv = raw.map(r => math.floor(r.toDouble / mx * 1000 + 0.5).toLong)
+    }
+    val want = ce.map { case (id, v) =>
+      (id, v.indices.map(d => v(d) * vv(d)).sum) }.toSeq
+    assert(got === want)
+  }
+
   test("rrfFuse: both-leg docs beat single-leg docs at equal ranks; ids stay in-universe") {
     val legA = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q_id", "doc_id", "rank")
     val legB = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("q_id", "doc_id", "rank")
