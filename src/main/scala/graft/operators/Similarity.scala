@@ -484,14 +484,16 @@ object Similarity {
     * onto their dominant direction; also the "remove the common-crawl
     * direction" trick from sentence-embedding postprocessing).
     *
-    * Shape: ONE corpus scan builds the d×d covariance as an aggregation
-    * (each row emits its d² centered outer-product cells row-locally;
-    * partial sums combine map-side — the corpus never shuffles, only d²
-    * cells do). Power iterations then run on the d²-row covariance frame
-    * with the current vector broadcast — corpus-independent cost. Every
-    * step is integer: quantized embeddings, floor-quantized means,
-    * integer cell sums, and the iterate re-quantized to ±1000 per step
-    * (floor(raw/max·1000+0.5) — IEEE-exact in any engine).
+    * Shape: ONE corpus scan builds the d×d covariance via a native
+    * outer-product-sum aggregate (LongOuterSumAgg — each partition folds
+    * its rows into a primitive long[d²] buffer; buffers merge by exact
+    * integer add, so the corpus never shuffles and no per-cell rows ever
+    * exist). The collected covariance is d²·8 bytes — registry-scale —
+    * so the power iterations run on the driver; the corpus is touched
+    * once more for the projection scan. Every step is integer: quantized
+    * embeddings, floor-quantized means, integer cell sums, the iterate
+    * re-quantized to ±1000 per step (floor(raw/max·1000+0.5) —
+    * IEEE-exact in any engine).
     *
     * Scale note: |cell|·1000·d must stay under 2^63 — with ×1000
     * embedding quantization that bounds the corpus at ~10^7 rows per
@@ -512,29 +514,29 @@ object Similarity {
     val centered = e.join(broadcast(mArr), lit(true))
       .select(col(idCol), zip_with(col("qe"), col("marr"), (a, b) => a - b).as("ce"))
       .persist()
-    val cov = centered.select(explode(expr(
-        "flatten(transform(ce, (x, i) -> transform(ce, (y, j) -> struct(i, j, x * y AS p))))"))
-        .as("cell"))
-      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
-      .agg(sum(col("cell.p")).as("c"))
-      .localCheckpoint(true)
-    var v = cov.select(col("i").as("d")).distinct()
-      .withColumn("vv", lit(1000L))
+    // ONE pass builds the d² covariance cells (native outer-product-sum
+    // aggregate — no |rows|·d² explode; partials merge map-side)
+    val flat = centered
+      .agg(org.apache.spark.sql.graft.LongOuterSumAgg(col("ce")).as("flat"))
+      .head().getSeq[Long](0).toArray
+    val d = math.sqrt(flat.length.toDouble).toInt
+    // the covariance is d²·8 bytes (32 KB at d = 64) — registry-scale, so
+    // the power iteration runs on the driver like any other collected
+    // sketch (same budget class as the Bloom bitmap); the corpus is never
+    // touched again until the projection scan
+    var vv = Array.fill(d)(1000L)
     for (_ <- 1 to iters) {
-      val raw = cov.join(broadcast(v.withColumnRenamed("d", "j")), "j")
-        .groupBy(col("i").as("d"))
-        .agg(sum(col("c") * col("vv")).as("raw"))
-      val mx = raw.agg(greatest(max(abs(col("raw"))), lit(1L)).as("mx"))
-      v = raw.join(broadcast(mx), lit(true))
-        .select(col("d"), graft.functions.TextFunctions.fixedPoint(
-          col("raw") / col("mx"), 3).as("vv"))
-        .localCheckpoint(true)
+      val raw = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += flat(i * d + j) * vv(j); j += 1 }
+        s
+      }
+      val mx = math.max(raw.map(math.abs).max, 1L)
+      vv = raw.map(r => math.floor(r.toDouble / mx * 1000 + 0.5).toLong)
     }
-    val vArr = v
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("vv")))),
-        x => x.getField("vv")).as("varr"))
-    val out = centered.join(broadcast(vArr), lit(true))
-      .select(col(idCol), qdot(col("ce"), col("varr")).as("pc1_proj"))
+    val vArr = array(vv.map(lit(_)): _*)
+    val out = centered
+      .select(col(idCol), qdot(col("ce"), vArr).as("pc1_proj"))
       .localCheckpoint(true)
     centered.unpersist()
     out
