@@ -276,7 +276,73 @@ object CoreQueries {
       .orderBy(col("action"))
   }
 
+  /** q101: market share (TPC-H Q8 shape) — per order year, the EUROPE-
+    * supplier share of total revenue through the 5-table lineitem→orders→
+    * supplier→nation→region path. The fact table joins ONE at-scale side
+    * (orders, keyed shuffle); supplier/nation/region all broadcast. Both
+    * revenue sums are integer cents in a single aggregate pass
+    * (conditional + total — no second scan, no self-join), share is one
+    * terminal e4 division. */
+  def q101MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("r_name") === "EUROPE", rev).otherwise(lit(0L))).as("eu_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("o_year"), col("eu_cents"), col("total_cents"),
+        graft.functions.TextFunctions.fixedPoint(
+          col("eu_cents") / col("total_cents"), 4).as("eu_share_e4"))
+      .orderBy(col("o_year"))
+  }
+
+  /** q102: the analytic-window suite over each customer's order history —
+    * lag/lead, ntile quartiles, percent_rank/cume_dist (e4-quantized;
+    * the (o_orderdate, o_orderkey) order is UNIQUE so rank doubles are
+    * deterministic), first-order price, and a running spend cumsum with
+    * an explicit ROWS frame. One window partition per customer — the
+    * at-scale shape (millions of small partitions), never a global sort.
+    * Restricted to custkey < 100 and ≥ 2 orders to keep the dump small. */
+  def q102WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val fp = graft.functions.TextFunctions.fixedPoint _
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderdate"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        row_number().over(w).as("order_seq"),
+        ntile(4).over(w).as("spend_quartile"),
+        fp(percent_rank().over(w), 4).as("pr_e4"),
+        fp(cume_dist().over(w), 4).as("cd_e4"),
+        first(col("price_cents")).over(w).as("first_cents"),
+        sum(col("price_cents"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"),
+        count(lit(1)).over(wAll).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_orderkey"),
+        col("next_orderkey"), col("order_seq").cast("long").as("order_seq"),
+        col("spend_quartile").cast("long").as("spend_quartile"),
+        col("pr_e4"), col("cd_e4"), col("first_cents"), col("run_cents"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_market_share" -> (q101MarketShare _),
+    "q102_window_suite" -> (q102WindowSuite _),
     "q61_salted_segment_revenue" -> (q61SaltedSegmentRevenue _),
     "q62_bloom_revenue" -> (q62BloomRevenue _),
     "q76_incremental_agg" -> (q76IncrementalAgg _),
@@ -301,6 +367,41 @@ object CoreQueries {
 
   /** DuckDB oracle SQL — same column names, same determinism rules. */
   val oracles: Map[String, String] = Map(
+    "q101_market_share" ->
+      """WITH t AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           r_name, CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         a AS (SELECT o_year,
+           CAST(sum(CASE WHEN r_name = 'EUROPE' THEN rev ELSE 0 END) AS BIGINT) AS eu_cents,
+           CAST(sum(rev) AS BIGINT) AS total_cents
+           FROM t GROUP BY 1)
+         SELECT o_year, eu_cents, total_cents,
+           CAST(floor(eu_cents/total_cents*10000 + 0.5) AS BIGINT) AS eu_share_e4
+         FROM a ORDER BY 1""",
+    "q102_window_suite" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents, o_orderdate
+           FROM orders WHERE o_custkey < 100),
+         win AS (SELECT o_custkey, o_orderkey,
+           lag(o_orderkey, 1) OVER w AS prev_orderkey,
+           lead(o_orderkey, 1) OVER w AS next_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+           CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT) AS pr_e4,
+           CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT) AS cd_e4,
+           first_value(price_cents) OVER w AS first_cents,
+           CAST(sum(price_cents) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+           FROM t
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT o_custkey, o_orderkey, prev_orderkey, next_orderkey, order_seq,
+           spend_quartile, pr_e4, cd_e4, first_cents, run_cents
+         FROM win WHERE n_orders >= 2 ORDER BY o_custkey, order_seq""",
     "q76_incremental_agg" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
