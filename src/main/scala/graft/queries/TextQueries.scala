@@ -100,7 +100,11 @@ object TextQueries {
     val prob = freq.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx, "w1")
       .select(col("bg"), fixedPoint(col("cnt") / col("ctx"), 4).as("p_e4"))
-    val perDoc = big.join(broadcast(prob), "bg")
+    // NO forced broadcast: the bigram table is vocab²-bounded — tiny here,
+    // but potentially billions of rows at corpus scale. AQE broadcasts it
+    // when it measures small; otherwise this is a shuffle join on uniform
+    // string keys (unlike q52's unigram table, which is always vocab-sized).
+    val perDoc = big.join(prob, "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e4")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{Blocklist, Decontaminate, Dedup}
+
+/** The full training-data assembly pipeline as ONE composition of library
+  * calls — the "a user can run the whole thing" proof: blocklist →
+  * exact dedup → near-dup removal → decontamination → per-source cap →
+  * sequence packing → sharded JSONL export with a verified manifest.
+  * Asserts the funnel only shrinks, each stage's guarantee holds on the
+  * final corpus, and the export manifest accounts for every row. */
+class EndToEndCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus assembly end to end: filters compose, export manifest reconciles") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val n0 = docs.count()
+
+    // 1. policy blocklist (phrases known to occur in the fixture)
+    val phrases = Seq("table hash", "slow key").toDF("phrase")
+    val afterBlock = Blocklist.clean(docs, phrases, "doc_id", "text")
+    val n1 = afterBlock.count()
+    assert(n1 < n0, "fixture must contain blocklisted phrases")
+
+    // 2. exact dedup on the canonical fingerprint
+    val afterExact = CorpusCuration.exactDeduped(afterBlock, "doc_id")
+    val n2 = afterExact.count()
+    assert(n2 <= n1)
+
+    // 3. near-dup removal (MinHash→LSH→verified Jaccard ≥ 0.5)
+    val afterNear = CorpusCuration.nearDupRemoved(afterExact, "doc_id", 0.5)
+    val n3 = afterNear.count()
+    assert(n3 <= n2)
+
+    // 4. decontamination vs an eval slice (every 97th doc plays the benchmark)
+    val evalSlice = docs.filter(col("doc_id") % 97 === 0)
+    val train = afterNear.filter(col("doc_id") % 97 =!= 0)
+    val afterDecon = Decontaminate.clean(train, evalSlice, "doc_id", "text", 13)
+    val n4 = afterDecon.count()
+    assert(n4 <= n3)
+
+    // 5. per-source cap, scored by doc length
+    val capped = CorpusCuration.capPerSource(
+      afterDecon.withColumn("len", length(col("text"))),
+      "doc_id", "source", "len", 40)
+    val n5 = capped.count()
+    assert(n5 <= n4)
+    assert(capped.groupBy("source").count().filter(col("count") > 40).isEmpty)
+
+    // final-corpus guarantees, re-checked from scratch
+    val finalDocs = capped.select("doc_id", "source", "text").cache()
+    assert(Blocklist.matches(finalDocs, phrases, "doc_id", "text").isEmpty,
+      "blocklisted phrase survived the funnel")
+    val fps = finalDocs.select(graft.functions.TextFunctions
+      .fingerprint(col("text")).as("fp"))
+    assert(fps.count() === fps.distinct().count(),
+      "exact duplicates survived the funnel")
+    assert(Decontaminate.contaminated(finalDocs, evalSlice, "doc_id", "text", 13)
+      .isEmpty, "eval-contaminated doc survived the funnel")
+
+    // 6. pack into fixed token-budget sequences, shard, export
+    val packed = graft.operators.Chunker.packSequences(
+      finalDocs.withColumn("shard", col("doc_id") % 4), // deterministic shards
+      "doc_id", "text", "shard", budget = 512)
+    assert(packed.count() > 0)
+
+    val outDir = java.nio.file.Files.createTempDirectory("e2e_export").toString
+    val manifest = Export.writeJsonlShards(
+      finalDocs, outDir, nShards = 4, shardKey = "doc_id", verifyCounts = true)
+    val manifestRows = manifest.agg(sum(col("rows"))).head().getLong(0)
+    assert(manifestRows === n5, "manifest row count must equal the final corpus")
+    finalDocs.unpersist()
+  }
+}
