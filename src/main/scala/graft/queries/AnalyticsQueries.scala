@@ -232,8 +232,28 @@ object AnalyticsQueries {
         col("sum_value_e4"))
       .orderBy(col("gid"), col("event_type_g"), col("hr_g"))
 
+  /** q103: explicit GROUPING SETS — the per-lang, per-source, and cell
+    * aggregates WITHOUT the grand total (the set a dashboard actually
+    * wants; rollup/cube would compute levels it throws away). Completes
+    * the multi-granularity trio next to q68 (rollup) and q95 (cube) —
+    * still ONE aggregate pass via Expand. */
+  def q103GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq(col("lang"), col("source"))),
+        col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("gid").cast("long").as("gid"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("gid"), col("lang_g"), col("source_g"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_cube" -> (q95Cube _),
+    "q103_grouping_sets" -> (q103GroupingSets _),
     "q75_supplier_rank" -> (q75SupplierRank _),
     "q83_top_paths" -> (q83TopPaths _),
     "q84_user_growth" -> (q84UserGrowth _),
@@ -293,6 +313,14 @@ object AnalyticsQueries {
            FROM e JOIN degc USING (c) JOIN rc1 USING (c) GROUP BY 1)
          SELECT s AS s_suppkey, CAST(r AS BIGINT) AS rank_e4
          FROM rs2 ORDER BY rank_e4 DESC, s_suppkey LIMIT 25""",
+    "q103_grouping_sets" ->
+      raw"""WITH t AS (SELECT lang, source, CAST($tokCountSql AS BIGINT) AS n_tok
+             FROM documents)
+         SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+           CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM t GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+         ORDER BY gid, lang_g, source_g""",
     "q95_cube" ->
       raw"""WITH t AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
              user_id, CAST(floor(value*10000 + 0.5) AS BIGINT) AS v_e4
