@@ -186,4 +186,31 @@ object EngineProps extends Properties("engine") {
         .as[(Long, Long)].collect().toMap
       got == expected
     }
+
+  // random token docs + random 2-3-word phrases drawn from the same small
+  // vocabulary (so collisions actually occur)
+  private val genVocabWord: Gen[String] = Gen.oneOf("ab", "cd", "ef", "gh")
+  private val genDocs: Gen[List[String]] =
+    Gen.listOfN(6, Gen.listOfN(8, genVocabWord).map(_.mkString(" ")))
+  private val genPhrases: Gen[List[String]] =
+    Gen.listOfN(3, Gen.choose(2, 3)
+      .flatMap(n => Gen.listOfN(n, genVocabWord).map(_.mkString(" "))))
+
+  property("blocklist matches = brute-force consecutive-sequence scan") =
+    forAll(genDocs, genPhrases) { (docs, phrases) =>
+      import graft.operators.Blocklist
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Blocklist.matches(df, phrases.toDF("phrase"), "doc_id", "text")
+        .as[(Long, String, Long)].collect().toSet
+      // reference: count occurrences of each phrase token-sequence per doc
+      val expected = (for {
+        (t, i) <- docs.zipWithIndex
+        toks = t.split("\\s+").toSeq
+        p <- phrases.distinct
+        pt = p.split("\\s+").toSeq
+        n = toks.sliding(pt.size).count(_ == pt) if n > 0
+      } yield (i.toLong, p, n.toLong)).toSet
+      got == expected
+    }
 }
