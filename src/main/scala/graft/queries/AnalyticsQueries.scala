@@ -251,9 +251,33 @@ object AnalyticsQueries {
         col("gid").cast("long").as("gid"), col("n_docs"), col("n_tokens"))
       .orderBy(col("gid"), col("lang_g"), col("source_g"))
 
+  /** q104: windowed heavy hitters, batch — top-3 `props.k` values per
+    * event-time hour (count desc, key asc). The EXACT counterpart of
+    * `streaming/StreamingTopK`'s Space-Saving summary: the streaming
+    * operator converges to this query when its capacity exceeds the
+    * window's distinct keys (StreamingTopKSpec pins the parity on this
+    * same fixture). Window starts as epoch-micros to match the stream. */
+  def q104WindowedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val counts = Tables(spark, dir, "events")
+      .select(
+        (unix_micros(col("ts")) - unix_micros(col("ts")) % hourUs)
+          .as("window_start_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("window_start_us"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("window_start_us"))
+      .orderBy(col("n").desc, col("k"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("window_start_us"), col("k"), col("n"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("window_start_us"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_cube" -> (q95Cube _),
     "q103_grouping_sets" -> (q103GroupingSets _),
+    "q104_windowed_topk" -> (q104WindowedTopK _),
     "q75_supplier_rank" -> (q75SupplierRank _),
     "q83_top_paths" -> (q83TopPaths _),
     "q84_user_growth" -> (q84UserGrowth _),
@@ -313,6 +337,15 @@ object AnalyticsQueries {
            FROM e JOIN degc USING (c) JOIN rc1 USING (c) GROUP BY 1)
          SELECT s AS s_suppkey, CAST(r AS BIGINT) AS rank_e4
          FROM rs2 ORDER BY rank_e4 DESC, s_suppkey LIMIT 25""",
+    "q104_windowed_topk" ->
+      raw"""WITH t AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
+         c AS (SELECT window_start_us, k, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (SELECT window_start_us, k, n,
+             row_number() OVER (PARTITION BY window_start_us
+               ORDER BY n DESC, k) AS rank FROM c)
+         SELECT window_start_us, k, n, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY window_start_us, rank""",
     "q103_grouping_sets" ->
       raw"""WITH t AS (SELECT lang, source, CAST($tokCountSql AS BIGINT) AS n_tok
              FROM documents)

@@ -89,6 +89,44 @@ class StreamingTopKSpec extends SparkSpec {
     } finally run.stop()
   }
 
+  test("streaming with capacity > distinct keys equals the batch q104 top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    // the sf0.001 events fixture replayed as one batch; m=128 exceeds the
+    // 100 distinct props.k values, so Space-Saving is exact and the
+    // emitted rows must equal the batch query's (same window alignment)
+    // keys zero-padded so the stream's STRING tie-break (count desc, key
+    // asc) agrees with the batch query's numeric one — rank parity on the
+    // many count-1 ties needs identical ordering, not just identical sets
+    val fixture = graft.core.Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.lpad(
+          org.apache.spark.sql.functions.get_json_object(
+            org.apache.spark.sql.functions.col("props"), "$.k"), 3, "0").as("key"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("tsMicros"),
+        org.apache.spark.sql.functions.col("ts"))
+      .as[KeyEv].collect().toSeq
+    val src = MemoryStream[KeyEv]
+    val run = StreamingTopK.streaming(src.toDS(), m = 128, k = 3,
+        windowUs = HourUs, watermarkDelay = "1 hour").toDF()
+      .writeStream.outputMode("append").format("memory").queryName("topk_parity")
+      .option("checkpointLocation", Files.createTempDirectory("graft_stkp_").toString)
+      .start()
+    try {
+      src.addData(fixture: _*)
+      run.processAllAvailable()
+      val sentinelUs = fixture.map(_.tsMicros).max + 10 * HourUs
+      src.addData(KeyEv("zz", sentinelUs, new java.sql.Timestamp(sentinelUs / 1000L)))
+      run.processAllAvailable()
+      val got = spark.table("topk_parity").as[TopKRow].collect()
+        .map(r => (r.window_start_us, r.key.toLong, r.count, r.rank)).toSet
+      val want = graft.queries.AnalyticsQueries.q104WindowedTopK(spark, sf)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got === want)
+      assert(spark.table("topk_parity").as[TopKRow].collect()
+        .forall(_.err === 0L), "exact-capacity run must carry zero error")
+    } finally run.stop()
+  }
+
   test("state stays at m entries per window under key explosion") {
     val m = 4
     var es: List[SSEntry] = Nil
