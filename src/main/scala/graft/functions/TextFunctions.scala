@@ -186,4 +186,13 @@ object TextFunctions {
     * stratified corpus sampling (keep iff sampleBucket < rate_e4). */
   def sampleBucket(key: Column): Column =
     stableHash60(concat(lit("samp:"), key.cast("string"))) % 10000
+
+  /** Adjacent word pairs of a token-array column as "w1 w2" strings —
+    * empty for arrays of fewer than 2 tokens (sequence() would otherwise
+    * count DOWN and fabricate reversed pairs). Row-local; the q92 bigram
+    * LM derives all counts from one explode of this. */
+  def wordBigrams(ts: Column): Column =
+    when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - 2),
+        i => concat(get(ts, i.cast("int")), lit(" "), get(ts, (i + 1).cast("int")))))
 }

@@ -89,11 +89,7 @@ object TextQueries {
   def q92BigramLm(spark: SparkSession, dir: String): DataFrame = {
     val toks = docsWide(spark, dir)
       .select(col("doc_id"), wsTokens(col("text")).as("ts"))
-    val big = toks.select(col("doc_id"), explode(
-      when(size(col("ts")) < 2, array().cast("array<string>"))
-        .otherwise(expr("transform(sequence(1, size(ts)-1), " +
-          "i -> concat(element_at(ts, CAST(i AS INT)), ' ', element_at(ts, CAST(i+1 AS INT))))")))
-      .as("bg"))
+    val big = toks.select(col("doc_id"), explode(wordBigrams(col("ts"))).as("bg"))
     val freq = big.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val ctx = freq.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt")).as("ctx"))

@@ -82,6 +82,17 @@ class TextEdgeCasesSpec extends SparkSpec {
     assert(fp.count() === 4) // "" == "   " after trim-normalize
   }
 
+  test("wordBigrams: empty for <2 tokens, adjacent pairs otherwise") {
+    import graft.functions.TextFunctions.{wordBigrams, wsTokens}
+    val rows = Seq("", "   ", "one", "a b", "a b c")
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), wordBigrams(wsTokens(col("text"))).as("bg"))
+      .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+    assert(rows === Seq(
+      (0, Nil), (1, Nil), (2, Nil),
+      (3, Seq("a b")), (4, Seq("a b", "b c"))))
+  }
+
   test("langId returns und for empty text") {
     assert(Seq("").toDF("text").select(langId(col("text"))).as[String].head() === "und")
   }
