@@ -479,6 +479,29 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * most-similar vectors with a DIFFERENT label — the negatives that
+    * actually teach an embedding model (random negatives are trivially
+    * far). Same broadcast-anchors shape as bruteForceTopK with the label
+    * predicate fused into the join, so mismatched pairs never materialize;
+    * swap the corpus scan for an IVF/PQ candidate stage at billion-vector
+    * scale (the predicate composes with any candidate source). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(withNorm(anchors, idCol, embCol, "q_id", "q_emb", "q_norm")
+      .join(anchors.select(col(idCol).as("q_id"), col(labelCol).as("q_label")), "q_id"))
+    val scored = withNorm(corpus, idCol, embCol, idCol, "__qe", "__cn")
+      .join(corpus.select(col(idCol), col(labelCol)), idCol)
+      .join(q, col("q_id") =!= col(idCol) && col("q_label") =!= col(labelCol))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__cn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"),
+        col("cos_e4"), col("rank").cast("int").as("rank"))
+  }
+
   /** Top principal component of an embedding column by distributed power
     * iteration — the whitening/compression primitive (project embeddings
     * onto their dominant direction; also the "remove the common-crawl

@@ -175,11 +175,21 @@ object SimQueries {
     Similarity.pcaProjection(Tables(spark, dir, "embeddings"), iters = 8)
       .orderBy(col("vec_id"))
 
+  /** q105: hard-negative mining — each of the 10 anchor vectors' top-5
+    * nearest neighbors from OTHER labels, the contrastive-training
+    * counterpart of q22 (random negatives are trivially far; these are
+    * the ones that move an embedding model). */
+  def q105HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
+      .orderBy(col("q_id"), col("rank"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q91_pq_rerank" -> (q91PqRerank _),
     "q97_semdedup" -> (q97SemDedup _),
     "q100_pca_projection" -> (q100PcaProjection _),
+    "q105_hard_negatives" -> (q105HardNegatives _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q89_pq_topk" -> (q89PqTopK _),
     "q90_ivf_pq" -> (q90IvfPq _),
@@ -343,6 +353,17 @@ object SimQueries {
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
+    "q105_hard_negatives" ->
+      raw"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, $quantSql AS qe
+             FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, label, $quantSql AS ce FROM embeddings),
+         s AS (SELECT q_id, vec_id, label, ${cosSql("qe", "ce")} AS cos_e4
+               FROM q, c WHERE q_id <> vec_id AND q_label <> label),
+         r AS (SELECT q_id, vec_id, label, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
+         SELECT q_id, vec_id AS neighbor_id, label AS neg_label, cos_e4,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q100_pca_projection" -> {
       // one reference per CTE (normalize via max() OVER ()) + MATERIALIZED
       // hints — a doubly-referenced chain would inline-explode 2^iters
