@@ -88,7 +88,9 @@ object Bench {
     val results = queryResults ++ extraResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures record -1 per query; exclude the sentinel so a failed run
+    // can't SUBTRACT from the total and make the round look faster
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -109,11 +109,18 @@ object CorpusCuration {
   }
 
   /** Surviving doc ids after exact + near-dup dedup, one signing pass
-    * (see fusedDedup). The returned frame reads the internally persisted
-    * signature cache; queries that want full rows semi-join it back. */
+    * (see fusedDedup). The id frame is materialized eagerly (ids only —
+    * narrow) so fusedDedup's internal signature cache can be released
+    * here rather than leaking for the session lifetime (same
+    * checkpoint-then-unpersist discipline as Dedup.nearDupPairs);
+    * queries that want full rows semi-join the result back. */
   def dedupedIds(docs: DataFrame, idCol: String, textCol: String,
-                 minJaccard: Double): DataFrame =
-    fusedDedup(docs, idCol, textCol, minJaccard)._2
+                 minJaccard: Double): DataFrame = {
+    val (_, ids, sigHandle) = fusedDedup(docs, idCol, textCol, minJaccard)
+    val out = ids.localCheckpoint(true)
+    sigHandle.unpersist()
+    out
+  }
 
   /** Per-domain cap — keep at most `n` docs per `srcCol`, highest
     * `scoreCol` first with the id as a deterministic tie-break. The crawl

@@ -24,11 +24,13 @@ object Blocklist {
 
   /** Word n-gram strings of `ts` (a tokenized array column): windows of
     * `n` consecutive tokens joined by a single space. Empty when the doc
-    * has fewer than `n` tokens (sequence() would otherwise count DOWN). */
+    * has fewer than `n` tokens (sequence() would otherwise count DOWN).
+    * Built from the Column parameter itself — no name capture, so any
+    * caller alias works. */
   private def ngramStrings(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(expr(
-        s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))"))
+      .otherwise(transform(sequence(lit(1), size(ts) - lit(n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
 
   /** Normalize a phrase/text column for matching: lowercase, trim,
     * collapse runs of whitespace. Mirrors the exact-dedup canonicalizer. */
@@ -38,9 +40,24 @@ object Blocklist {
   /** (idCol, phrase, n_hits) for every document × blocklist phrase that
     * occurs in it, with the occurrence count. `phrases` has a single
     * `phrase` column; lengths 2..`maxLen` words are matched (single-word
-    * blocklists are a plain token join — use the token path directly). */
+    * blocklists are a plain token join — use the token path directly).
+    *
+    * Every phrase MUST normalize to 2..maxLen words — a phrase outside
+    * that range would silently never match (a safety-filter bypass), so
+    * this validates the list up front and fails loudly instead. The check
+    * is one tiny job over the config-scale phrase frame, negligible next
+    * to the corpus scan it guards. */
   def matches(corpus: DataFrame, phrases: DataFrame,
               idCol: String, textCol: String, maxLen: Int = 4): DataFrame = {
+    require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
+    val bad = phrases
+      .select(normPhrase(col("phrase")).as("g"))
+      .filter(size(split(col("g"), " ")) < 2 ||
+        size(split(col("g"), " ")) > maxLen)
+      .take(5)
+    require(bad.isEmpty,
+      s"blocklist phrases must have 2..$maxLen words after normalization; " +
+        s"offenders include: ${bad.map(_.getString(0)).mkString("'", "', '", "'")}")
     val pnorm = broadcast(
       phrases.select(normPhrase(col("phrase")).as("g")).distinct())
     val toks = corpus.select(col(idCol),

@@ -161,7 +161,8 @@ object Bpe {
           val ab = a + b
           val clash = accepted.size >= want ||
             symbols.contains(a) || symbols.contains(b) ||
-            merged.contains(a) || merged.contains(b) || symbols.contains(ab)
+            merged.contains(a) || merged.contains(b) ||
+            symbols.contains(ab) || merged.contains(ab)
           if (clash) horizon = Some(n)
           else { accepted += ((a, b, n)); symbols += a; symbols += b; merged += ab }
         }

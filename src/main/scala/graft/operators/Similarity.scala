@@ -542,6 +542,9 @@ object Similarity {
     val flat = centered
       .agg(org.apache.spark.sql.graft.LongOuterSumAgg(col("ce")).as("flat"))
       .head().getSeq[Long](0).toArray
+    require(flat.nonEmpty,
+      "pcaProjection: no embedding rows (empty corpus, or an upstream " +
+        "filter removed every row) — a covariance needs at least one vector")
     val d = math.sqrt(flat.length.toDouble).toInt
     // the covariance is d²·8 bytes (32 KB at d = 64) — registry-scale, so
     // the power iteration runs on the driver like any other collected

@@ -264,6 +264,10 @@ object AnalyticsQueries {
         (unix_micros(col("ts")) - unix_micros(col("ts")) % hourUs)
           .as("window_start_us"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
+      // events without $.k are not heavy-hitter candidates; dropping them
+      // also dodges the engines' opposite null placement in the rank
+      // tie-break (Spark NULLS FIRST vs DuckDB NULLS LAST on ORDER BY k)
+      .filter(col("k").isNotNull)
       .groupBy(col("window_start_us"), col("k"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("window_start_us"))
@@ -340,7 +344,8 @@ object AnalyticsQueries {
     "q104_windowed_topk" ->
       raw"""WITH t AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
              CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
-         c AS (SELECT window_start_us, k, count(*) AS n FROM t GROUP BY 1, 2),
+         c AS (SELECT window_start_us, k, count(*) AS n FROM t
+           WHERE k IS NOT NULL GROUP BY 1, 2),
          r AS (SELECT window_start_us, k, n,
              row_number() OVER (PARTITION BY window_start_us
                ORDER BY n DESC, k) AS rank FROM c)

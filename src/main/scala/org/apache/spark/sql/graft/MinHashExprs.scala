@@ -364,8 +364,11 @@ case class HashedWordNgrams(child: Expression, n: Int)
     // UTF8String.trim trims ASCII 0x20 only — same as SQL trim()
     val t = input.asInstanceOf[UTF8String].trim().toString
     if (t.isEmpty) return new GenericArrayData(Array.emptyLongArray)
-    // on trimmed input Java split(regex) ≡ Spark split (no boundary empties)
-    val toks = HashedWordNgrams.ws.split(t)
+    // limit -1 keeps trailing empty fields, mirroring Spark's split():
+    // trim removes only 0x20, so text ending in "\n"/"\t" still splits to
+    // a trailing "" token that the composable path (and the oracle's
+    // regexp_split_to_array) would emit — limit 0 would silently drop it
+    val toks = HashedWordNgrams.ws.split(t, -1)
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     var i = 0

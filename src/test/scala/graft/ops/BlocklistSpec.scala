@@ -54,4 +54,25 @@ class BlocklistSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(m === Seq((5L, "drop table", 2L)))
   }
+
+  test("phrases outside 2..maxLen words fail loudly, never silently skip") {
+    // a 5-word phrase exceeds the default maxLen=4: silently generating no
+    // gram for it would be a policy-filter bypass
+    val tooLong = Seq("one two three four five").toDF("phrase")
+    val eLong = intercept[IllegalArgumentException] {
+      Blocklist.matches(docs, tooLong, "doc_id", "text")
+    }
+    assert(eLong.getMessage.contains("one two three four five"))
+    // single-word phrases belong on the plain token path, not the n-gram one
+    val single = Seq("drop").toDF("phrase")
+    intercept[IllegalArgumentException] {
+      Blocklist.clean(docs, single, "doc_id", "text")
+    }
+    // raising maxLen admits the long phrase
+    val m = Blocklist.matches(
+      Seq((9L, "say one two three four five end")).toDF("doc_id", "text"),
+      tooLong, "doc_id", "text", maxLen = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(m === Seq((9L, "one two three four five", 1L)))
+  }
 }

@@ -57,7 +57,12 @@ class TextEdgeCasesSpec extends SparkSpec {
     val docs = edge.unionByName(Seq(
       (6L, "the quick brown fox the quick brown fox"), // repeat grams
       (7L, "  padded   with \t odd\nwhitespace  "),
-      (8L, "uno"), (9L, "héllo wörld wieder héllo wörld")).toDF("doc_id", "text"))
+      (8L, "uno"), (9L, "héllo wörld wieder héllo wörld"),
+      // trim removes only 0x20 — text bounded by non-space whitespace
+      // splits to boundary "" tokens that the fused path must also emit
+      // (Java split needs limit -1 to keep the trailing one)
+      (10L, "drop table\n"), (11L, "\ttabbed text\t"),
+      (12L, "\n")).toDF("doc_id", "text"))
     for (n <- Seq(2, 3)) {
       val fused = docs.select(col("doc_id"),
         MinHashExprs.hashedWordNgrams(col("text"), n).as("h"))
