@@ -122,6 +122,33 @@ object CorpusCuration {
     out
   }
 
+  /** Deterministic disjoint split assignment (train/val/test): each doc
+    * lands in exactly one named split by its md5 bucket against cumulative
+    * e4 thresholds. Row-local (no shuffle, no sampling state), stable
+    * across engines/runs/cluster sizes — the property a training pipeline
+    * needs so an eval doc NEVER drifts into train between reruns. The
+    * hash is salted differently from the sampling bucket ("split:" vs
+    * "samp:") so split assignment stays independent of any upstream
+    * stratified sampling decision on the same ids.
+    *
+    * `splits`: (name, weight_e4) in assignment order; weights must sum to
+    * 10000 (exhaustive + mutually exclusive by construction). */
+  def assignSplits(docs: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "each split needs a positive e4 weight")
+    require(splits.map(_._2).sum == 10000,
+      s"split weights must sum to 10000 (e4), got ${splits.map(_._2).sum}")
+    val bucket = graft.functions.TextFunctions.stableHash60(
+      concat(lit("split:"), col(idCol).cast("string"))) % 10000
+    val cum = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val assign = splits.zip(cum).init.foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assign)
+  }
+
   /** Per-domain cap — keep at most `n` docs per `srcCol`, highest
     * `scoreCol` first with the id as a deterministic tie-break. The crawl
     * pipeline's guard against one domain flooding the corpus. A window

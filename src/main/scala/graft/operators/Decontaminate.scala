@@ -85,4 +85,41 @@ object Decontaminate {
       .groupBy(col("c_id").as(idCol))
       .agg(count(lit(1)).as("n_eval_docs"), max(col("shared")).as("max_shared"))
   }
+
+  /** Semantic decontamination — flag corpus vectors whose embedding sits
+    * within cosine `tauE4`/1e4 of ANY eval-set embedding. Catches the
+    * leakage the verbatim paths above cannot: paraphrased or re-worded
+    * benchmark items share almost no word n-grams or fingerprints but
+    * land next to the eval item in embedding space (the reasoning behind
+    * SemDeDup-style embedding filters applied to eval overlap).
+    *
+    * Shape mirrors Similarity.cosineNearDupPairs, cross-frame: both sides
+    * bucket under the SAME deterministic hyperplanes, candidates share a
+    * bucket, exact integer cosine decides. The eval side is benchmark-
+    * scale so its bucketed vectors broadcast; the corpus never shuffles
+    * its embeddings — the bucket compute is a narrow per-id aggregate and
+    * the candidate join ships bucket-collision rows only. Same LSH recall
+    * caveat as q24: a pair in no shared bucket is missed; more planes
+    * trade recall for candidate volume.
+    *
+    * Output per contaminated corpus vector: (idCol, n_eval_hits,
+    * max_cos_e4) — how many eval items it matches and the strongest. */
+  def semanticContaminated(corpus: DataFrame, evalVecs: DataFrame,
+                           planes: DataFrame, tauE4: Long,
+                           idCol: String = "vec_id",
+                           embCol: String = "embedding"): DataFrame = {
+    import graft.operators.Similarity.{lshBuckets, qdot, quantize}
+    def bucketed(df: DataFrame, id: String, emb: String, norm: String) =
+      df.select(col(idCol).as(id), quantize(col(embCol)).as(emb))
+        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
+        .join(lshBuckets(df, planes, idCol, embCol).withColumnRenamed(idCol, id), id)
+    val ev = broadcast(bucketed(evalVecs, "e_id", "e_emb", "e_n"))
+    bucketed(corpus, "c_id", "c_emb", "c_n")
+      .join(ev, "bucket")
+      .withColumn("cos_e4", TextFunctions.fixedPoint(
+        qdot(col("c_emb"), col("e_emb")) / (col("c_n") * col("e_n")), 4))
+      .filter(col("cos_e4") >= tauE4)
+      .groupBy(col("c_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos_e4")).as("max_cos_e4"))
+  }
 }

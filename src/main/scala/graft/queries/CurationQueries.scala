@@ -78,12 +78,30 @@ object CurationQueries {
     graft.ext.Profiler.skewReport(
       Tables(spark, dir, "events"), "event_type", topK = 10)
 
+  /** q106: deterministic train/val/test split — 90/5/5 by a salted md5
+    * bucket of doc_id, reported as per-(source, split) doc and token
+    * counts. Row-local assignment (no shuffle, no RNG state): the same
+    * doc lands in the same split on every engine, every rerun, every
+    * cluster size — so eval rows can never drift into train. The salt
+    * differs from q45's sampling bucket, keeping the two decisions
+    * independent on the same ids. */
+  def q106SplitAssignment(spark: SparkSession, dir: String): DataFrame =
+    CorpusCuration.assignSplits(
+      Tables(spark, dir, "documents"), "doc_id",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
     "q64_source_cap" -> (q64SourceCap _),
     "q78_priority_sample" -> (q78PrioritySample _),
-    "q79_skew_report" -> (q79SkewReport _))
+    "q79_skew_report" -> (q79SkewReport _),
+    "q106_split_assignment" -> (q106SplitAssignment _))
 
   // ---- oracle SQL ----
 
@@ -108,6 +126,16 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q106_split_assignment" ->
+      raw"""WITH b AS (SELECT source, CAST($tokCountSql AS BIGINT) AS n_tok,
+             CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+               % 10000 AS bucket
+           FROM documents)
+         SELECT source,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "q78_priority_sample" ->
       raw"""WITH d AS (SELECT doc_id, lang,
              CAST($tokCountSql AS BIGINT) AS n_tok FROM documents),

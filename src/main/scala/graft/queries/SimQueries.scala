@@ -184,12 +184,26 @@ object SimQueries {
       queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
       .orderBy(col("q_id"), col("rank"))
 
+  /** q107: semantic decontamination — corpus vectors (vec_id ≥ 20) within
+    * cosine 0.25 of ANY eval vector (vec_id < 20), candidates scoped by
+    * the shared q24 LSH buckets. The embedding-space complement of the
+    * verbatim q42/q56 decontamination paths: paraphrased benchmark items
+    * share no n-grams but do land in the eval item's bucket. */
+  def q107SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    graft.operators.Decontaminate.semanticContaminated(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      Similarity.hyperplanes(spark, Planes, Dim), tauE4 = 2500L)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q91_pq_rerank" -> (q91PqRerank _),
     "q97_semdedup" -> (q97SemDedup _),
     "q100_pca_projection" -> (q100PcaProjection _),
     "q105_hard_negatives" -> (q105HardNegatives _),
+    "q107_semantic_decontam" -> (q107SemanticDecontam _),
     "q80_ivf_sq8" -> (q80IvfSq8 _),
     "q89_pq_topk" -> (q89PqTopK _),
     "q90_ivf_pq" -> (q90IvfPq _),
@@ -353,6 +367,14 @@ object SimQueries {
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
+    "q107_semantic_decontam" ->
+      raw"""WITH $planesCte, $bucketsCte,
+         cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id))
+         SELECT c.vec_id, count(*) AS n_eval_hits, max(cos_e4) AS max_cos_e4
+         FROM (SELECT c.vec_id, ${cosSql("c.qe", "ev.qe")} AS cos_e4
+               FROM cb c JOIN cb ev ON c.bucket = ev.bucket
+               WHERE c.vec_id >= 20 AND ev.vec_id < 20) c
+         WHERE cos_e4 >= 2500 GROUP BY 1 ORDER BY 1""",
     "q105_hard_negatives" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, $quantSql AS qe
              FROM embeddings WHERE vec_id < 10),

@@ -72,6 +72,29 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out.contains(10L) && !out.contains(20L) && out.contains(30L))
   }
 
+  test("split assignment is exhaustive, deterministic, and ~proportional") {
+    val docs = Tables(spark, sf, "documents")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val a = CorpusCuration.assignSplits(docs, "doc_id", splits)
+    val counts = a.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count()
+    // every doc in exactly one NAMED split (withColumn keeps row count;
+    // the case expression is total by construction)
+    assert(counts.keySet.subsetOf(splits.map(_._1).toSet))
+    assert(counts.values.sum === n)
+    // 90% ± 5pp on the fixture corpus — the md5 bucket is uniform
+    assert(math.abs(counts("train").toDouble / n - 0.9) < 0.05)
+    // deterministic: identical assignment on a rerun
+    val b = CorpusCuration.assignSplits(docs, "doc_id", splits)
+      .select("doc_id", "split")
+    assert(a.select("doc_id", "split").exceptAll(b).isEmpty)
+    // invalid weights fail loudly
+    intercept[IllegalArgumentException] {
+      CorpusCuration.assignSplits(docs, "doc_id", Seq("train" -> 9000))
+    }
+  }
+
   test("per-source cap keeps the n best per domain, id as tie-break") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),

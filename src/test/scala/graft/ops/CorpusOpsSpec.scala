@@ -54,6 +54,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L))
   }
 
+  test("semantic decontamination flags embedding matches, spares the rest") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(spark, 8, 4)
+    // two identical eval vectors; corpus 1 matches both exactly (cos = 1),
+    // 2 is orthogonal and 3 opposite — even if a negative lands in the
+    // same LSH bucket, the exact cosine filter rejects it (no flakiness)
+    val eval = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (101L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticContaminated(corpus, eval, planes, 2500L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 10000L))) // both eval hits, cos = 1.0000
+  }
+
   test("fingerprint decontamination flags an embedded verbatim span") {
     // corpus doc 1 CONTAINS eval doc 100's span verbatim, surrounded by
     // unrelated text; doc 2 shares nothing
