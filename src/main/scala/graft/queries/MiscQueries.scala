@@ -72,6 +72,31 @@ object MiscQueries {
       .orderBy(col("token"))
   }
 
+  /** q108: per-source corpus datasheet — the one-pager a curator reads
+    * before mixing sources into a training run: doc/token totals, integer
+    * mean length, HLL distinct-token estimate, and p50/p90 token-length
+    * quantiles from the histogram sketch. Three composable aggregates
+    * (exact counts, mergeable HLL registers, histogram cells) joined on
+    * the handful of source rows; at 100 TB each input is one scan with
+    * map-side combine and the join is trivially broadcast. */
+  def q108CorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val exact = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+      expr("sum(n_tok) DIV count(1)").as("mean_tok"))
+    val toks = docs.select(col("source"),
+      explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
+    val hll = Sketches.hllDistinct(toks, Seq("source"), "token")
+    val cells = Sketches.histogramCells(base, Seq("source"), "n_tok",
+      cellWidthCents = 1000L)
+    val qs = Sketches.histogramQuantiles(cells, Seq("source"), 1000L,
+      Seq(5000, 9000))
+    exact.join(hll, "source").join(qs, "source").orderBy(col("source"))
+  }
+
   /** q49: percentile sketch — p50/p90/p99 of l_extendedprice per return
     * flag from a one-pass $100-cell histogram (Sketches.histogramCells).
     * The sketch answer a 100 TB column gets instead of a global sort. */
@@ -200,7 +225,8 @@ object MiscQueries {
     "q33_approx_distinct" -> (q33ApproxDistinct _),
     "q40_hll_merge" -> (q40HllMerge _),
     "q47_cms_freq" -> (q47CmsFreq _),
-    "q49_quantile_sketch" -> (q49QuantileSketch _))
+    "q49_quantile_sketch" -> (q49QuantileSketch _),
+    "q108_corpus_datasheet" -> (q108CorpusDatasheet _))
 
   /** Morton interleave of the low 31 bits of two columns, as SQL
     * (mirrors q66's bits = 31). */
@@ -342,6 +368,38 @@ object MiscQueries {
          ex AS (SELECT token, count(*) AS exact_n FROM occ GROUP BY 1)
          SELECT est.token, cms_est, exact_n, cms_est - exact_n AS overcount
          FROM est JOIN ex USING (token) ORDER BY 1""",
+    "q108_corpus_datasheet" -> {
+      import TextQueries.tokCountSql
+      val hll = Sketches.hllOracleSql("tok", "source", "token")
+      raw"""WITH base AS (SELECT source, CAST($tokCountSql AS BIGINT) AS n_tok
+             FROM documents),
+         ex AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tok
+           FROM base GROUP BY 1),
+         tok AS (SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents WHERE len(trim(text)) > 0),
+         hll AS ($hll),
+         cells AS (SELECT source,
+             CAST(floor(CAST(floor(n_tok*100 + 0.5) AS BIGINT)/1000) AS BIGINT) AS cell,
+             count(*) AS n
+           FROM base GROUP BY 1, 2),
+         cum AS (SELECT *,
+             sum(n) OVER (PARTITION BY source ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+           FROM cells),
+         q50 AS (SELECT source, (min(cell)+1)*1000 AS p5000_cents FROM cum
+           WHERE cum >= floor((total*5000 + 9999)/10000) GROUP BY 1),
+         q90 AS (SELECT source, (min(cell)+1)*1000 AS p9000_cents FROM cum
+           WHERE cum >= floor((total*9000 + 9999)/10000) GROUP BY 1)
+         SELECT ex.source, n_docs, n_tokens, mean_tok, hll_est_e2,
+           p5000_cents, p9000_cents
+         FROM ex JOIN hll USING (source) JOIN q50 USING (source)
+           JOIN q90 USING (source)
+         ORDER BY 1"""
+    },
     "q49_quantile_sketch" ->
       """WITH cells AS (SELECT l_returnflag,
            CAST(floor(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)/10000) AS BIGINT) AS cell,
