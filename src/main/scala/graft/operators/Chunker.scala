@@ -113,6 +113,31 @@ object Chunker {
           .as("n_split_docs"))
   }
 
+  /** Length-bucketed batching — assign rows to fixed-size batches of
+    * similar token length (bucket = n_tok DIV bucketWidth; batch =
+    * arrival rank within the bucket DIV batchSize). Batching similar
+    * lengths together is how serving/training loops cut padding waste: a
+    * batch pads every row to ITS max, so mixing a 10-token doc into a
+    * 1000-token batch wastes 990 pad tokens. Deterministic (rank orders
+    * by the unique id, integer DIV everywhere) and one window per
+    * bucket — buckets rank in parallel, the window-per-stratum envelope;
+    * no global sort anywhere. Output per row: (bucket, batch_no, idCol,
+    * n_tok); aggregate per (bucket, batch_no) for padding accounting. */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, textCol: String,
+                            bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr(s"n_tok DIV $bucketWidth"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_no", expr(s"(rn - 1) DIV $batchSize"))
+      .select(col("bucket"), col("batch_no"), col(idCol), col("n_tok"))
+  }
+
   /** Passage-level duplication profile (CCNet-style paragraph dedup,
     * re-expressed over non-overlapping token windows since the corpus
     * carries no paragraph breaks): for every doc, how many of its distinct

@@ -178,6 +178,20 @@ object CorpusQueries {
       "doc_id", "text", "source", budget = PackBudget)
       .orderBy(col("source"), col("seq_id"))
 
+  /** q109: length-bucketed batching — docs batch with similar-length
+    * docs (20-token buckets, 8 docs/batch) and each batch reports its
+    * padding waste (rows pad to the batch max). The serving/training
+    * prep step that turns a shuffled corpus into low-waste batches;
+    * window-per-bucket, integer arithmetic throughout. */
+  def q109LengthBatches(spark: SparkSession, dir: String): DataFrame =
+    Chunker.lengthBucketedBatches(Tables(spark, dir, "documents"),
+      "doc_id", "text", bucketWidth = 20L, batchSize = 8)
+      .groupBy(col("bucket"), col("batch_no"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("pad_waste", col("n_rows") * col("max_tok") - col("n_tokens"))
+      .orderBy(col("bucket"), col("batch_no"))
+
   /** q67: intra-doc repetition removal — per doc, total vs kept 2-token
     * windows and the fingerprint of the de-repeated text (the within-doc
     * boilerplate scrub; row-local, zero shuffle). */
@@ -238,6 +252,7 @@ object CorpusQueries {
     "q98_epoch_mixture" -> (q98EpochMixture _),
     "q67_repetition_removal" -> (q67RepetitionRemoval _),
     "q63_sequence_pack" -> (q63SequencePack _),
+    "q109_length_batches" -> (q109LengthBatches _),
     "q57_token_chunks" -> (q57TokenChunks _),
     "q58_passage_dup" -> (q58PassageDup _),
     "q59_mixture_plan" -> (q59MixturePlan _),
@@ -323,6 +338,20 @@ object CorpusQueries {
            CAST(len(kept) AS BIGINT) AS n_kept,
            md5(array_to_string(kept, ' ')) AS cleaned_md5
          FROM k ORDER BY doc_id""",
+    "q109_length_batches" ->
+      raw"""WITH t AS (SELECT doc_id, CAST(len($tksSql) AS BIGINT) AS n_tok
+             FROM documents),
+         b AS (SELECT doc_id, n_tok, n_tok // 20 AS bucket
+           FROM t WHERE n_tok > 0),
+         r AS (SELECT bucket, doc_id, n_tok,
+             (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+               AS batch_no
+           FROM b)
+         SELECT bucket, batch_no, count(*) AS n_rows,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*)*max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     "q63_sequence_pack" ->
       raw"""WITH t AS (SELECT source, doc_id, CAST(len($tksSql) AS BIGINT) AS n_tok
              FROM documents),

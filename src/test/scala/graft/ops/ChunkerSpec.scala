@@ -97,4 +97,27 @@ class ChunkerSpec extends SparkSpec {
     assert(total == 9L)
     assert(seqs.filter(col("n_tokens") > 3).isEmpty)
   }
+
+  test("length-bucketed batches group similar lengths; waste is to batch max") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // token counts: 3, 5 (bucket 0), 12, 15, 18 (bucket 1), 25 (bucket 2)
+    val docs = Seq(3, 5, 12, 15, 18, 25).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n)) }.toDF("doc_id", "text")
+      .unionByName(Seq((99L, "")).toDF("doc_id", "text")) // blank drops
+    val got = Chunker.lengthBucketedBatches(docs, "doc_id", "text",
+      bucketWidth = 10L, batchSize = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 0L, 3L), (0L, 0L, 1L, 5L),          // bucket 0, one batch
+      (1L, 0L, 2L, 12L), (1L, 0L, 3L, 15L),        // bucket 1, batch 0
+      (1L, 1L, 4L, 18L),                           // bucket 1, underfull
+      (2L, 0L, 5L, 25L)))                          // bucket 2 singleton
+    // padding waste of bucket-1 batch 0: both rows pad to 15 → 3 wasted
+    val waste = Chunker.lengthBucketedBatches(docs, "doc_id", "text", 10L, 2)
+      .groupBy("bucket", "batch_no")
+      .agg((count(lit(1)) * max("n_tok") - sum("n_tok")).as("w"))
+      .filter(col("bucket") === 1 && col("batch_no") === 0)
+      .select("w").as[Long].head()
+    assert(waste === 3L)
+  }
 }
