@@ -149,6 +149,42 @@ object CorpusCuration {
     docs.withColumn("split", assign)
   }
 
+  /** Distribution-matching rejection sampling: derive per-stratum keep
+    * rates so the KEPT corpus matches `targets`' share mix (e4, sums to
+    * 10000), keeping as much data as possible — the stratum that is
+    * scarcest relative to its target keeps everything and every other
+    * stratum downsamples to match. All integer arithmetic:
+    *   scale   = min_s(n_s·10000 DIV t_s)   (kept-corpus size, e4 units)
+    *   rate_s  = (scale·t_s) DIV n_s        (≤ 10000 by construction)
+    * and the keep decision is the salted md5 bucket < rate_s, so every
+    * engine/rerun keeps the same rows. Strata absent from `targets` are
+    * dropped (inner join) — a target of 0 is not a valid weight, exclude
+    * the stratum instead. `scale·t_s` stays far under 2^63 for any
+    * realistic corpus (n_s ≤ 10^14 rows). Unlike q45's FIXED per-stratum
+    * rates, the rates here are DERIVED from measured counts — one tiny
+    * counts aggregate, broadcast back; the corpus scans once.
+    *
+    * Returns docs + (t_e4, rate_e4, keep); callers filter on `keep`. */
+  def matchDistribution(docs: DataFrame, idCol: String, strataCol: String,
+                        targets: Seq[(String, Int)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "each target stratum needs a positive e4 share")
+    require(targets.map(_._2).sum == 10000,
+      s"target shares must sum to 10000 (e4), got ${targets.map(_._2).sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF(strataCol, "t_e4")
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(tgt), strataCol)
+    val scale = counts.agg(min(expr("__n * 10000 DIV t_e4")).as("__scale"))
+    val rates = counts.join(broadcast(scale), lit(true))
+      .withColumn("rate_e4", expr("(__scale * t_e4) DIV __n"))
+      .select(col(strataCol), col("t_e4"), col("rate_e4"))
+    docs.join(broadcast(rates), strataCol)
+      .withColumn("keep", graft.functions.TextFunctions.stableHash60(
+        concat(lit("dist:"), col(idCol).cast("string"))) % 10000 < col("rate_e4"))
+  }
+
   /** Per-domain cap — keep at most `n` docs per `srcCol`, highest
     * `scoreCol` first with the id as a deterministic tie-break. The crawl
     * pipeline's guard against one domain flooding the corpus. A window

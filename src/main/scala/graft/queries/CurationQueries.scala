@@ -95,13 +95,31 @@ object CurationQueries {
           .as("n_tokens"))
       .orderBy(col("source"), col("split"))
 
+  /** q110: distribution-matching rejection sampling — downsample the
+    * corpus so the five main languages end up UNIFORM (2000 e4 each),
+    * with the scarcest language keeping everything. Rates are DERIVED
+    * from measured counts (q45's rates are fixed constants); the
+    * per-language summary proves the rate arithmetic and the
+    * deterministic keep decision. */
+  def q110DistributionMatch(spark: SparkSession, dir: String): DataFrame =
+    CorpusCuration.matchDistribution(
+      Tables(spark, dir, "documents"), "doc_id", "lang",
+      Seq("en" -> 2000, "de" -> 2000, "fr" -> 2000, "es" -> 2000,
+        "zh" -> 2000))
+      .groupBy(col("lang"), col("t_e4").cast("long").as("t_e4"),
+        col("rate_e4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
     "q64_source_cap" -> (q64SourceCap _),
     "q78_priority_sample" -> (q78PrioritySample _),
     "q79_skew_report" -> (q79SkewReport _),
-    "q106_split_assignment" -> (q106SplitAssignment _))
+    "q106_split_assignment" -> (q106SplitAssignment _),
+    "q110_distribution_match" -> (q110DistributionMatch _))
 
   // ---- oracle SQL ----
 
@@ -126,6 +144,22 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q110_distribution_match" ->
+      raw"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t(lang, t_e4) AS (VALUES ('en',2000),('de',2000),('fr',2000),
+           ('es',2000),('zh',2000)),
+         j AS (SELECT n.lang, n.n, t.t_e4 FROM n JOIN t USING (lang)),
+         sc AS (SELECT min(n*10000 // t_e4) AS scale FROM j),
+         r AS (SELECT lang, n, t_e4, (sc.scale*t_e4) // n AS rate_e4
+           FROM j, sc),
+         d AS (SELECT doc.lang, r.t_e4, r.rate_e4,
+             CASE WHEN CAST(('0x'||substr(md5('dist:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+               % 10000 < r.rate_e4 THEN 1 ELSE 0 END AS keep
+           FROM documents doc JOIN r USING (lang))
+         SELECT lang, CAST(t_e4 AS BIGINT) AS t_e4,
+           CAST(rate_e4 AS BIGINT) AS rate_e4,
+           count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
+         FROM d GROUP BY 1, 2, 3 ORDER BY 1""",
     "q106_split_assignment" ->
       raw"""WITH b AS (SELECT source, CAST($tokCountSql AS BIGINT) AS n_tok,
              CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)

@@ -95,6 +95,32 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("distribution match: scarcest stratum keeps all, kept mix ~uniform") {
+    val docs = Tables(spark, sf, "documents")
+    val targets = Seq("en" -> 2000, "de" -> 2000, "fr" -> 2000,
+      "es" -> 2000, "zh" -> 2000)
+    val out = CorpusCuration.matchDistribution(docs, "doc_id", "lang", targets)
+    val per = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rate_e4").as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(per.map(_._1).toSet === targets.map(_._1).toSet) // others dropped
+    // the scarcest language keeps everything: (n_min·5·2000) DIV n_min
+    // is exactly 10000
+    val scarcest = per.minBy(_._2)
+    assert(scarcest._3 === 10000L)
+    assert(scarcest._4 === scarcest._2)
+    // kept counts target equality across strata: each expects
+    // scale·2000/10000 docs; md5-bucket noise is binomial, allow 20%
+    val kepts = per.map(_._4.toDouble)
+    assert(kepts.max / kepts.min < 1.2,
+      s"kept mix should be ~uniform, got ${per.mkString(", ")}")
+    intercept[IllegalArgumentException] {
+      CorpusCuration.matchDistribution(docs, "doc_id", "lang",
+        Seq("en" -> 5000))
+    }
+  }
+
   test("per-source cap keeps the n best per domain, id as tie-break") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),
