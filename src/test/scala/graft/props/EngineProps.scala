@@ -213,4 +213,62 @@ object EngineProps extends Properties("engine") {
       } yield (i.toLong, p, n.toLong)).toSet
       got == expected
     }
+
+  // random positive weights, normalized to sum 10000 (remainder onto the
+  // last split) — any weighting is a valid split spec
+  private val genWeights: Gen[List[Int]] =
+    Gen.choose(2, 4).flatMap(k => Gen.listOfN(k, Gen.choose(1, 100))).map { ws =>
+      val scaled = ws.map(w => math.max(1, w * 10000 / ws.sum))
+      scaled.init :+ (10000 - scaled.init.sum)
+    }.suchThat(ws => ws.forall(_ > 0) && ws.sum == 10000)
+
+  property("assignSplits partitions ids: exhaustive, disjoint, stable") =
+    forAll(genWeights, Gen.listOfN(20, Gen.choose(0L, 999L))) { (ws, ids0) =>
+      import graft.ext.CorpusCuration
+      val ids = ids0.distinct
+      val splits = ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }
+      val df = ids.toDF("doc_id")
+      val a = CorpusCuration.assignSplits(df, "doc_id", splits)
+        .as[(Long, String)].collect().toMap
+      val b = CorpusCuration.assignSplits(df, "doc_id", splits)
+        .as[(Long, String)].collect().toMap
+      a.keySet == ids.toSet &&                      // every id, exactly once
+      a.values.forall(splits.map(_._1).contains) && // only named splits
+      a == b                                        // rerun-stable
+    }
+
+  property("matchDistribution: rates ≤ 10000, scarcest-relative keeps all") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 999L), Gen.oneOf("x", "y")))) { rows0 =>
+      import graft.ext.CorpusCuration
+      import org.scalacheck.Prop.propBoolean
+      val rows = rows0.distinctBy(_._1)
+      // both strata must be present for the derived-rate join
+      (rows.map(_._2).toSet == Set("x", "y")) ==> {
+        val df = rows.toDF("doc_id", "lang")
+        val out = CorpusCuration.matchDistribution(df, "doc_id", "lang",
+          Seq("x" -> 5000, "y" -> 5000))
+        val per = out.groupBy("lang").agg(max("rate_e4").as("r"),
+          count(lit(1)).as("n")).as[(String, Long, Long)].collect()
+        // every rate within bounds, and the scarcest stratum (equal
+        // targets → smallest count) keeps everything
+        per.forall(_._2 <= 10000L) && per.minBy(_._3)._2 == 10000L
+      }
+    }
+
+  property("lengthBucketedBatches: batches respect size; waste ≥ 0; total conserved") =
+    forAll(Gen.listOfN(15, Gen.choose(1, 40))) { lens =>
+      import graft.operators.Chunker
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val rows = Chunker.lengthBucketedBatches(docs, "doc_id", "text", 10L, 4)
+        .as[(Long, Long, Long, Long)].collect()
+      val byBatch = rows.groupBy(r => (r._1, r._2))
+      byBatch.values.forall(_.length <= 4) &&             // batch size cap
+      byBatch.values.forall { b =>                        // waste ≥ 0 per batch
+        b.length * b.map(_._4).max - b.map(_._4).sum >= 0
+      } &&
+      rows.map(_._4).sum == lens.map(_.toLong).sum &&     // tokens conserved
+      rows.length == lens.length                          // every doc batched
+    }
 }
