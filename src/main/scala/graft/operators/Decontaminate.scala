@@ -97,10 +97,11 @@ object Decontaminate {
     * bucket under the SAME deterministic hyperplanes, candidates share a
     * bucket, exact integer cosine decides. The eval side is benchmark-
     * scale so its bucketed vectors broadcast; the corpus never shuffles
-    * its embeddings — the bucket compute is a narrow per-id aggregate and
-    * the candidate join ships bucket-collision rows only. Same LSH recall
-    * caveat as q24: a pair in no shared bucket is missed; more planes
-    * trade recall for candidate volume.
+    * its embeddings — the bucket is a ROW-LOCAL expression (the planes
+    * fold in as literal arrays, Similarity.bucketCol) riding the same
+    * projection as the norm, and the candidate join ships bucket-collision
+    * rows only. Same LSH recall caveat as q24: a pair in no shared bucket
+    * is missed; more planes trade recall for candidate volume.
     *
     * Output per contaminated corpus vector: (idCol, n_eval_hits,
     * max_cos_e4) — how many eval items it matches and the strongest. */
@@ -108,11 +109,9 @@ object Decontaminate {
                            planes: DataFrame, tauE4: Long,
                            idCol: String = "vec_id",
                            embCol: String = "embedding"): DataFrame = {
-    import graft.operators.Similarity.{lshBuckets, qdot, quantize}
+    import graft.operators.Similarity.{qdot, withNormAndBucket}
     def bucketed(df: DataFrame, id: String, emb: String, norm: String) =
-      df.select(col(idCol).as(id), quantize(col(embCol)).as(emb))
-        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
-        .join(lshBuckets(df, planes, idCol, embCol).withColumnRenamed(idCol, id), id)
+      withNormAndBucket(df, planes, idCol, embCol, id, emb, norm)
     val ev = broadcast(bucketed(evalVecs, "e_id", "e_emb", "e_n"))
     bucketed(corpus, "c_id", "c_emb", "c_n")
       .join(ev, "bucket")

@@ -75,24 +75,54 @@ object Similarity {
       .withColumn("w", transform(sequence(lit(0), lit(dim - 1)),
         d => stableHash60(concat(col("p").cast("string"), lit(":"), d.cast("string"))) % 1001 - 500))
 
+  /** The hyperplane table collected to the driver — nPlanes rows of d
+    * integer weights (8×64 longs for the query surface: registry-scale,
+    * the same budget class as the Bloom bitmap), so the bucket can be a
+    * row-local expression instead of a join + aggregate. */
+  private[operators] def planesLocal(planes: DataFrame): Array[(Int, Array[Long])] =
+    planes.select(col("p"), col("w")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+
+  /** Row-local LSH bucket of a quantized embedding column: bit p set iff
+    * qe · plane_p > 0, the planes folded in as literal arrays. Integer
+    * dot → fully deterministic; no join, no aggregate — the bucket rides
+    * whatever projection already computes the vector, so bucketing a
+    * corpus costs ZERO shuffle (the pre-round-5 formulation joined a
+    * groupBy'd bucket frame back on id, exchanging every embedding). */
+  private[operators] def bucketCol(qe: Column,
+                                   pl: Array[(Int, Array[Long])]): Column =
+    pl.foldLeft(lit(0L)) { case (acc, (p, w)) =>
+      acc.bitwiseOR(when(qdot(qe, array(w.map(lit(_)): _*)) > 0,
+        lit(1L << p)).otherwise(lit(0L)))
+    }
+
   /** Bucket code per vector: bit p set iff quantized(emb) · plane_p > 0.
-    * Integer dot + integer sum → fully deterministic. */
+    * One row-local projection (see bucketCol). */
   def lshBuckets(df: DataFrame, planes: DataFrame,
-                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val pl = planesLocal(planes)
     df.select(col(idCol), quantize(col(embCol)).as("__qe"))
-      .join(broadcast(planes), lit(true))
-      .withColumn("bit", when(qdot(col("__qe"), col("w")) > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
-      .groupBy(col(idCol)).agg(sum(col("bit")).as("bucket"))
+      .select(col(idCol), bucketCol(col("__qe"), pl).as("bucket"))
+  }
+
+  /** withNorm plus the row-local bucket — the one-projection frame every
+    * LSH consumer (annTopK, cosineNearDupPairs, semanticContaminated)
+    * builds its candidate join from. */
+  private[operators] def withNormAndBucket(df: DataFrame, planes: DataFrame,
+                                           idCol: String, embCol: String,
+                                           id: String, emb: String,
+                                           norm: String): DataFrame = {
+    val pl = planesLocal(planes)
+    withNorm(df, idCol, embCol, id, emb, norm)
+      .withColumn("bucket", bucketCol(col(emb), pl))
+  }
 
   /** Approximate top-k: candidates share the query's bucket code, then exact
     * cosine rank within the bucket. */
   def annTopK(queries: DataFrame, corpus: DataFrame, planes: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val corpusB = withNorm(corpus, idCol, embCol, idCol, "__qe", "__cn")
-      .join(lshBuckets(corpus, planes, idCol, embCol), idCol)
-    val q = broadcast(withNorm(queries, idCol, embCol, idCol, "q_emb", "q_norm")
-      .join(lshBuckets(queries, planes, idCol, embCol), idCol)
+    val corpusB = withNormAndBucket(corpus, planes, idCol, embCol, idCol, "__qe", "__cn")
+    val q = broadcast(withNormAndBucket(queries, planes, idCol, embCol, idCol, "q_emb", "q_norm")
       .select(col(idCol).as("q_id"), col("q_emb"), col("q_norm"), col("bucket")))
     val scored = corpusB.join(q, Seq("bucket")).filter(col("q_id") =!= col(idCol))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
@@ -189,8 +219,7 @@ object Similarity {
     * candidates (a_id < b_id). The scale-safe variant of all-pairs cosine. */
   def cosineNearDupPairs(df: DataFrame, planes: DataFrame, threshold: Double,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val withB = withNorm(df, idCol, embCol, idCol, "__qe", "__n")
-      .join(lshBuckets(df, planes, idCol, embCol), idCol)
+    val withB = withNormAndBucket(df, planes, idCol, embCol, idCol, "__qe", "__n")
     withB.select(col("bucket"), col(idCol).as("a_id"), col("__qe").as("a_emb"), col("__n").as("a_n"))
       .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb"), col("__n").as("b_n")),
         Seq("bucket"))
