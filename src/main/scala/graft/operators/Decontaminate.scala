@@ -109,9 +109,10 @@ object Decontaminate {
                            planes: DataFrame, tauE4: Long,
                            idCol: String = "vec_id",
                            embCol: String = "embedding"): DataFrame = {
-    import graft.operators.Similarity.{qdot, withNormAndBucket}
+    import graft.operators.Similarity.{planesLocal, qdot, withNormAndBucket}
+    val pl = planesLocal(planes)
     def bucketed(df: DataFrame, id: String, emb: String, norm: String) =
-      withNormAndBucket(df, planes, idCol, embCol, id, emb, norm)
+      withNormAndBucket(df, pl, idCol, embCol, id, emb, norm)
     val ev = broadcast(bucketed(evalVecs, "e_id", "e_emb", "e_n"))
     bucketed(corpus, "c_id", "c_emb", "c_n")
       .join(ev, "bucket")

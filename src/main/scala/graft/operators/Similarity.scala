@@ -78,10 +78,22 @@ object Similarity {
   /** The hyperplane table collected to the driver — nPlanes rows of d
     * integer weights (8×64 longs for the query surface: registry-scale,
     * the same budget class as the Bloom bitmap), so the bucket can be a
-    * row-local expression instead of a join + aggregate. */
-  private[operators] def planesLocal(planes: DataFrame): Array[(Int, Array[Long])] =
-    planes.select(col("p"), col("w")).collect()
+    * row-local expression instead of a join + aggregate. Types coerce
+    * (any integral p / element type works, as the join formulation did);
+    * an EMPTY planes frame fails loudly — folding zero planes would give
+    * every row bucket 0 and silently turn the candidate join into a full
+    * cross product. One collect per operator call: callers hoist the
+    * result and share it across their sides. */
+  private[operators] def planesLocal(planes: DataFrame): Array[(Int, Array[Long])] = {
+    val pl = planes
+      .select(col("p").cast("int"), col("w").cast("array<long>"))
+      .collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    require(pl.nonEmpty,
+      "empty hyperplane table: zero planes would put every vector in " +
+        "bucket 0 (a silent all-pairs join) — build planes with nPlanes >= 1")
+    pl
+  }
 
   /** Row-local LSH bucket of a quantized embedding column: bit p set iff
     * qe · plane_p > 0, the planes folded in as literal arrays. Integer
@@ -107,22 +119,23 @@ object Similarity {
 
   /** withNorm plus the row-local bucket — the one-projection frame every
     * LSH consumer (annTopK, cosineNearDupPairs, semanticContaminated)
-    * builds its candidate join from. */
-  private[operators] def withNormAndBucket(df: DataFrame, planes: DataFrame,
+    * builds its candidate join from. Takes the COLLECTED planes so an
+    * operator collects once and shares across its sides. */
+  private[operators] def withNormAndBucket(df: DataFrame,
+                                           pl: Array[(Int, Array[Long])],
                                            idCol: String, embCol: String,
                                            id: String, emb: String,
-                                           norm: String): DataFrame = {
-    val pl = planesLocal(planes)
+                                           norm: String): DataFrame =
     withNorm(df, idCol, embCol, id, emb, norm)
       .withColumn("bucket", bucketCol(col(emb), pl))
-  }
 
   /** Approximate top-k: candidates share the query's bucket code, then exact
     * cosine rank within the bucket. */
   def annTopK(queries: DataFrame, corpus: DataFrame, planes: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val corpusB = withNormAndBucket(corpus, planes, idCol, embCol, idCol, "__qe", "__cn")
-    val q = broadcast(withNormAndBucket(queries, planes, idCol, embCol, idCol, "q_emb", "q_norm")
+    val pl = planesLocal(planes)
+    val corpusB = withNormAndBucket(corpus, pl, idCol, embCol, idCol, "__qe", "__cn")
+    val q = broadcast(withNormAndBucket(queries, pl, idCol, embCol, idCol, "q_emb", "q_norm")
       .select(col(idCol).as("q_id"), col("q_emb"), col("q_norm"), col("bucket")))
     val scored = corpusB.join(q, Seq("bucket")).filter(col("q_id") =!= col(idCol))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
@@ -219,7 +232,7 @@ object Similarity {
     * candidates (a_id < b_id). The scale-safe variant of all-pairs cosine. */
   def cosineNearDupPairs(df: DataFrame, planes: DataFrame, threshold: Double,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val withB = withNormAndBucket(df, planes, idCol, embCol, idCol, "__qe", "__n")
+    val withB = withNormAndBucket(df, planesLocal(planes), idCol, embCol, idCol, "__qe", "__n")
     withB.select(col("bucket"), col(idCol).as("a_id"), col("__qe").as("a_emb"), col("__n").as("a_n"))
       .join(withB.select(col("bucket"), col(idCol).as("b_id"), col("__qe").as("b_emb"), col("__n").as("b_n")),
         Seq("bucket"))

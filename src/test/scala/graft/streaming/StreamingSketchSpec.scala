@@ -3,7 +3,6 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.operators.Sketches
@@ -14,7 +13,6 @@ import graft.operators.Sketches
 class StreamingSketchSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class KV(grp: String, v: Long)
   private def rows(grp: String, lo: Long, hi: Long): Seq[(String, Long)] =
     (lo until hi).map(grp -> _)
 
