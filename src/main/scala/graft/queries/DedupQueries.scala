@@ -54,7 +54,25 @@ object DedupQueries {
     pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q111: passage-level near-dup — q20's MinHash→LSH→Jaccard pipeline
+    * over TOKEN CHUNKS (32-token windows, stride 24) instead of whole
+    * documents, so a shared near-verbatim passage flags even when the
+    * documents around it differ completely (whole-doc Jaccard dilutes a
+    * short shared span below any threshold). Chunk ids pack as
+    * doc_id·100000 + chunk_idx; the chunk explode is row-local, then the
+    * pipeline is exactly q20's — no all-pairs stage at any granularity. */
+  def q111ChunkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunker.tokenChunks(
+      Tables(spark, dir, "documents"), "doc_id", "text", size = 32, stride = 24)
+      .select((col("doc_id") * lit(100000L) + col("chunk_idx")).as("doc_id"),
+        col("chunk").as("text"))
+    Dedup.nearDupPairs(chunks, "doc_id", "text",
+      k = K, b = B, shingleN = N, minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_chunk_near_dup" -> (q111ChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
@@ -74,12 +92,13 @@ object DedupQueries {
   }.mkString(" UNION ALL ")
 
   /** The full MinHash→LSH→Jaccard pair derivation as a reusable CTE chain
-    * ending in `pairs(a_id, b_id, jaccard_e4)` — shared by the q20 oracle
-    * and the q41 connected-components oracle. */
-  private[queries] val nearDupPairsCtes: String =
+    * ending in `pairs(a_id, b_id, jaccard_e4)` — shared by the q20 oracle,
+    * the q41 connected-components oracle, and (over a chunk base CTE)
+    * q111. `base` must provide (doc_id, text). */
+  private[queries] def nearDupPairsCtesFrom(base: String): String =
     raw"""d AS (SELECT doc_id, CASE WHEN len(text) >= $N
            THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
-           ELSE [text] END AS shs0 FROM documents),
+           ELSE [text] END AS shs0 FROM $base),
          h AS (SELECT doc_id, len(shs0) AS sz,
              list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
            FROM d),
@@ -97,7 +116,21 @@ object DedupQueries {
              CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
            FROM scored)"""
 
+  private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
+
   val oracles: Map[String, String] = Map(
+    "q111_chunk_near_dup" ->
+      raw"""WITH ckt AS (SELECT doc_id,
+             CASE WHEN len(trim(text))=0 THEN []
+                  ELSE regexp_split_to_array(trim(text),'\s+') END AS tks
+           FROM documents),
+         ck AS (SELECT doc_id, tks, unnest(range(0, len(tks), 24)) AS s FROM ckt),
+         chunks AS (SELECT doc_id*100000 + s//24 AS doc_id,
+             array_to_string(tks[s+1:s+32], ' ') AS text
+           FROM ck),
+         ${nearDupPairsCtesFrom("chunks")}
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
+         WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     "q20_lsh_near_dup" ->
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs
