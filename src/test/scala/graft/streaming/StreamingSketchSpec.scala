@@ -53,6 +53,36 @@ class StreamingSketchSpec extends SparkSpec {
     } finally run.stop()
   }
 
+  test("registers survive a stop/restart from the checkpoint (state store)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft_shllr_src_").toString
+    val ckpt = Files.createTempDirectory("graft_shllr_ck_").toString
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("v", LongType)))
+    def runOnce(name: String): Unit = {
+      val run = StreamingSketch.hllRegisterStream(
+          spark.readStream.schema(schema).parquet(s"$srcDir/*.parquet"),
+          Seq("grp"), "v")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      run.awaitTermination()
+    }
+    rows("a", 0, 500).toDF("grp", "v")
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    runOnce("hll_r1")
+    // second run picks up only the new file; the register state restores
+    // from the checkpointed state store, so the final table reflects BOTH
+    rows("a", 400, 900).toDF("grp", "v")
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    runOnce("hll_r2")
+    val got = spark.table("hll_r2")
+    val expect = Sketches.hllRegisters(
+      rows("a", 0, 900).toDF("grp", "v"), Seq("grp"), "v")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("a different batch split yields the identical register table") {
     implicit val sqlCtx = spark.sqlContext
     def runWith(batches: Seq[Seq[(String, Long)]], name: String) = {

@@ -137,4 +137,45 @@ class StreamingTopKSpec extends SparkSpec {
     // the heaviest recent keys dominate the surviving counters
     assert(es.map(_.count).max >= 50L)
   }
+
+  test("summary state and watermark survive a stop/restart from the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft_stkr_src_").toString
+    val ckpt = Files.createTempDirectory("graft_stkr_ck_").toString
+    // append-mode MEMORY sinks refuse checkpoint recovery; a parquet sink
+    // is the fault-tolerant surface a real deployment uses anyway
+    val outDir = Files.createTempDirectory("graft_stkr_out_").toString
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("tsMicros", LongType), StructField("ts", TimestampType)))
+    def runOnce(): Unit = {
+      val run = StreamingTopK.streaming(
+          spark.readStream.schema(schema).parquet(s"$srcDir/*.parquet").as[KeyEv],
+          m = 8, k = 2, windowUs = HourUs, watermarkDelay = "1 hour").toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      run.awaitTermination()
+    }
+    // run 1: half of window 0's events, then STOP — counts live only in
+    // the checkpointed GroupState now
+    Seq(ev("a", 0.1), ev("b", 0.2), ev("a", 0.3)).toDF()
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    runOnce()
+    assert(spark.read.parquet(outDir).isEmpty)
+    // run 2: the rest of window 0 plus a watermark-advancing event; the
+    // restored state must fold in the new rows, and the window emits
+    // counts spanning BOTH runs exactly once
+    Seq(ev("c", 0.4), ev("a", 0.5), ev("b", 0.6), ev("z", 3.5)).toDF()
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    runOnce()
+    // one more tick so the advanced watermark fires the timeouts
+    Seq(ev("z", 4.0)).toDF().coalesce(1).write.parquet(s"$srcDir/b3.parquet")
+    runOnce()
+    val got = spark.read.parquet(outDir).as[TopKRow].collect()
+      .filter(_.window_start_us == wstart(0.1)).sortBy(_.rank)
+    assert(got.map(r => (r.key, r.count, r.err, r.rank)).toSeq
+      === Seq(("a", 3L, 0L, 1), ("b", 2L, 0L, 2)))
+  }
 }
