@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimQueries.all ++ EventQueries.all ++ VaultQueries.all ++
       MiscQueries.all ++ CurationQueries.all ++ CorpusQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++ StatsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimQueries.oracles ++ EventQueries.oracles ++ VaultQueries.oracles ++
       MiscQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ StatsQueries.oracles
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Statistics / mining surface: market-basket pair mining, importance-
+  * weighted data selection (DSIR-style), fuzzy entity matching, and
+  * regression/correlation from integer sufficient statistics. Every query
+  * keeps the distributed pass integer-exact (quantize per row or per
+  * distinct key BEFORE any sum) so the DuckDB oracle matches bit-for-bit
+  * in any accumulation order. */
+object StatsQueries {
+
+  /** q112: market-basket pair mining — the 15 most co-purchased part
+    * pairs across orders. One shuffle on l_orderkey collects each order's
+    * distinct part set (TPC-H orders hold ≤7 items, so the per-row set is
+    * tiny and the C(n,2) pair explode is row-local — no self-join, no
+    * quadratic shuffle). Pair counts partial-aggregate map-side; the
+    * top-15 is a TakeOrdered, not a global sort. At 100 TB the only
+    * full-data shuffle is the orderkey groupBy, which any basket query
+    * needs; a per-basket item cap would bound pathological baskets. */
+  def q112BasketPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("pk"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(15)
+
+  /** q113: importance-weighted data selection (DSIR-style, Xie et al.) —
+    * rank documents by affinity to a target domain (source = src0 as the
+    * target proxy). Per-token importance ratio r_e6 = ⌊1e6·(n_target+1)/
+    * (n_corpus+V)+0.5⌋ (Laplace-smoothed, quantized ONCE per distinct
+    * token so doc sums are integer-exact); per-doc score = Σ r_e6 DIV
+    * n_tok (length-normalized). Plan: one corpus explode feeds BOTH the
+    * vocabulary aggregate (map-side combinable, vocabulary-sized result)
+    * and the scoring join; the ratio table joins back on token — a keyed
+    * shuffle at worst, broadcast when the vocabulary is small. Top-50 is
+    * a TakeOrdered. */
+  def q113ImportanceSelect(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("token"))
+    val stats = occ.groupBy(col("token")).agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_t"))
+    val vocab = stats.agg(count(lit(1)).as("v"))
+    val ratio = stats.join(broadcast(vocab), lit(true))
+      .select(col("token"),
+        floor(lit(1e6) * (col("n_t") + lit(1)) / (col("n_r") + col("v")) + lit(0.5))
+          .cast("long").as("r_e6"))
+    occ.join(ratio, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("r_e6")).as("sum_r"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("sum_r DIV n_tok").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** q114: supplier portfolio similarity — the 20 supplier pairs whose
+    * supplied-part SETS overlap most (Jaccard), the "substitutable
+    * vendor" report. Large-set similarity needs the inverted-index shape,
+    * not pairwise blocking: explode distinct (supplier, part), self-join
+    * on part so only pairs that SHARE a part ever materialize (bounded by
+    * Σ_part C(suppliers_per_part, 2) — suppliers-per-part is small and
+    * data-bounded, never corpus²; a doc-freq cap on promiscuous parts
+    * would bound adversarial data). Intersections partial-aggregate
+    * map-side; set sizes broadcast back; the top-20 is a TakeOrdered.
+    * j_e4 quantizes a single exact integer division — engines agree. */
+  def q114SupplierOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val sizes = sp.groupBy(col("s")).agg(count(lit(1)).as("sz"))
+    val inter = sp.as("a").join(sp.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("s", "s1").withColumnRenamed("sz", "sz1")), "s1")
+      .join(broadcast(sizes.withColumnRenamed("s", "s2").withColumnRenamed("sz", "sz2")), "s2")
+      .select(col("s1"), col("s2"), col("i").as("n_shared"),
+        (col("sz1") + col("sz2") - col("i")).as("n_union"),
+        floor(lit(1e4) * col("i") / (col("sz1") + col("sz2") - col("i")) + lit(0.5))
+          .cast("long").as("j_e4"))
+      .orderBy(col("j_e4").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  /** Shared sufficient-statistics frame for q115/q116: per l_returnflag,
+    * integer sums of e0-quantized quantity and e2-quantized price. Each
+    * row quantizes BEFORE the aggregate, products go through decimal(38,0)
+    * so the moments stay exact at any scale (long would wrap near 1e19;
+    * headroom note: n·Σxy at 10^12 rows ≈ 1e33, inside decimal(38)). */
+  private def priceQtyMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("xq"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("yq"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("xq")).cast("decimal(38,0)").as("sx"),
+        sum(col("yq")).cast("decimal(38,0)").as("sy"),
+        sum(col("xq") * col("xq")).cast("decimal(38,0)").as("sxx"),
+        sum(col("yq") * col("yq")).cast("decimal(38,0)").as("syy"),
+        sum(col("xq") * col("yq")).cast("decimal(38,0)").as("sxy"))
+
+  /** q115: grouped linear regression — price-per-unit line (extendedprice
+    * ~ quantity) per returnflag, from ONE pass of integer sufficient
+    * statistics. slope = (n·Σxy−Σx·Σy)/(n·Σxx−Σx²) and the intercept are
+    * computed as integer DIV over exact decimals — the whole query is
+    * float-free, so engines agree bit-for-bit. This is the
+    * sufficient-stats pattern that scales: no per-group iteration, one
+    * map-side-combinable aggregate, a handful of result rows. */
+  def q115GroupedRegression(spark: SparkSession, dir: String): DataFrame =
+    priceQtyMoments(spark, dir)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num) DIV den AS LONG)")
+          .as("slope_e6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (sy * den - num * sx)) DIV (n * den) AS LONG)")
+          .as("intercept_e6"))
+      .orderBy(col("l_returnflag"))
+
+  /** q116: Pearson correlation (quantity vs extendedprice) per returnflag
+    * from the same one-pass moments. The single float step is the final
+    * corr = num/√(denx·deny) on driver-scale rows: num and the two
+    * denominators are exact integers, √ is IEEE-correctly-rounded in both
+    * engines, and the e6 quantization absorbs nothing smaller than the
+    * shared rounding. */
+  def q116CorrelationMatrix(spark: SparkSession, dir: String): DataFrame =
+    priceQtyMoments(spark, dir)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        floor(lit(1e6) * col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))) + lit(0.5))
+          .cast("long").as("corr_e6"))
+      .orderBy(col("l_returnflag"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_basket_pairs" -> (q112BasketPairs _),
+    "q113_importance_select" -> (q113ImportanceSelect _),
+    "q114_supplier_overlap" -> (q114SupplierOverlap _),
+    "q115_grouped_regression" -> (q115GroupedRegression _),
+    "q116_correlation" -> (q116CorrelationMatrix _))
+
+  val oracles: Map[String, String] = Map(
+    "q112_basket_pairs" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM ip a JOIN ip b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+         SELECT p1, p2, count(*) AS n FROM p
+         GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 15""",
+    "q113_importance_select" ->
+      raw"""WITH occ AS (SELECT doc_id, source,
+             unnest(CASE WHEN len(trim(text))=0 THEN []
+               ELSE regexp_split_to_array(trim(text),'\s+') END) AS token
+             FROM documents),
+         st AS (SELECT token, count(*) AS n_r,
+             count(*) FILTER (source = 'src0') AS n_t FROM occ GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM st),
+         r AS (SELECT token,
+             CAST(floor(1e6 * (n_t + 1) / (n_r + v) + 0.5) AS BIGINT) AS r_e6
+           FROM st, v),
+         d AS (SELECT doc_id, count(*) AS n_tok, sum(r_e6) AS sum_r
+           FROM occ JOIN r USING (token) GROUP BY 1)
+         SELECT doc_id, n_tok, CAST(sum_r // n_tok AS BIGINT) AS score_e6
+         FROM d ORDER BY score_e6 DESC, doc_id LIMIT 50""",
+    "q114_supplier_overlap" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         sz AS (SELECT s, count(*) AS sz FROM sp GROUP BY 1),
+         i AS (SELECT a.s AS s1, b.s AS s2, count(*) AS i
+           FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT s1, s2, i AS n_shared, za.sz + zb.sz - i AS n_union,
+           CAST(floor(1e4 * i / (za.sz + zb.sz - i) + 0.5) AS BIGINT) AS j_e4
+         FROM i JOIN sz za ON za.s = s1 JOIN sz zb ON zb.s = s2
+         ORDER BY j_e4 DESC, s1, s2 LIMIT 20""",
+    "q115_grouped_regression" ->
+      """WITH q AS (SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yq
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+             sum(xq*xq) AS sxx, sum(yq*yq) AS syy, sum(xq*yq) AS sxy
+           FROM q GROUP BY 1),
+         d AS (SELECT l_returnflag, n, sx, sy,
+             n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST((1000000 * num) // den AS BIGINT) AS slope_e6,
+           CAST((1000000 * (sy * den - num * sx)) // (n * den) AS BIGINT) AS intercept_e6
+         FROM d ORDER BY l_returnflag""",
+    "q116_correlation" ->
+      """WITH q AS (SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yq
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+             sum(xq*xq) AS sxx, sum(yq*yq) AS syy, sum(xq*yq) AS sxy
+           FROM q GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(1e6 * CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             + 0.5) AS BIGINT) AS corr_e6
+         FROM m ORDER BY l_returnflag""")
+}
