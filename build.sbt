@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in ONE JVM: text/array-heavy stages
   // (shingle explodes, broadcast builds) need real headroom or they spill
-  // and GC-thrash under co-tenant memory pressure. The box has 125 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // and GC-thrash under co-tenant memory pressure. The box has 125 GiB;
+  // measured at 24g the heavy dedup/ANN queries GC-collapse up to 9×
+  // (q97 94 s → 10.6 s at 64g, q52 16.9 s → 1.0 s — the round-5 "bench
+  // regression" mystery), so default high and let small boxes override.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

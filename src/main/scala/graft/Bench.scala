@@ -86,13 +86,18 @@ object Bench {
         Seq("x_bpe_learn_1000" -> (if (ok) dt else -1.0))
       } else Seq.empty
     val results = queryResults ++ extraResults
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 1 ms precision: noise floor is far above it, and the shorter JSON
+    // line survives stdout tail-capture buffers that truncated the
+    // full-double-repr line at ~88 queries
+    def r3(v: Double): String =
+      if (v < 0) "-1.0" else (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failures record -1 per query; exclude the sentinel so a failed run
     // can't SUBTRACT from the total and make the round look faster
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // also write the artifact to a file: the stdout tail gets truncated by
     // capture buffers once per-query numbers reach ~88 entries, and a

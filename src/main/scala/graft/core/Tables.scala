@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loader for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -17,12 +18,32 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    // for; sessions set spark.sql.legacy.parquet.nanosAsLong=true, so it
-    // arrives as epoch-nanos LongType. Integer-divide (not `/`, which is
-    // double and loses precision at 1e18) down to micros.
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", normalizeEventTs(df.schema("ts").dataType))
     else df
+  }
+
+  /** The physical encoding of `events.ts` has drifted across fixture
+    * generations: parquet TIMESTAMP(NANOS) (arrives as epoch-nanos
+    * LongType under spark.sql.legacy.parquet.nanosAsLong=true), then
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ).
+    * Normalize every known encoding to session-tz TimestampType — the
+    * type the whole query surface is written against — and fail loudly,
+    * naming the column and type, on anything unrecognized. One opaque
+    * error here otherwise fans out into dozens of unresolved-plan
+    * failures downstream.
+    */
+  def normalizeEventTs(dt: DataType): Column = dt match {
+    // integer-divide (not `/`, which is double and loses precision at
+    // 1e18) epoch-nanos down to micros
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    // wall-clock micros; session timezone is pinned to UTC everywhere,
+    // so this cast is a pure type change matching the DuckDB oracle
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"fixture schema drift: events.ts has unsupported physical type $other " +
+      "(expected INT64 nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP); " +
+      "update graft.core.Tables.normalizeEventTs for the new encoding")
   }
 }

@@ -42,11 +42,20 @@ object Multimodal {
     * object storage with reference-typed rows, not inline bytes. */
   val DefaultMaxBytes: Long = 256L << 20
 
+  /** The decoder contract: (payload bytes, salt) → feature vector. The
+    * salt disambiguates sub-row work (frame number); whole-row decodes
+    * pass 0. Implementations must be serializable (they ship to
+    * executors) and pure — the same (bytes, salt) must always yield the
+    * same vector, because features join the oracle-checked surface. */
+  type Decoder = (Array[Byte], Int) => Array[Float]
+
   /** STUB decoder — deterministic fake: 16 floats from md5(bytes ++ salt).
     * A real implementation decodes/resamples here (JNI/FFI), consuming the
     * same per-partition iterator. Salt 0 appends nothing and salt > 0 its
     * decimal ASCII form, so every feature is reproducible from plain
     * `md5(text [|| salt])` in any engine — the q32 oracle depends on it. */
+  val stubDecoder: Decoder = fakeDecode _
+
   private def fakeDecode(bytes: Array[Byte], salt: Int): Array[Float] = {
     val d = MessageDigest.getInstance("MD5")
     d.update(bytes)
@@ -60,24 +69,26 @@ object Multimodal {
 
   /** Batched decode seam: one call per partition, iterator-in/iterator-out —
     * exactly the shape a vectorized (Arrow-batch) decoder needs. */
-  private def decodeBatch(rows: Iterator[MediaRow],
-                          maxBytes: Long): Iterator[MediaFeatures] =
+  private def decodeBatch(rows: Iterator[MediaRow], maxBytes: Long,
+                          decoder: Decoder): Iterator[MediaFeatures] =
     rows.map { r =>
       require(r.bytes.length.toLong <= maxBytes,
         s"media payload ${r.bytes.length} exceeds maxBytes=$maxBytes (media_id=${r.media_id})")
       MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
-        md5Hex(r.bytes), fakeDecode(r.bytes, 0))
+        md5Hex(r.bytes), decoder(r.bytes, 0))
     }
 
   /** Decode + featurize every media row. Repartitions by media_id first:
     * decode cost is per-row and huge relative to row count, so parallelism
     * must not follow the input file layout. Rows over `maxBytes` fail
-    * loudly (see DefaultMaxBytes). */
+    * loudly (see DefaultMaxBytes). `decoder` is the swap-in point for a
+    * real codec — nothing else in the plan changes with it. */
   def decodeFeatures(media: Dataset[MediaRow], partitions: Int,
-                     maxBytes: Long = DefaultMaxBytes): Dataset[MediaFeatures] = {
+                     maxBytes: Long = DefaultMaxBytes,
+                     decoder: Decoder = stubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.repartition(partitions, col("media_id"))
-      .mapPartitions(decodeBatch(_, maxBytes))
+      .mapPartitions(decodeBatch(_, maxBytes, decoder))
   }
 
   /** Evenly-spaced frame sampling for video rows: each frame row carries
@@ -90,7 +101,8 @@ object Multimodal {
     * the first property but paid nFrames× shuffle amplification for it.
     * Frame decode salts with frame_no + 1 over the frame's own slice. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int, durationMs: Long,
-                   partitions: Int, maxBytes: Long = DefaultMaxBytes): Dataset[FrameFeatures] = {
+                   partitions: Int, maxBytes: Long = DefaultMaxBytes,
+                   decoder: Decoder = stubDecoder): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     require(nFrames >= 1, "nFrames must be >= 1")
     require(maxBytes <= Int.MaxValue.toLong, "maxBytes must fit an on-heap array")
@@ -110,7 +122,7 @@ object Multimodal {
         require(total <= maxBytes,
           s"media payload $total exceeds maxBytes=$maxBytes (media_id=$id)")
         FrameFeatures(id, f, f.toLong * durationMs / nFrames,
-          slice.length.toLong, fakeDecode(slice, f + 1))
+          slice.length.toLong, decoder(slice, f + 1))
       })
   }
 

@@ -612,18 +612,42 @@ object Similarity {
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup scoped by LEARNED
     * k-means clusters — embeddings cluster first, pairwise cosine runs
-    * only WITHIN a cluster (Σ|cluster|² pairs, never corpus²; cluster
-    * count scales with the corpus so cluster size stays bounded), pairs
+    * only WITHIN a cluster (Σ|cluster|² pairs, never corpus²), pairs
     * ≥ `tauE4` connect into duplicate groups, and each group keeps the
     * member FARTHEST from its centroid (the paper's keep-the-outlier
     * rule — prototypical members are the redundant ones), tie-broken by
     * id. Output: (cluster, idCol, dist_sq, keep) for every grouped
-    * vector; singletons are implicitly kept. */
+    * vector; singletons are implicitly kept.
+    *
+    * SCALE RULE — k must grow with the corpus: the within-cluster stage
+    * is quadratic in cluster size, so a FIXED k turns clusters into
+    * corpus/k-sized blobs and the pair count into (corpus/k)² · k. Size
+    * k ∝ corpus / targetClusterSize (use [[semDedupAuto]], which derives
+    * it), keeping per-cluster work constant as data grows. `pairBudget`
+    * backstops miscalibration: the candidate pair count is measured on
+    * the (cached) assignment before the quadratic stage runs, and the
+    * call refuses — naming the observed count and the k that would fix
+    * it — rather than launching a job that cannot finish. */
   def semDedup(corpus: DataFrame, k: Int, iters: Int, tauE4: Long,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", embCol: String = "embedding",
+               pairBudget: Long = 50_000_000L): DataFrame = {
     val cent = kmeansCentroids(corpus, k, iters, idCol, embCol)
     val assigned = ivfAssign(corpus, cent, probes = 1, idCol, embCol)
       .persist()
+    // one cheap agg over the cached assignment: Σ s·(s−1)/2 candidate pairs
+    val budgetRow = assigned.groupBy(col("label"))
+      .agg(count(lit(1)).as("s"))
+      .agg(sum(col("s")).cast("long"), sum(col("s") * (col("s") - 1)).cast("long"))
+      .head()
+    val nRows = budgetRow.getLong(0)
+    val nPairs = budgetRow.getLong(1) / 2
+    require(nPairs <= pairBudget, {
+      val kFix = math.ceil(nRows.toDouble / math.sqrt(2.0 * pairBudget / k)).toLong
+      s"semDedup: $nPairs within-cluster candidate pairs exceed the " +
+        s"pair budget $pairBudget (corpus $nRows rows, k=$k). Raise k to " +
+        s"~$kFix (or call semDedupAuto, which derives k from a target " +
+        "cluster size) instead of running a quadratic stage this large."
+    })
     val a = assigned.select(col(idCol).as("a_id"), col("label"),
       col("__qe").as("ae"), col("__n").as("an"))
     val b = assigned.select(col(idCol).as("b_id"), col("label"),
@@ -647,6 +671,21 @@ object Similarity {
     val ck = out.localCheckpoint(true)
     assigned.unpersist()
     ck
+  }
+
+  /** [[semDedup]] with k derived from the corpus: k = ⌈n / targetClusterSize⌉,
+    * so per-cluster pair work stays ~targetClusterSize²/2 no matter how
+    * large the corpus grows — the 100 TB-safe way to call SemDeDup. The
+    * count is one column-pruned scan (parquet answers it from footer
+    * metadata); k is then a driver-side integer. */
+  def semDedupAuto(corpus: DataFrame, targetClusterSize: Long, iters: Int,
+                   tauE4: Long, idCol: String = "vec_id",
+                   embCol: String = "embedding",
+                   pairBudget: Long = 50_000_000L): DataFrame = {
+    require(targetClusterSize > 0, "semDedupAuto: targetClusterSize must be positive")
+    val n = corpus.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semDedup(corpus, k, iters, tauE4, idCol, embCol, pairBudget)
   }
 
   /** Exact re-rank of an ANN shortlist — stage two of the standard

@@ -23,21 +23,17 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events parquet schema — ts is INT64(nanos) read as LongType under
-    * spark.sql.legacy.parquet.nanosAsLong (see graft.core.Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // The file stream source needs an explicit schema; learn it from the
+    // fixture's own footer (a driver-side metadata read, no data scan) so
+    // the stream tracks the physical ts encoding, which has drifted
+    // across fixture generations (see graft.core.Tables.normalizeEventTs).
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
     // glob (not bare file path): the file stream source requires a
     // directory/glob so its basePath resolves to the parent directory
-    spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.readStream.schema(physical).parquet(s"$sfDir/events.*")
+      .withColumn("ts", graft.core.Tables.normalizeEventTs(physical("ts").dataType))
+  }
 
   /** 1-hour tumbling windows per event_type — identical expression tree to
     * the batch q27_window_hourly, plus a watermark for state cleanup. */

@@ -72,6 +72,28 @@ class MultimodalSpec extends SparkSpec {
       rootMessages(e2).contains("media_id=7"))
   }
 
+  test("an alternate decoder slots into the seam; everything but features is unchanged") {
+    // the swap-in contract (VERDICT r5 #7): a "real" codec replaces only
+    // the Decoder function — schema, partitioning, ids, md5s identical
+    val altDecoder: Multimodal.Decoder = (bytes, salt) =>
+      Array.tabulate(Multimodal.FeatureDim)(i =>
+        bytes(((i + salt) * 31) % bytes.length).toFloat / 64.0f)
+    val stub = Multimodal.decodeFeatures(media, 4).collect().sortBy(_.media_id)
+    val alt = Multimodal.decodeFeatures(media, 4, decoder = altDecoder)
+      .collect().sortBy(_.media_id)
+    assert(alt.map(r => (r.media_id, r.kind, r.n_bytes, r.content_md5)).toSeq ===
+      stub.map(r => (r.media_id, r.kind, r.n_bytes, r.content_md5)).toSeq)
+    assert(alt.forall(_.features.length === Multimodal.FeatureDim))
+    assert(alt.map(_.features.toSeq).toSeq !== stub.map(_.features.toSeq).toSeq)
+    // frame path takes the same decoder and keeps its fan-out contract
+    val altFrames = Multimodal.sampleFrames(media, nFrames = 3,
+      durationMs = 3000, partitions = 4, decoder = altDecoder)
+    val stubFrames = Multimodal.sampleFrames(media, nFrames = 3,
+      durationMs = 3000, partitions = 4)
+    assert(altFrames.count() === stubFrames.count())
+    assert(altFrames.collect().forall(_.features.length === Multimodal.FeatureDim))
+  }
+
   test("resizePlan carries target dims and a content id") {
     val out = Multimodal.resizePlan(media.toDF(), 224, 224)
     val r = out.select("target_width", "target_height", "resized_md5").head()

@@ -215,6 +215,32 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("semDedup pair budget refuses an under-clustered corpus, naming the fix") {
+    val emb = Tables(spark, sf, "embeddings")
+    // k=1 puts all 500 vectors in one cluster → ~125k pairs; a 1000-pair
+    // budget must refuse before the quadratic join runs
+    val e = intercept[IllegalArgumentException](
+      Similarity.semDedup(emb, k = 1, iters = 1, tauE4 = 3500L, pairBudget = 1000L))
+    assert(e.getMessage.contains("pair budget"))
+    assert(e.getMessage.contains("Raise k"))
+  }
+
+  test("semDedupAuto keeps per-cluster pair work bounded as the corpus grows") {
+    val emb = Tables(spark, sf, "embeddings")
+    // 10× the corpus by cloning with offset ids (embeddings unchanged —
+    // cluster GEOMETRY is identical, only density grows)
+    val big = (0 until 10).map(i => emb.select(
+      (col("vec_id") + lit(i * 100000L)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ unionAll _)
+    val target = 100L
+    // auto-k on the 10× corpus: 5000 rows / 100 → k=50, so the candidate
+    // pair count stays ~n·target/2 instead of growing quadratically; the
+    // tight budget below (≈ 2 × n·target/2) proves it held
+    val out = Similarity.semDedupAuto(big, targetClusterSize = target,
+      iters = 1, tauE4 = 3500L, pairBudget = 500000L)
+    assert(out.select("vec_id").distinct().count() > 0)
+  }
+
   test("pcaProjection equals a driver-side exact replica of the integer power iteration") {
     val emb = Tables(spark, sf, "embeddings")
     val got = Similarity.pcaProjection(emb).as[(Long, Long)].collect()
