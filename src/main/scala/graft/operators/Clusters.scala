@@ -32,19 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Edge-count ceiling for the driver-side union-find shortcut: 1M edges
+    * of two longs ≈ 16 MB on the driver — the same bounded-sketch budget
+    * class as the Bloom bitmap and BPE merge tables. Below it, an
+    * iterative distributed algorithm pays 10+ scheduler round-trips to
+    * cluster a registry-scale graph a single core resolves in
+    * milliseconds; above it, the distributed paths take over untouched. */
+  val DriverEdgeCap: Int = 1 << 20
+
   /** (id, cluster) for every node that appears in `edges`; cluster = the
     * minimum node id reachable in the undirected graph.
     *
     * `method`: "label" = pure min-label propagation (O(diameter) rounds —
     * the right tool for shallow near-dup clusters; fails loudly past
     * `maxIters`); "star" = large-star/small-star (O(log n) rounds for ANY
-    * graph, incl. pathological chains); "auto" (default) = label
-    * propagation first, star as the fallback when the diameter exceeds
-    * `maxIters` — q41/q54-class workloads keep their 2-4-round plan, a
-    * 10k-node path still converges instead of failing. */
+    * graph, incl. pathological chains); "auto" (default) = a capped
+    * driver-side union-find when the (materialized) edge set fits
+    * `DriverEdgeCap` — near-dup graphs AFTER banding+verify are usually
+    * registry-scale even when the corpus is not — then label propagation,
+    * then star as the fallback when the diameter exceeds `maxIters`.
+    * Every path computes the identical (id, min-reachable-id) result;
+    * which one ran is invisible to callers. */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIters: Int = 20,
-                          method: String = "auto"): DataFrame = method match {
+                          method: String = "auto",
+                          driverEdgeCap: Int = DriverEdgeCap): DataFrame = method match {
     case "star" => starComponents(edges, aCol, bCol)
     case "label" =>
       labelComponents(edges, aCol, bCol, maxIters).getOrElse(
@@ -54,10 +66,53 @@ object Clusters {
           s"connectedComponents did not converge in $maxIters rounds " +
             "(graph diameter exceeds maxIters — raise it, or use method=star)"))
     case "auto" =>
-      labelComponents(edges, aCol, bCol, maxIters)
-        .getOrElse(starComponents(edges, aCol, bCol))
+      // materialize the edge list ONCE: the size probe, the driver
+      // collect, and the distributed fallbacks all read this frame
+      // instead of re-deriving the (often expensive) pair lineage
+      val e = edges.select(col(aCol), col(bCol)).localCheckpoint(true)
+      driverComponents(e, aCol, bCol, driverEdgeCap).getOrElse(
+        labelComponents(e, aCol, bCol, maxIters)
+          .getOrElse(starComponents(e, aCol, bCol)))
     case other =>
       throw new IllegalArgumentException(s"unknown method '$other' (label|star|auto)")
+  }
+
+  /** Union-find on the driver for integral-id graphs under `DriverEdgeCap`
+    * edges; None when ids aren't integral or the cap probe overflows (the
+    * probe is a limit(cap+1) collect on the materialized edge frame — an
+    * early-exit scan, never a full count of a huge graph). Cluster = min
+    * reachable id, exactly the distributed paths' contract. */
+  private def driverComponents(edges: DataFrame, aCol: String,
+                               bCol: String, cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (cap <= 0) return None
+    val integral = Seq(aCol, bCol)
+      .map(edges.schema(_).dataType)
+      .forall(t => t == LongType || t == IntegerType)
+    if (!integral) return None
+    val probe = edges
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit(cap + 1).collect()
+    if (probe.length > cap) return None
+    // union-find, roots track the component minimum (attach larger-min
+    // root beneath smaller-min root; path compression on find)
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    probe.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+    val spark = edges.sparkSession
+    Some(spark.createDataFrame(out).toDF("id", "cluster"))
   }
 
   /** Min-label propagation; None when `maxIters` rounds did not converge. */

@@ -43,9 +43,28 @@ class ClustersSpec extends SparkSpec {
     val star = Clusters.connectedComponents(edges, method = "star")
       .as[(Long, Long)].collect()
     assert(star.length === n && star.forall(_._2 == 0L))
-    val auto = Clusters.connectedComponents(edges, maxIters = 5)
+    // driverEdgeCap=0 forces the distributed path, so this still proves
+    // the label→star fallback (not the driver shortcut)
+    val auto = Clusters.connectedComponents(edges, maxIters = 5, driverEdgeCap = 0)
       .as[(Long, Long)].collect()
     assert(auto.length === n && auto.forall(_._2 == 0L))
+  }
+
+  test("driver union-find shortcut agrees with the distributed paths") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val driver = Clusters.connectedComponents(edges) // auto, under the cap
+      .as[(Long, Long)].collect().toMap
+    val lab = Clusters.connectedComponents(edges, method = "label", maxIters = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === lab)
+    // an over-cap graph silently falls through to the distributed path
+    // and computes the same components
+    val overCap = Clusters.connectedComponents(edges, driverEdgeCap = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(overCap === lab)
   }
 
   test("star components agree with label propagation on a random graph") {
