@@ -149,6 +149,34 @@ object CorpusCuration {
     docs.withColumn("split", assign)
   }
 
+  /** Deterministic epoch shuffle + sharding: every doc gets a pseudo-
+    * random 60-bit draw h = md5("shuf:<seed>:<id>"), shard = h % nShards,
+    * and a position from ordering (h, id) within the shard. Changing the
+    * seed reshuffles globally (one seed per training epoch); the same
+    * seed reproduces the same order on any engine, rerun, or cluster
+    * size — the property that makes a 100 TB training run resumable and
+    * its data order auditable.
+    *
+    * Scale shape: the draw and shard are row-local projections; the
+    * position is a per-shard sort (row_number windowed by shard — nShards
+    * independent external sorts, no global order). At write time a real
+    * run skips the position column entirely and lands files via
+    * repartition(nShards, shard) + sortWithinPartitions(h): the sort
+    * order IS the shuffle, and position exists for verification and
+    * resume bookkeeping. */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: String,
+                   nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "epochShuffle: nShards must be positive")
+    val h = graft.functions.TextFunctions.stableHash60(
+      concat(lit(s"shuf:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Distribution-matching rejection sampling: derive per-stratum keep
     * rates so the KEPT corpus matches `targets`' share mix (e4, sums to
     * 10000), keeping as much data as possible — the stratum that is

@@ -313,4 +313,14 @@ object Bpe {
     * codegen'd row-local encode path. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.BpeExprs.bpeTokenCount(lower(text), merges)
+
+  /** Corpus-scale BPE ENCODE with a learned merge table: the piece
+    * sequence (array<string>, document order) a trainer consumes —
+    * same kernel as [[bpeTokenCount]], so `size(bpeEncode(t, m)) ==
+    * bpeTokenCount(t, m)` always. Row-local and codegen'd: tokenizing
+    * 100 TB is a projection, no shuffle. Map pieces to vocab ids by
+    * posexplode + join against a vocab table (ids are a catalog
+    * concern, deliberately not fused into the expression). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.BpeExprs.bpeEncode(lower(text), merges)
 }

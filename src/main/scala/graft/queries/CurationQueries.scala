@@ -112,6 +112,30 @@ object CurationQueries {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy(col("lang"))
 
+  /** q117: deterministic epoch shuffle — every doc drawn into one of 8
+    * shards with a stable within-shard position, reproducible from
+    * (seed, doc_id) alone. The op a 100 TB training run uses to get a
+    * global pseudo-random data order without a global sort. */
+  def q117EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    CorpusCuration.epochShuffle(
+      Tables(spark, dir, "documents"), "doc_id", seed = "e1", nShards = 8)
+      .select(col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("shard"), col("position"))
+
+  /** q118: the full tokenizer pipeline in one query — learn 200 BPE
+    * merges from the corpus (one-job learner), then ENCODE every doc
+    * with the codegen'd kernel and report the 40 most-frequent pieces.
+    * No SQL oracle exists for an iterative learner (rows-only check);
+    * BpeSpec pins encode == independent replica and size(encode) ==
+    * bpe_token_count. */
+  def q118BpeVocabUsage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = graft.operators.Bpe.learnMergesFast(docs, "text", 200, minCount = 2L)
+    docs.select(explode(graft.operators.Bpe.bpeEncode(col("text"), merges)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(40)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
@@ -119,7 +143,9 @@ object CurationQueries {
     "q78_priority_sample" -> (q78PrioritySample _),
     "q79_skew_report" -> (q79SkewReport _),
     "q106_split_assignment" -> (q106SplitAssignment _),
-    "q110_distribution_match" -> (q110DistributionMatch _))
+    "q110_distribution_match" -> (q110DistributionMatch _),
+    "q117_epoch_shuffle" -> (q117EpochShuffle _),
+    "q118_bpe_vocab_usage" -> (q118BpeVocabUsage _))
 
   // ---- oracle SQL ----
 
@@ -144,6 +170,16 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // q118 omitted: no SQL oracle for an iterative BPE learner (rows-only)
+    "q117_epoch_shuffle" ->
+      raw"""WITH h AS (SELECT doc_id,
+             CAST(('0x'||substr(md5('shuf:e1:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+           FROM documents)
+         SELECT CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT)
+             AS position,
+           doc_id
+         FROM h ORDER BY shard, position""",
     "q110_distribution_match" ->
       raw"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          t(lang, t_e4) AS (VALUES ('en',2000),('de',2000),('fr',2000),

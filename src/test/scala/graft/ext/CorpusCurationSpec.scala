@@ -121,6 +121,27 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: disjoint shards, dense positions, seed-sensitive order") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val n = docs.count()
+    val s1 = CorpusCuration.epochShuffle(docs, "doc_id", "e1", nShards = 4)
+      .select("shard", "position", "doc_id")
+      .as[(Int, Long, Long)].collect()
+    assert(s1.length === n) // every doc lands in exactly one shard
+    assert(s1.map(_._1).toSet.subsetOf((0 until 4).toSet))
+    // positions are 1..|shard| dense within each shard
+    s1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // rerun reproduces the identical order; a new seed permutes it
+    val s1b = CorpusCuration.epochShuffle(docs, "doc_id", "e1", nShards = 4)
+      .select("shard", "position", "doc_id").as[(Int, Long, Long)].collect()
+    assert(s1.sortBy(r => (r._1, r._2)).toSeq === s1b.sortBy(r => (r._1, r._2)).toSeq)
+    val s2 = CorpusCuration.epochShuffle(docs, "doc_id", "e2", nShards = 4)
+      .select("shard", "position", "doc_id").as[(Int, Long, Long)].collect()
+    assert(s2.map(r => r._3 -> (r._1, r._2)).toMap !== s1.map(r => r._3 -> (r._1, r._2)).toMap)
+  }
+
   test("per-source cap keeps the n best per domain, id as tie-break") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),

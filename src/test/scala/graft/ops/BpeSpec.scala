@@ -27,6 +27,30 @@ class BpeSpec extends SparkSpec {
     assert(out.toSeq === Seq(4L, 0L, 1L))
   }
 
+  test("bpeEncode emits the piece sequence; size always equals bpeTokenCount") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val pieces = Seq("low lower", "", "x").toDF("text")
+      .select(Bpe.bpeEncode(col("text"), merges).as("p"))
+      .as[Seq[String]].collect()
+    assert(pieces.toSeq === Seq(Seq("low", "low", "er"), Seq(), Seq("x")))
+    // cross-check against the count expression on real fixture text, with
+    // merges actually learned from that corpus
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val learned = Bpe.learnMergesFast(docs, "text", 100, minCount = 2L)
+    val mismatches = docs.select(
+      size(Bpe.bpeEncode(col("text"), learned)).cast("long").as("ne"),
+      Bpe.bpeTokenCount(col("text"), learned).as("nc"))
+      .filter(col("ne") =!= col("nc")).count()
+    assert(mismatches === 0L)
+    // pieces concatenate back to the whitespace-free lowercased text:
+    // encode may merge but never drop or reorder characters
+    val broken = docs.select(
+      concat_ws("", Bpe.bpeEncode(col("text"), learned)).as("joined"),
+      regexp_replace(lower(col("text")), "\\s+", "").as("flat"))
+      .filter(col("joined") =!= col("flat")).count()
+    assert(broken === 0L)
+  }
+
   test("batched learner equals the sequential learner merge for merge") {
     val docs = Tables(spark, sf, "documents").limit(60)
     val seq = Bpe.learnMerges(docs, "text", nMerges = 60)
