@@ -392,4 +392,153 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Positional character n-gram hashes per doc: (id, pos, gh) with pos
+    * 1-based and gh a 64-bit hash of text[pos, pos+n). Row-local until
+    * the explode; docs shorter than n contribute nothing (an exact
+    * short-doc duplicate is doc-level dedup's job).
+    *
+    * xxhash64, NOT the usual md5-derived stableHash60: the repeated-span
+    * surfaces never emit a hash value — gh only partitions grams into
+    * identical-substring groups, so any sound hash yields the same
+    * repeated sets and the DuckDB oracle is free to group by its own md5.
+    * That makes the per-gram hash a pure engine choice, and xxhash64 is
+    * codegen'd native (no hex/bigint round-trip) at ~Σ|text|·n bytes
+    * hashed per corpus — the dominant cost of this operator family.
+    * (Cross-engine divergence would need a 64-bit collision: ~1e-7 odds
+    * at 10^6 grams, and doc-sized blast radius if it ever happened.) */
+  private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(when(length(col(textCol)) >= n,
+          transform(sequence(lit(1), length(col(textCol)) - n + 1),
+            i => struct(i.cast("int").as("pos"),
+              xxhash64(col(textCol).substr(i, lit(n))).as("gh"))))
+          .otherwise(array().cast("array<struct<pos:int,gh:long>>"))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
+
+  /** Cross-document repeated substring detection (the exact-substring
+    * dedup family of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): an n-char span is REPEATED when its hash
+    * occurs in ≥ `minDocs` distinct docs — boilerplate, licenses, and
+    * templated text that doc- and passage-level dedup both miss because
+    * the surrounding document differs. Returns per-doc repeated-gram
+    * start positions, sorted: (id, positions array<int>).
+    *
+    * Scale shape: the gram explode is Σ|text| narrow rows on uniform
+    * md5-derived keys; repeated hashes come from one count-distinct-docs
+    * aggregate (map-side combinable), survivors semi-join the gram frame
+    * back (AQE broadcasts the usually-tiny repeated set), and positions
+    * collect per doc — arrays bounded by |doc| grams. No all-pairs stage
+    * at any size. */
+  /** The repeated-gram rows (id, pos, gh) — the shared stage behind the
+    * stats and strip surfaces. The gram frame (one md5 per char position)
+    * is the expensive scan, so it materializes ONCE (persist) and feeds
+    * both the repeated-hash aggregate and the filter-back; the result is
+    * eagerly checkpointed so the cache releases before returning (the
+    * nearDupPairs discipline). For the minDocs=2 default, "≥ 2 distinct
+    * docs" is the single-phase map-side-combinable min(id) ≠ max(id) —
+    * countDistinct's two-phase expand only runs for higher thresholds. */
+  /** Run `use` over the repeated-gram rows (id, pos, gh) and checkpoint
+    * its (per-doc-small) result — the shared stage behind the stats and
+    * strip surfaces. The gram frame (one md5 per char position) is the
+    * expensive scan, so it materializes ONCE (persist) behind both the
+    * repeated-hash aggregate and the filter-back, and releases before
+    * returning (the nearDupPairs discipline); only the caller's aggregate
+    * is ever checkpointed — the corpus-sized row set never writes. For
+    * the minDocs=2 default, "≥ 2 distinct docs" is the single-phase
+    * map-side-combinable min(id) ≠ max(id) — countDistinct's two-phase
+    * expand only runs for higher thresholds. The repeated set is tiny
+    * next to the gram frame, so AQE broadcasts the semi join — the grams
+    * never shuffle for the filter-back. */
+  private def withRepeatedGramRows(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int, minDocs: Int)
+                                  (use: DataFrame => DataFrame): DataFrame = {
+    require(n >= 2, "gram length must be >= 2")
+    require(minDocs >= 2, "a span repeated in one doc is just the doc")
+    import org.apache.spark.storage.StorageLevel
+    val grams = positionalGrams(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byHash = grams.groupBy(col("gh"))
+    val repeated = (
+      if (minDocs == 2)
+        byHash.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+      else
+        byHash.agg(countDistinct(col(idCol)).as("ndocs"))
+          .filter(col("ndocs") >= minDocs)
+      ).select(col("gh"))
+    val out = use(grams.join(repeated, Seq("gh"), "left_semi"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
+  /** Cross-doc repeated-gram start positions per doc, sorted:
+    * (id, positions array<int>) — the input to [[stripRepeatedSpans]]. */
+  def repeatedGramPositions(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minDocs: Int = 2): DataFrame =
+    withRepeatedGramRows(df, idCol, textCol, n, minDocs)(
+      _.groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("pos"))).as("positions")))
+
+  /** Per-doc repeated-span accounting — the report a curation run uses to
+    * decide whether to strip or drop: total n-grams, how many start a
+    * cross-doc repeated span, and the repeated fraction (e4). Docs
+    * shorter than n report zero grams and are excluded (no denominator). */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Int = 2): DataFrame = {
+    val totals = df
+      .select(col(idCol),
+        greatest(length(col(textCol)) - n + 1, lit(0)).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val counts = withRepeatedGramRows(df, idCol, textCol, n, minDocs)(
+      _.groupBy(col(idCol)).agg(count(lit(1)).as("n_repeated")))
+    totals.join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        floor(lit(1e4) * coalesce(col("n_repeated"), lit(0L)) / col("n_grams") + lit(0.5))
+          .cast("long").as("rep_frac_e4"))
+  }
+
+  /** Strip cross-doc repeated spans from the text (the Lee et al. REMOVE
+    * step): every char covered by a repeated n-gram is cut, the remainder
+    * concatenates in order. Positions merge into disjoint [s, e) intervals
+    * row-locally (one pass over the sorted array), then the kept text is
+    * the concatenation of the gaps — all HOF expressions over interval
+    * counts (small), never per-char rows. Docs with no repeated span pass
+    * through unchanged. */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDocs: Int = 2): DataFrame = {
+    val pos = repeatedGramPositions(df, idCol, textCol, n, minDocs)
+    // merge sorted starts into intervals: fold (acc: array<struct<s,e>>)
+    // extending the last interval when the next span overlaps/abuts it
+    val intervals = aggregate(col("positions"),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, p) => when(size(acc) > 0 && element_at(acc, -1).getField("e") >= p,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("s").as("s"),
+              (p + lit(n)).cast("int").as("e")))))
+        .otherwise(concat(acc,
+          array(struct(p.cast("int").as("s"), (p + lit(n)).cast("int").as("e"))))))
+    val withIv = df.join(pos, Seq(idCol), "left")
+      .withColumn("__iv",
+        when(col("positions").isNotNull, intervals)
+          .otherwise(array().cast("array<struct<s:int,e:int>>")))
+    // kept text = text[prior gap] ++ ... ++ text[last interval end ..]:
+    // fold over intervals carrying (cursor, acc-text)
+    val stripped = aggregate(col("__iv"),
+      struct(lit(1).cast("int").as("cur"), lit("").as("acc")),
+      (st, iv) => struct(
+        iv.getField("e").as("cur"),
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur"),
+            iv.getField("s") - st.getField("cur"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("cur"),
+          length(col(textCol)) - st.getField("cur") + 1)))
+    withIv
+      .withColumn("clean_text", stripped)
+      .drop("positions", "__iv")
+  }
 }

@@ -71,12 +71,24 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q119: cross-document repeated substring detection (exact-substring
+    * dedup, Lee et al. 2022) — per doc, how many 20-char spans also occur
+    * verbatim in ≥ 2 docs: the boilerplate/license/template text that
+    * doc- and passage-level dedup miss. Only docs with a repeated span
+    * are reported (the interesting rows). */
+  def q119RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanStats(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 20)
+      .filter(col("n_repeated") > 0)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_chunk_near_dup" -> (q111ChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
-    "q38_winnowing_pairs" -> (q38WinnowingPairs _))
+    "q38_winnowing_pairs" -> (q38WinnowingPairs _),
+    "q119_repeated_spans" -> (q119RepeatedSpans _))
 
   // ---- oracle SQL (generated to mirror the Scala parameters) ----
 
@@ -119,6 +131,24 @@ object DedupQueries {
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    "q119_repeated_spans" ->
+      raw"""WITH g AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(text) >= 20 THEN
+               [CAST(('0x'||substr(md5(substr(text, i, 20)),1,15)) AS BIGINT)
+                for i in range(1, len(text) - 20 + 2)]
+               ELSE [] END) AS gh
+           FROM documents),
+         rep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         r AS (SELECT doc_id, count(*) AS n_repeated
+           FROM g JOIN rep USING (gh) GROUP BY doc_id),
+         t AS (SELECT doc_id,
+             CAST(greatest(len(text) - 20 + 1, 0) AS BIGINT) AS n_grams
+           FROM documents WHERE len(text) >= 20)
+         SELECT t.doc_id, t.n_grams, CAST(r.n_repeated AS BIGINT) AS n_repeated,
+           CAST(floor(1e4 * r.n_repeated / t.n_grams + 0.5) AS BIGINT) AS rep_frac_e4
+         FROM t JOIN r USING (doc_id)
+         ORDER BY t.doc_id""",
     "q111_chunk_near_dup" ->
       raw"""WITH ckt AS (SELECT doc_id,
              CASE WHEN len(trim(text))=0 THEN []

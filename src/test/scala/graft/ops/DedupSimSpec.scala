@@ -241,6 +241,39 @@ class DedupSimSpec extends SparkSpec {
     assert(out.select("vec_id").distinct().count() > 0)
   }
 
+  test("repeated spans: planted cross-doc boilerplate found, unique text not") {
+    val boiler = "ALL RIGHTS RESERVED (C) 2024 EXAMPLE CORP" // 41 chars
+    val docs = Seq(
+      (1L, s"first document body text here. $boiler and a unique tail one."),
+      (2L, s"totally different second doc. $boiler plus other words two."),
+      (3L, "no shared content in this one at all, fully unique text body."))
+      .toDF("doc_id", "text")
+    val stats = Dedup.repeatedSpanStats(docs, "doc_id", "text", n = 20)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(stats(0)._3 > 0 && stats(1)._3 > 0, "boilerplate docs must flag")
+    assert(stats(2)._3 === 0L, "unique doc must not flag")
+    // strip removes every char of the shared span and nothing survives of
+    // it; the unique doc passes through byte-identical
+    val cleaned = Dedup.stripRepeatedSpans(docs, "doc_id", "text", n = 20)
+      .select(col("doc_id"), col("clean_text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(!cleaned(0)._2.contains(boiler) && !cleaned(1)._2.contains(boiler))
+    assert(cleaned(2)._2 === docs.filter(col("doc_id") === 3).select("text").as[String].head())
+    // strip equals a driver-side replica: cut the union of [p, p+20)
+    // intervals over the repeated positions
+    val posMap = Dedup.repeatedGramPositions(docs, "doc_id", "text", n = 20)
+      .as[(Long, Seq[Int])].collect().toMap
+    val textMap = docs.as[(Long, String)].collect().toMap
+    cleaned.foreach { case (id, got) =>
+      val covered = posMap.getOrElse(id, Seq.empty)
+        .flatMap(p => (p - 1) until (p - 1 + 20)).toSet // 0-based chars
+      val want = textMap(id).zipWithIndex
+        .collect { case (ch, i) if !covered(i) => ch }.mkString
+      assert(got === want, s"doc $id strip mismatch")
+    }
+  }
+
   test("pcaProjection equals a driver-side exact replica of the integer power iteration") {
     val emb = Tables(spark, sf, "embeddings")
     val got = Similarity.pcaProjection(emb).as[(Long, Long)].collect()
