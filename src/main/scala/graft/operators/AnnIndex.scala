@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Warehouse
+
+/** Persistent ANN index lifecycle over the [[Warehouse]] — the serving
+  * store that turns the ad-hoc IVF path into production shape: the
+  * corpus is quantized and assigned to inverted lists ONCE at build,
+  * new vectors append by assigning ONLY the arriving batch against the
+  * stored centroids, and queries probe the stored lists without ever
+  * touching raw embeddings again.
+  *
+  * Two tables per index: `<name>_centroids` (label, ce) and
+  * `<name>_lists` (id, label, qe, n). Because an IVF assignment depends
+  * only on the centroids, append-then-query is EXACTLY equal to
+  * rebuild-on-the-union — the invariant AnnIndexSpec pins — so the index
+  * never needs a rebuild for correctness, only (eventually) for recall
+  * as the data distribution drifts from the frozen centroids.
+  *
+  * 100 TB shape: build is one assignment scan (centroids broadcast);
+  * append is O(batch); a query touches ~|lists probed| stored rows per
+  * query vector with the query side broadcast — the store itself never
+  * shuffles. The Warehouse gives the lists table versioning/backup like
+  * any other table; a production deployment would additionally bucket
+  * the lists table by label so repeated serving reads stay partition-
+  * pruned to the probed lists.
+  */
+object AnnIndex {
+
+  private def centroidsTable(name: String) = s"${name}_centroids"
+  private def listsTable(name: String) = s"${name}_lists"
+
+  /** Create (or replace) the index: store the centroid table and the
+    * one-time inverted-list assignment of `corpus`. `centroids` come
+    * from the caller — `Similarity.kmeansCentroids` (learned) or
+    * `Similarity.ivfCentroids` (label-derived) — so the clustering
+    * policy stays a composable choice, not an index parameter. */
+  def build(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+            centroids: DataFrame, idCol: String = "vec_id",
+            embCol: String = "embedding"): Unit = {
+    wh.overwrite(schema, centroidsTable(name), centroids.select(col("label"), col("ce")))
+    wh.overwrite(schema, listsTable(name),
+      assign(wh, schema, name, corpus, idCol, embCol))
+  }
+
+  /** Assign ONLY the arriving batch against the stored centroids and
+    * append it to the lists table — O(batch), the corpus never re-signs. */
+  def append(wh: Warehouse, schema: String, name: String, newVectors: DataFrame,
+             idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    wh.append(schema, listsTable(name),
+      assign(wh, schema, name, newVectors, idCol, embCol))
+
+  private def assign(wh: Warehouse, schema: String, name: String, vectors: DataFrame,
+                     idCol: String, embCol: String): DataFrame =
+    Similarity.ivfAssign(vectors,
+        wh.read(schema, centroidsTable(name)), probes = 1, idCol, embCol)
+      .select(col(idCol).as("id"), col("label"),
+        col("__qe").as("qe"), col("__n").as("n"))
+
+  /** Top-k from the stored lists: queries assign against the stored
+    * centroids (broadcast), probe their `probes` nearest lists, and rank
+    * candidates by the exact quantized cosine — identical results to
+    * `Similarity.ivfTopK` over the same corpus and centroids. */
+  def topK(wh: Warehouse, schema: String, name: String, queries: DataFrame,
+           k: Int, probes: Int = 2, idCol: String = "vec_id",
+           embCol: String = "embedding"): DataFrame = {
+    val lists = wh.read(schema, listsTable(name))
+      .select(col("id").as(idCol), col("label"),
+        col("qe").as("__qe"), col("n").as("__n"))
+    Similarity.ivfTopKFromLists(queries, lists,
+      wh.read(schema, centroidsTable(name)), k, probes, idCol, embCol)
+  }
+}

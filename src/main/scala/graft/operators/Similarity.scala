@@ -216,11 +216,21 @@ object Similarity {
     * |query lists probed| ≈ corpus/nlist × probes per query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, probes: Int = 2,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val corpusA = ivfAssign(corpus, centroids, probes = 1, idCol, embCol)
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfTopKFromLists(queries,
+      ivfAssign(corpus, centroids, probes = 1, idCol, embCol),
+      centroids, k, probes, idCol, embCol)
+
+  /** The IVF query path against ALREADY-ASSIGNED inverted lists —
+    * (idCol, label, __qe, __n) rows, e.g. read back from an [[AnnIndex]]
+    * store. Serving never re-quantizes or re-assigns the corpus; only
+    * the (tiny, broadcast) query side computes anything per call. */
+  def ivfTopKFromLists(queries: DataFrame, lists: DataFrame, centroids: DataFrame,
+                       k: Int, probes: Int = 2,
+                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = broadcast(ivfAssign(queries, centroids, probes, idCol, embCol)
       .select(col(idCol).as("q_id"), col("label"), col("__qe").as("q_emb"), col("__n").as("q_norm")))
-    val scored = corpusA.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
+    val scored = lists.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__n")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))

@@ -51,6 +51,21 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q120: q37's IVF search served from a PERSISTED index — build writes
+    * centroids + inverted lists into a Warehouse, topK reads them back;
+    * results must be row-identical to the ad-hoc path (same oracle SQL
+    * as q37), proving the store/serve round-trip loses nothing. */
+  def q120AnnIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_q120_").toString)
+    graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
+      Similarity.ivfCentroids(emb, "label"))
+    graft.operators.AnnIndex.topK(wh, "ann", "emb",
+      queriesDf(spark, dir), TopK, probes = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q39: deterministic Lloyd's k-means (k=8, 2 iterations, lowest-id
     * seeds) — learned IVF centroids, fingerprinted exactly: md5 of the
     * comma-joined quantized centroid plus its integer self-dot, with final
@@ -213,6 +228,7 @@ object SimQueries {
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
     "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
+    "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q39_kmeans" -> (q39Kmeans _))
 
   // ---- oracle SQL ----
@@ -545,7 +561,12 @@ object SimQueries {
                row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
          SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
-    "q37_ivf_topk" ->
+    // q120 serves q37's search from the persisted index — same result,
+    // same oracle derivation
+    "q120_ann_index_topk" -> ivfTopKSql,
+    "q37_ivf_topk" -> ivfTopKSql) ++ oraclesTail
+
+  private lazy val ivfTopKSql: String =
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
          cagg AS (SELECT label, d,
@@ -570,7 +591,9 @@ object SimQueries {
          r AS (SELECT q_id, vec_id, cos_e4,
                row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
          SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q24_embedding_near_dup" ->
       raw"""WITH $planesCte, $bucketsCte,
          cb AS (SELECT e.vec_id, e.qe, bk.bucket FROM e JOIN bk USING (vec_id))

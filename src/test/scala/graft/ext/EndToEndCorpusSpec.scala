@@ -62,11 +62,33 @@ class EndToEndCorpusSpec extends SparkSpec {
     assert(Decontaminate.contaminated(finalDocs, evalSlice, "doc_id", "text", 13)
       .isEmpty, "eval-contaminated doc survived the funnel")
 
-    // 6. pack into fixed token-budget sequences, shard, export
+    // 6. strip cross-doc repeated spans (boilerplate/template removal) —
+    // never grows a doc, never touches docs with no repeated span
+    val stripped = graft.operators.Dedup
+      .stripRepeatedSpans(finalDocs, "doc_id", "text", n = 20)
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    assert(stripped.count() === n5)
+    val grew = stripped.join(finalDocs.select(col("doc_id"),
+        length(col("text")).as("len0")), "doc_id")
+      .filter(length(col("text")) > col("len0")).count()
+    assert(grew === 0L, "strip must never grow a document")
+
+    // 7. tokenize with corpus-learned BPE: count == encode length on
+    // every cleaned doc (the two codegen paths share one kernel)
+    val merges = graft.operators.Bpe.learnMergesFast(stripped, "text", 80, minCount = 2L)
+    val tokDrift = stripped.select(
+      size(graft.operators.Bpe.bpeEncode(col("text"), merges)).cast("long").as("a"),
+      graft.operators.Bpe.bpeTokenCount(col("text"), merges).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(tokDrift === 0L)
+
+    // 8. pack into fixed token-budget sequences, epoch-shuffle, export
     val packed = graft.operators.Chunker.packSequences(
-      finalDocs.withColumn("shard", col("doc_id") % 4), // deterministic shards
+      stripped.withColumn("shard", col("doc_id") % 4), // deterministic shards
       "doc_id", "text", "shard", budget = 512)
     assert(packed.count() > 0)
+    val shuffled = CorpusCuration.epochShuffle(stripped, "doc_id", "e2e", nShards = 4)
+    assert(shuffled.count() === n5, "shuffle must cover the whole corpus")
 
     val outDir = java.nio.file.Files.createTempDirectory("e2e_export").toString
     val manifest = Export.writeJsonlShards(

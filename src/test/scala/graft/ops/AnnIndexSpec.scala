@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Tables, Warehouse}
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persistent ANN index lifecycle: build/append/query over the Warehouse,
+  * pinned against the ad-hoc IVF path. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_ann_").toString)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "neighbor_id", "cos_e4", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+
+  test("stored index answers exactly like the ad-hoc IVF path") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cent = Similarity.ivfCentroids(emb, "label")
+    val wh = freshWh()
+    AnnIndex.build(wh, "ann", "emb", emb, cent)
+    val stored = AnnIndex.topK(wh, "ann", "emb", queries, k = 5, probes = 2)
+    val adHoc = Similarity.ivfTopK(queries, emb, cent, k = 5, probes = 2)
+    assert(rows(stored) === rows(adHoc))
+  }
+
+  test("append-then-query equals rebuild-on-the-union (assignment is centroid-pure)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val incr = freshWh()
+    AnnIndex.build(incr, "ann", "emb", first, cent)
+    AnnIndex.append(incr, "ann", "emb", second)
+    val full = freshWh()
+    AnnIndex.build(full, "ann", "emb", emb, cent)
+    assert(rows(AnnIndex.topK(incr, "ann", "emb", queries, k = 5)) ===
+      rows(AnnIndex.topK(full, "ann", "emb", queries, k = 5)))
+    // the appended half is actually served: at least one odd id surfaces
+    val odd = AnnIndex.topK(incr, "ann", "emb", queries, k = 5)
+      .filter(col("neighbor_id") % 2 === 1).count()
+    assert(odd > 0, "appended vectors must be reachable from the stored lists")
+  }
+}
