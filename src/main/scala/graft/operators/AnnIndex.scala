@@ -72,4 +72,46 @@ object AnnIndex {
     Similarity.ivfTopKFromLists(queries, lists,
       wh.read(schema, centroidsTable(name)), k, probes, idCol, embCol)
   }
+
+  // ---- PQ variant: 16× smaller stored payload (m code ints per vector
+  // instead of the quantized embedding), ADC serving off the codes alone.
+  // Same append-equals-rebuild invariant: codes depend only on the
+  // frozen codebooks.
+
+  private def codebooksTable(name: String) = s"${name}_codebooks"
+  private def codesTable(name: String) = s"${name}_codes"
+
+  /** Store the PQ codebooks and the one-time code assignment of `corpus`.
+    * `codebooks` from `Similarity.pqCodebooks` — (sub, label, ce). */
+  def buildPq(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+              codebooks: DataFrame, m: Int, dim: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    wh.overwrite(schema, codebooksTable(name),
+      codebooks.select(col("sub"), col("label"), col("ce")))
+    wh.overwrite(schema, codesTable(name),
+      encode(wh, schema, name, corpus, m, dim, idCol, embCol))
+  }
+
+  /** Encode ONLY the arriving batch against the stored codebooks and
+    * append — O(batch · m · k) scoring, nothing re-reads the corpus. */
+  def appendPq(wh: Warehouse, schema: String, name: String, newVectors: DataFrame,
+               m: Int, dim: Int, idCol: String = "vec_id",
+               embCol: String = "embedding"): Unit =
+    wh.append(schema, codesTable(name),
+      encode(wh, schema, name, newVectors, m, dim, idCol, embCol))
+
+  private def encode(wh: Warehouse, schema: String, name: String, vectors: DataFrame,
+                     m: Int, dim: Int, idCol: String, embCol: String): DataFrame =
+    Similarity.pqEncode(vectors, wh.read(schema, codebooksTable(name)),
+        m, dim, idCol, embCol)
+      .select(col(idCol).as("id"), col("sub"), col("label"))
+
+  /** ADC top-k from the stored codes — identical results to
+    * `Similarity.pqTopK` over the same corpus and codebooks. */
+  def topKPq(wh: Warehouse, schema: String, name: String, queries: DataFrame,
+             k: Int, m: Int, dim: Int, idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame =
+    Similarity.pqTopKFromCodes(queries,
+      wh.read(schema, codesTable(name)).select(col("id").as(idCol), col("sub"), col("label")),
+      wh.read(schema, codebooksTable(name)), k, m, dim, idCol, embCol)
 }

@@ -503,9 +503,19 @@ object Similarity {
     * not a candidate filter. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
              k: Int, m: Int, dim: Int,
-             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqTopKFromCodes(queries,
+      pqEncode(corpus, codebooks.select("sub", "label", "ce"), m, dim, idCol, embCol),
+      codebooks, k, m, dim, idCol, embCol)
+
+  /** The ADC query path against ALREADY-ENCODED codes — (idCol, sub,
+    * label) rows, e.g. read back from an [[AnnIndex]] PQ store. Serving
+    * reads nothing wider than the code ints; only the per-query lookup
+    * table computes anything per call. */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                      k: Int, m: Int, dim: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
-    val codes = pqEncode(corpus, cb.select("sub", "label", "ce"), m, dim, idCol, embCol)
     // the lut carries the codebook entry's self-dot next to the query dot,
     // so ONE (q_id, vec_id) aggregation yields both the approximate dot
     // and the reconstruction norm² — no corpus-sized norm join afterwards

@@ -66,6 +66,21 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q121: q89's PQ/ADC search served from PERSISTED codes — buildPq
+    * writes codebooks + 16×-compressed codes into a Warehouse, topKPq
+    * ranks off the stored ints alone (same oracle SQL as q89). */
+  def q121PqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_q121_").toString)
+    graft.operators.AnnIndex.buildPq(wh, "ann", "emb", emb,
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      m = PqM, dim = Dim)
+    graft.operators.AnnIndex.topKPq(wh, "ann", "emb",
+      queriesDf(spark, dir), TopK, m = PqM, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q39: deterministic Lloyd's k-means (k=8, 2 iterations, lowest-id
     * seeds) — learned IVF centroids, fingerprinted exactly: md5 of the
     * comma-joined quantized centroid plus its integer self-dot, with final
@@ -229,6 +244,7 @@ object SimQueries {
     "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
+    "q121_pq_index_topk" -> (q121PqIndexTopK _),
     "q39_kmeans" -> (q39Kmeans _))
 
   // ---- oracle SQL ----
@@ -381,6 +397,9 @@ object SimQueries {
 
   val oracles: Map[String, String] = Map(
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
+    // q121 serves q89's search from the persisted code store — same
+    // result, same oracle derivation
+    "q121_pq_index_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
     "q107_semantic_decontam" ->

@@ -49,4 +49,29 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("neighbor_id") % 2 === 1).count()
     assert(odd > 0, "appended vectors must be reachable from the stored lists")
   }
+
+  test("PQ store: stored codes answer exactly like the ad-hoc ADC path") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, dim) = (4, 64)
+    val cb = Similarity.pqCodebooks(emb, m, k = 8, dim = dim, iters = 2)
+    val wh = freshWh()
+    AnnIndex.buildPq(wh, "ann", "emb", emb, cb, m, dim)
+    assert(rows(AnnIndex.topKPq(wh, "ann", "emb", queries, k = 5, m, dim)) ===
+      rows(Similarity.pqTopK(queries, emb, cb, k = 5, m, dim)))
+  }
+
+  test("PQ append-then-query equals rebuild (codes are codebook-pure)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, dim) = (4, 64)
+    val cb = Similarity.pqCodebooks(emb, m, k = 8, dim = dim, iters = 2)
+    val incr = freshWh()
+    AnnIndex.buildPq(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 0), cb, m, dim)
+    AnnIndex.appendPq(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 1), m, dim)
+    val full = freshWh()
+    AnnIndex.buildPq(full, "ann", "emb", emb, cb, m, dim)
+    assert(rows(AnnIndex.topKPq(incr, "ann", "emb", queries, k = 5, m, dim)) ===
+      rows(AnnIndex.topKPq(full, "ann", "emb", queries, k = 5, m, dim)))
+  }
 }
