@@ -78,22 +78,27 @@ object Clusters {
   }
 
   /** Union-find on the driver for integral-id graphs under `DriverEdgeCap`
-    * edges; None when ids aren't integral or the cap probe overflows (the
-    * probe is a limit(cap+1) collect on the materialized edge frame — an
+    * edges; None when ids aren't integral, any edge id is NULL (the
+    * distributed paths' null semantics apply, whatever they are — this
+    * path must not invent its own), or the cap probe overflows (the probe
+    * is a limit(cap+1) collect on the materialized edge frame — an
     * early-exit scan, never a full count of a huge graph). Cluster = min
-    * reachable id, exactly the distributed paths' contract. */
+    * reachable id, and the output id/cluster columns carry the SAME type
+    * the distributed paths would produce, so which path ran stays
+    * invisible to schema-sensitive consumers. */
   private def driverComponents(edges: DataFrame, aCol: String,
                                bCol: String, cap: Int): Option[DataFrame] = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     if (cap <= 0) return None
-    val integral = Seq(aCol, bCol)
-      .map(edges.schema(_).dataType)
-      .forall(t => t == LongType || t == IntegerType)
-    if (!integral) return None
+    val inTypes = Seq(aCol, bCol).map(edges.schema(_).dataType)
+    if (!inTypes.forall(t => t == LongType || t == IntegerType)) return None
+    // the distributed paths union both id columns → Spark's common type
+    val outType = if (inTypes.contains(LongType)) LongType else IntegerType
     val probe = edges
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .limit(cap + 1).collect()
     if (probe.length > cap) return None
+    if (probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     // union-find, roots track the component minimum (attach larger-min
     // root beneath smaller-min root; path compression on find)
     val parent = new scala.collection.mutable.HashMap[Long, Long]()
@@ -112,7 +117,8 @@ object Clusters {
     }
     val out = parent.keysIterator.map(id => (id, find(id))).toSeq
     val spark = edges.sparkSession
-    Some(spark.createDataFrame(out).toDF("id", "cluster"))
+    Some(spark.createDataFrame(out).toDF("id", "cluster")
+      .select(col("id").cast(outType), col("cluster").cast(outType)))
   }
 
   /** Min-label propagation; None when `maxIters` rounds did not converge. */

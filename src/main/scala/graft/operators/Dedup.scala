@@ -511,34 +511,40 @@ object Dedup {
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int, minDocs: Int = 2): DataFrame = {
     val pos = repeatedGramPositions(df, idCol, textCol, n, minDocs)
-    // merge sorted starts into intervals: fold (acc: array<struct<s,e>>)
-    // extending the last interval when the next span overlaps/abuts it
-    val intervals = aggregate(col("positions"),
-      array().cast("array<struct<s:int,e:int>>"),
-      (acc, p) => when(size(acc) > 0 && element_at(acc, -1).getField("e") >= p,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1).getField("s").as("s"),
-              (p + lit(n)).cast("int").as("e")))))
-        .otherwise(concat(acc,
-          array(struct(p.cast("int").as("s"), (p + lit(n)).cast("int").as("e"))))))
+    // Interval merge WITHOUT a fold: positions are sorted and every span
+    // is n long, so the running merged interval's end is always
+    // prev_position + n — an index j starts a new interval iff j == 1 or
+    // positions[j] > positions[j-1] + n. Everything below is O(|positions|)
+    // filter/zip_with over the array (element_at is O(1)); an aggregate()
+    // fold that rebuilds the accumulator array per element would be
+    // quadratic in interval count and stall boilerplate-dense documents.
+    val posArr = col("positions")
+    val startIdxs = filter(sequence(lit(1), size(posArr)), j =>
+      (j === 1) || (element_at(posArr, j) > element_at(posArr, j - 1) + n))
+    val nextIdxs = concat(
+      slice(startIdxs, lit(2), size(startIdxs) - 1),
+      array(size(posArr) + 1))
+    // interval [s, e): s = positions[start], e = last position before the
+    // next interval start, + n
+    val intervals = zip_with(startIdxs, nextIdxs, (sj, nj) => struct(
+      element_at(posArr, sj).as("s"),
+      (element_at(posArr, nj - 1) + n).as("e")))
     val withIv = df.join(pos, Seq(idCol), "left")
       .withColumn("__iv",
-        when(col("positions").isNotNull, intervals)
+        when(posArr.isNotNull, intervals)
           .otherwise(array().cast("array<struct<s:int,e:int>>")))
-    // kept text = text[prior gap] ++ ... ++ text[last interval end ..]:
-    // fold over intervals carrying (cursor, acc-text)
-    val stripped = aggregate(col("__iv"),
-      struct(lit(1).cast("int").as("cur"), lit("").as("acc")),
-      (st, iv) => struct(
-        iv.getField("e").as("cur"),
-        concat(st.getField("acc"),
-          col(textCol).substr(st.getField("cur"),
-            iv.getField("s") - st.getField("cur"))).as("acc")),
-      st => concat(st.getField("acc"),
-        col(textCol).substr(st.getField("cur"),
-          length(col(textCol)) - st.getField("cur") + 1)))
+    // kept text = the gaps around the intervals, joined in one pass
+    val iv = col("__iv")
+    val pieces = concat(
+      array(col(textCol).substr(lit(1), element_at(iv, 1).getField("s") - 1)),
+      zip_with(slice(iv, lit(1), size(iv) - 1), slice(iv, lit(2), size(iv) - 1),
+        (a, b) => col(textCol).substr(a.getField("e"),
+          b.getField("s") - a.getField("e"))),
+      array(col(textCol).substr(element_at(iv, -1).getField("e"),
+        length(col(textCol)) - element_at(iv, -1).getField("e") + 1)))
     withIv
-      .withColumn("clean_text", stripped)
+      .withColumn("clean_text",
+        when(size(iv) > 0, array_join(pieces, "")).otherwise(col(textCol)))
       .drop("positions", "__iv")
   }
 }

@@ -654,20 +654,28 @@ object Similarity {
     val cent = kmeansCentroids(corpus, k, iters, idCol, embCol)
     val assigned = ivfAssign(corpus, cent, probes = 1, idCol, embCol)
       .persist()
-    // one cheap agg over the cached assignment: Σ s·(s−1)/2 candidate pairs
+    // one cheap agg over the cached assignment: Σ s·(s−1)/2 candidate
+    // pairs (the sums are NULL on an empty corpus — treat as zero, the
+    // pipeline below lazily yields an empty frame exactly as before)
     val budgetRow = assigned.groupBy(col("label"))
       .agg(count(lit(1)).as("s"))
       .agg(sum(col("s")).cast("long"), sum(col("s") * (col("s") - 1)).cast("long"))
       .head()
-    val nRows = budgetRow.getLong(0)
-    val nPairs = budgetRow.getLong(1) / 2
-    require(nPairs <= pairBudget, {
-      val kFix = math.ceil(nRows.toDouble / math.sqrt(2.0 * pairBudget / k)).toLong
-      s"semDedup: $nPairs within-cluster candidate pairs exceed the " +
-        s"pair budget $pairBudget (corpus $nRows rows, k=$k). Raise k to " +
-        s"~$kFix (or call semDedupAuto, which derives k from a target " +
-        "cluster size) instead of running a quadratic stage this large."
-    })
+    val nRows = if (budgetRow.isNullAt(0)) 0L else budgetRow.getLong(0)
+    val nPairs = if (budgetRow.isNullAt(1)) 0L else budgetRow.getLong(1) / 2
+    if (nPairs > pairBudget) {
+      // release the corpus-sized cache before refusing — a long-lived
+      // session must not pin one cached frame per rejected call
+      assigned.unpersist()
+      // uniform clusters give ~k·(n/k)²/2 = n²/(2k) pairs, so the k that
+      // lands under budget is ⌈n² / (2·budget)⌉
+      val kFix = math.ceil(nRows.toDouble * nRows.toDouble / (2.0 * pairBudget)).toLong
+      throw new IllegalArgumentException(
+        s"semDedup: $nPairs within-cluster candidate pairs exceed the " +
+          s"pair budget $pairBudget (corpus $nRows rows, k=$k). Raise k to " +
+          s"~$kFix (or call semDedupAuto, which derives k from a target " +
+          "cluster size) instead of running a quadratic stage this large.")
+    }
     val a = assigned.select(col(idCol).as("a_id"), col("label"),
       col("__qe").as("ae"), col("__n").as("an"))
     val b = assigned.select(col(idCol).as("b_id"), col("label"),
@@ -704,8 +712,11 @@ object Similarity {
                    pairBudget: Long = 50_000_000L): DataFrame = {
     require(targetClusterSize > 0, "semDedupAuto: targetClusterSize must be positive")
     val n = corpus.count()
-    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
-    semDedup(corpus, k, iters, tauE4, idCol, embCol, pairBudget)
+    val kLong = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(kLong <= Int.MaxValue,
+      s"semDedupAuto: derived k=$kLong exceeds Int.MaxValue " +
+        s"($n rows / targetClusterSize=$targetClusterSize) — raise targetClusterSize")
+    semDedup(corpus, kLong.toInt, iters, tauE4, idCol, embCol, pairBudget)
   }
 
   /** Exact re-rank of an ANN shortlist — stage two of the standard

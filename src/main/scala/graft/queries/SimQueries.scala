@@ -57,13 +57,28 @@ object SimQueries {
     * as q37), proving the store/serve round-trip loses nothing. */
   def q120AnnIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val wh = new graft.core.Warehouse(spark,
-      java.nio.file.Files.createTempDirectory("graft_q120_").toString)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q120_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
       Similarity.ivfCentroids(emb, "label"))
-    graft.operators.AnnIndex.topK(wh, "ann", "emb",
-      queriesDf(spark, dir), TopK, probes = 2)
-      .orderBy(col("q_id"), col("rank"))
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.topK(wh, "ann", "emb",
+        queriesDf(spark, dir), TopK, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** Materialize a (small) result eagerly, then delete the per-invocation
+    * index directory — Bench/Verify call each query many times per
+    * session, and an undeleted temp Warehouse per call accumulates
+    * without bound. Eager checkpoint first: the frame must stop reading
+    * the store before the store goes away. */
+  private def withTempWarehouse(whDir: java.nio.file.Path)(result: => DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(whDir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
   }
 
   /** q121: q89's PQ/ADC search served from PERSISTED codes — buildPq
@@ -71,14 +86,16 @@ object SimQueries {
     * ranks off the stored ints alone (same oracle SQL as q89). */
   def q121PqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val wh = new graft.core.Warehouse(spark,
-      java.nio.file.Files.createTempDirectory("graft_q121_").toString)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q121_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.buildPq(wh, "ann", "emb", emb,
       Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
       m = PqM, dim = Dim)
-    graft.operators.AnnIndex.topKPq(wh, "ann", "emb",
-      queriesDf(spark, dir), TopK, m = PqM, dim = Dim)
-      .orderBy(col("q_id"), col("rank"))
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.topKPq(wh, "ann", "emb",
+        queriesDf(spark, dir), TopK, m = PqM, dim = Dim)
+        .orderBy(col("q_id"), col("rank"))
+    }
   }
 
   /** q39: deterministic Lloyd's k-means (k=8, 2 iterations, lowest-id

@@ -19,12 +19,13 @@ object ProfileQ119 {
       r
     }
     val n = 20
-    // stage A: raw gram explode + md5 (count only, no shuffle)
+    // stage A: raw gram explode + hash (count only, no shuffle) —
+    // xxhash64, matching the shipped Dedup.positionalGrams kernel
     val grams = docs.select(col("doc_id"),
       explode(when(length(col("text")) >= n,
         transform(sequence(lit(1), length(col("text")) - n + 1),
           i => struct(i.cast("int").as("pos"),
-            stableHash60(col("text").substr(i, lit(n))).as("gh"))))
+            xxhash64(col("text").substr(i, lit(n))).as("gh"))))
         .otherwise(array().cast("array<struct<pos:int,gh:long>>"))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     time("warm scan")(docs.count())

@@ -79,6 +79,26 @@ class ClustersSpec extends SparkSpec {
     assert(star === lab)
   }
 
+  test("auto path output schema is identical whichever path ran") {
+    // IntegerType ids: the driver shortcut must emit the same column
+    // types the distributed fallbacks would, or downstream unions /
+    // parquet appends break depending on data volume
+    val intEdges = Seq((1, 2), (2, 3), (10, 11)).toDF("a_id", "b_id")
+    val viaDriver = Clusters.connectedComponents(intEdges)
+    val viaDistributed = Clusters.connectedComponents(intEdges, driverEdgeCap = 0)
+    assert(viaDriver.schema === viaDistributed.schema)
+    assert(viaDriver.as[(Int, Int)].collect().toMap ===
+      viaDistributed.as[(Int, Int)].collect().toMap)
+    // a NULL edge id makes the driver path decline (distributed semantics
+    // apply regardless of graph size) rather than crash
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
+      .toDF("a_id", "b_id")
+    val viaAuto = Clusters.connectedComponents(withNull).collect()
+    val viaDist = Clusters.connectedComponents(withNull, driverEdgeCap = 0).collect()
+    assert(viaAuto.toSet === viaDist.toSet)
+  }
+
   test("dedupClusters marks exactly one canonical (the min id) per cluster") {
     val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("a_id", "b_id")
     val got = Clusters.dedupClusters(pairs)

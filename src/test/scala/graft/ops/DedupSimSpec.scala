@@ -223,6 +223,17 @@ class DedupSimSpec extends SparkSpec {
       Similarity.semDedup(emb, k = 1, iters = 1, tauE4 = 3500L, pairBudget = 1000L))
     assert(e.getMessage.contains("pair budget"))
     assert(e.getMessage.contains("Raise k"))
+    // the suggested k must actually land under the budget: uniform
+    // clusters at kFix give ~n²/(2·kFix) pairs
+    val kFix = "~(\\d+)".r.findFirstMatchIn(e.getMessage).get.group(1).toLong
+    val n = 500L
+    assert(n * n / (2.0 * kFix) <= 1000L,
+      s"suggested k=$kFix still yields ~${n * n / (2 * kFix)} pairs over the 1000 budget")
+  }
+
+  test("semDedup on an empty corpus returns an empty frame, not an error") {
+    val emb = Tables(spark, sf, "embeddings").filter(lit(false))
+    assert(Similarity.semDedup(emb, k = 4, iters = 1, tauE4 = 3500L).count() === 0L)
   }
 
   test("semDedupAuto keeps per-cluster pair work bounded as the corpus grows") {
