@@ -86,7 +86,7 @@ class Warehouse(spark: SparkSession, root: String) {
   def read(schema: String, table: String): DataFrame = {
     val dirs = dataDirs(schema, table)
     require(dirs.nonEmpty, s"no such table $schema.$table")
-    spark.read.parquet(dirs: _*)
+    readDirs(schema, table, dirs)
   }
 
   /** Time travel: read the table as of an earlier committed version (the
@@ -95,8 +95,32 @@ class Warehouse(spark: SparkSession, root: String) {
   def readAt(schema: String, table: String, version: Long): DataFrame = {
     val dirs = dataDirs(schema, table, version)
     require(dirs.nonEmpty, s"no version $version of $schema.$table")
-    spark.read.parquet(dirs: _*)
+    readDirs(schema, table, dirs)
   }
+
+  /** A hive-partitioned table appended more than once has SEVERAL
+    * partitioned roots (`data/v1/label=…`, `data/v2/label=…`) — Spark's
+    * multi-path reader refuses to infer partitions across them
+    * (CONFLICTING_DIRECTORY_STRUCTURES), so each version dir reads as its
+    * own partitioned root and the versions union. Partition pruning still
+    * applies per root (each scan keeps its partition columns). */
+  private def readDirs(schema: String, table: String, dirs: Seq[String]): DataFrame =
+    if (dirs.size > 1 && partitioning(schema, table).nonEmpty) {
+      // an empty partitioned write leaves a dir with no parquet footers
+      // (no partition values existed to create subdirs) — it contributes
+      // no rows AND no inferable schema, so drop it from the union
+      val nonEmpty = dirs.filter { d =>
+        val it = fs.listFiles(new Path(d), true)
+        var found = false
+        while (!found && it.hasNext) {
+          val n = it.next().getPath.getName
+          found = !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
+      val use = if (nonEmpty.nonEmpty) nonEmpty else dirs
+      use.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    } else spark.read.parquet(dirs: _*)
 
   private def commit(dir: String, v: Long, rels: Seq[String]): Unit = {
     writeFile(logPath(dir, v), rels.mkString("\n"))

@@ -22,10 +22,17 @@ import graft.core.Warehouse
   * 100 TB shape: build is one assignment scan (centroids broadcast);
   * append is O(batch); a query touches ~|lists probed| stored rows per
   * query vector with the query side broadcast — the store itself never
-  * shuffles. The Warehouse gives the lists table versioning/backup like
-  * any other table; a production deployment would additionally bucket
-  * the lists table by label so repeated serving reads stay partition-
-  * pruned to the probed lists.
+  * shuffles. The lists/codes tables are hive-partitioned by `label`, so
+  * a serving read with `probes` lists scans only the probed partition
+  * directories — the scan prunes with the index, it never widens with
+  * the corpus (AnnIndexSpec pins the pruned file set).
+  *
+  * ID-COLLISION HAZARD: `topK`/`topKPq` default to `excludeSelf = true`
+  * (drop candidates whose id equals the query id) — correct when queries
+  * are drawn from the indexed corpus, as in q120/q121. A serving
+  * deployment whose query ids come from an UNRELATED id space must pass
+  * `excludeSelf = false`, or any stored vector that happens to share an
+  * id with a query is silently dropped from that query's top-k.
   */
 object AnnIndex {
 
@@ -41,8 +48,10 @@ object AnnIndex {
             centroids: DataFrame, idCol: String = "vec_id",
             embCol: String = "embedding"): Unit = {
     wh.overwrite(schema, centroidsTable(name), centroids.select(col("label"), col("ce")))
+    // hive-partition the lists by label: a serving read of `probes` lists
+    // scans only the probed partition dirs (sticky — appends keep it)
     wh.overwrite(schema, listsTable(name),
-      assign(wh, schema, name, corpus, idCol, embCol))
+      assign(wh, schema, name, corpus, idCol, embCol), partitionBy = Seq("label"))
   }
 
   /** Assign ONLY the arriving batch against the stored centroids and
@@ -62,15 +71,27 @@ object AnnIndex {
   /** Top-k from the stored lists: queries assign against the stored
     * centroids (broadcast), probe their `probes` nearest lists, and rank
     * candidates by the exact quantized cosine — identical results to
-    * `Similarity.ivfTopK` over the same corpus and centroids. */
+    * `Similarity.ivfTopK` over the same corpus and centroids.
+    *
+    * The probed labels are resolved FIRST (one tiny query-side assignment
+    * — |Q|·probes ints on the driver, the same bounded-collect class as
+    * the hyperplane table) and pushed as a STATIC partition filter, so
+    * the lists scan lists only the probed `label=` directories. Dynamic
+    * partition pruning would reach the same files, but a static filter
+    * prunes at planning time and is assertable (AnnIndexSpec reads the
+    * scan's selected partitions). */
   def topK(wh: Warehouse, schema: String, name: String, queries: DataFrame,
            k: Int, probes: Int = 2, idCol: String = "vec_id",
-           embCol: String = "embedding"): DataFrame = {
+           embCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    val cents = wh.read(schema, centroidsTable(name))
+    val probed = Similarity.ivfAssign(queries, cents, probes, idCol, embCol)
+      .select(col("label")).distinct().collect().map(_.get(0))
     val lists = wh.read(schema, listsTable(name))
+      .filter(col("label").isInCollection(probed))
       .select(col("id").as(idCol), col("label"),
         col("qe").as("__qe"), col("n").as("__n"))
-    Similarity.ivfTopKFromLists(queries, lists,
-      wh.read(schema, centroidsTable(name)), k, probes, idCol, embCol)
+    Similarity.ivfTopKFromLists(queries, lists, cents, k, probes, idCol, embCol,
+      excludeSelf)
   }
 
   // ---- PQ variant: 16× smaller stored payload (m code ints per vector
@@ -88,8 +109,13 @@ object AnnIndex {
               idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     wh.overwrite(schema, codebooksTable(name),
       codebooks.select(col("sub"), col("label"), col("ce")))
+    // partitioned by subspace: plain ADC reads every code by design (the
+    // label here is a codebook entry, not a coarse list — candidate
+    // pruning is the IVF stage's job), but per-subspace maintenance
+    // (rebuild one codebook, audit one subspace) prunes to its dir
     wh.overwrite(schema, codesTable(name),
-      encode(wh, schema, name, corpus, m, dim, idCol, embCol))
+      encode(wh, schema, name, corpus, m, dim, idCol, embCol),
+      partitionBy = Seq("sub"))
   }
 
   /** Encode ONLY the arriving batch against the stored codebooks and
@@ -107,11 +133,14 @@ object AnnIndex {
       .select(col(idCol).as("id"), col("sub"), col("label"))
 
   /** ADC top-k from the stored codes — identical results to
-    * `Similarity.pqTopK` over the same corpus and codebooks. */
+    * `Similarity.pqTopK` over the same corpus and codebooks. No partition
+    * prune here: plain ADC scores every stored code (see [[buildPq]]);
+    * compose with the IVF lists for candidate-pruned serving. */
   def topKPq(wh: Warehouse, schema: String, name: String, queries: DataFrame,
              k: Int, m: Int, dim: Int, idCol: String = "vec_id",
-             embCol: String = "embedding"): DataFrame =
+             embCol: String = "embedding", excludeSelf: Boolean = true): DataFrame =
     Similarity.pqTopKFromCodes(queries,
       wh.read(schema, codesTable(name)).select(col("id").as(idCol), col("sub"), col("label")),
-      wh.read(schema, codebooksTable(name)), k, m, dim, idCol, embCol)
+      wh.read(schema, codebooksTable(name)), k, m, dim, idCol, embCol,
+      excludeSelf)
 }

@@ -47,7 +47,7 @@ object Clusters {
     * the right tool for shallow near-dup clusters; fails loudly past
     * `maxIters`); "star" = large-star/small-star (O(log n) rounds for ANY
     * graph, incl. pathological chains); "auto" (default) = a capped
-    * driver-side union-find when the (materialized) edge set fits
+    * driver-side union-find when the (probed) edge set fits
     * `DriverEdgeCap` — near-dup graphs AFTER banding+verify are usually
     * registry-scale even when the corpus is not — then label propagation,
     * then star as the fallback when the diameter exceeds `maxIters`.
@@ -66,13 +66,22 @@ object Clusters {
           s"connectedComponents did not converge in $maxIters rounds " +
             "(graph diameter exceeds maxIters — raise it, or use method=star)"))
     case "auto" =>
-      // materialize the edge list ONCE: the size probe, the driver
-      // collect, and the distributed fallbacks all read this frame
-      // instead of re-deriving the (often expensive) pair lineage
-      val e = edges.select(col(aCol), col(bCol)).localCheckpoint(true)
-      driverComponents(e, aCol, bCol, driverEdgeCap).getOrElse(
+      // probe on the RAW frame first: the limit(cap+1) collect early-exits
+      // as soon as cap+1 rows exist, and when the driver path wins (the
+      // common registry-scale case) nothing was materialized at all.
+      // Only a graph that overflows the cap pays a one-time checkpoint —
+      // there the distributed rounds rescan the edge set O(rounds) times,
+      // which is exactly when cutting the pair lineage earns its keep.
+      // (localCheckpoint is executor-memory-resident, not fault-tolerant:
+      // a long-lived cluster deployment that must survive executor loss
+      // should set a reliable spark.checkpoint.dir and swap these for
+      // df.checkpoint — same plan shape, durable blocks.)
+      driverComponents(edges.select(col(aCol), col(bCol)), aCol, bCol,
+          driverEdgeCap).getOrElse {
+        val e = edges.select(col(aCol), col(bCol)).localCheckpoint(true)
         labelComponents(e, aCol, bCol, maxIters)
-          .getOrElse(starComponents(e, aCol, bCol)))
+          .getOrElse(starComponents(e, aCol, bCol))
+      }
     case other =>
       throw new IllegalArgumentException(s"unknown method '$other' (label|star|auto)")
   }
@@ -81,8 +90,8 @@ object Clusters {
     * edges; None when ids aren't integral, any edge id is NULL (the
     * distributed paths' null semantics apply, whatever they are — this
     * path must not invent its own), or the cap probe overflows (the probe
-    * is a limit(cap+1) collect on the materialized edge frame — an
-    * early-exit scan, never a full count of a huge graph). Cluster = min
+    * is a limit(cap+1) collect straight off the caller's edge lineage —
+    * an early-exit scan, never a full count of a huge graph). Cluster = min
     * reachable id, and the output id/cluster columns carry the SAME type
     * the distributed paths would produce, so which path ran stays
     * invisible to schema-sensitive consumers. */

@@ -398,52 +398,26 @@ object Dedup {
     * the explode; docs shorter than n contribute nothing (an exact
     * short-doc duplicate is doc-level dedup's job).
     *
-    * xxhash64, NOT the usual md5-derived stableHash60: the repeated-span
-    * surfaces never emit a hash value — gh only partitions grams into
-    * identical-substring groups, so any sound hash yields the same
-    * repeated sets and the DuckDB oracle is free to group by its own md5.
-    * That makes the per-gram hash a pure engine choice, and xxhash64 is
-    * codegen'd native (no hex/bigint round-trip) at ~Σ|text|·n bytes
-    * hashed per corpus — the dominant cost of this operator family.
-    * (Cross-engine divergence would need a 64-bit collision: ~1e-7 odds
-    * at 10^6 grams, and doc-sized blast radius if it ever happened.) */
+    * The hash is a one-pass polynomial ROLLING hash
+    * ([[org.apache.spark.sql.graft.RollingGramHashes]]): each codepoint
+    * is touched once instead of n times and no per-gram string is ever
+    * allocated — the dominant cost of this operator family, cut n-fold.
+    * The hash function is a pure engine choice (see the expression's
+    * hash-agnosticism contract): gh only partitions grams into
+    * identical-substring groups, so the DuckDB oracle groups by its own
+    * md5 and the results agree exactly. */
   private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame =
     df.select(col(idCol),
-        explode(when(length(col(textCol)) >= n,
-          transform(sequence(lit(1), length(col(textCol)) - n + 1),
-            i => struct(i.cast("int").as("pos"),
-              xxhash64(col(textCol).substr(i, lit(n))).as("gh"))))
-          .otherwise(array().cast("array<struct<pos:int,gh:long>>"))).as("g"))
-      .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
+        posexplode(org.apache.spark.sql.graft.RollingHashExprs
+          .rollingGramHashes(col(textCol), n)).as(Seq("p0", "gh")))
+      .select(col(idCol), (col("p0") + 1).cast("int").as("pos"), col("gh"))
 
-  /** Cross-document repeated substring detection (the exact-substring
-    * dedup family of Lee et al. 2022, "Deduplicating Training Data Makes
-    * Language Models Better"): an n-char span is REPEATED when its hash
-    * occurs in ≥ `minDocs` distinct docs — boilerplate, licenses, and
-    * templated text that doc- and passage-level dedup both miss because
-    * the surrounding document differs. Returns per-doc repeated-gram
-    * start positions, sorted: (id, positions array<int>).
-    *
-    * Scale shape: the gram explode is Σ|text| narrow rows on uniform
-    * md5-derived keys; repeated hashes come from one count-distinct-docs
-    * aggregate (map-side combinable), survivors semi-join the gram frame
-    * back (AQE broadcasts the usually-tiny repeated set), and positions
-    * collect per doc — arrays bounded by |doc| grams. No all-pairs stage
-    * at any size. */
-  /** The repeated-gram rows (id, pos, gh) — the shared stage behind the
-    * stats and strip surfaces. The gram frame (one md5 per char position)
-    * is the expensive scan, so it materializes ONCE (persist) and feeds
-    * both the repeated-hash aggregate and the filter-back; the result is
-    * eagerly checkpointed so the cache releases before returning (the
-    * nearDupPairs discipline). For the minDocs=2 default, "≥ 2 distinct
-    * docs" is the single-phase map-side-combinable min(id) ≠ max(id) —
-    * countDistinct's two-phase expand only runs for higher thresholds. */
   /** Run `use` over the repeated-gram rows (id, pos, gh) and checkpoint
     * its (per-doc-small) result — the shared stage behind the stats and
-    * strip surfaces. The gram frame (one md5 per char position) is the
-    * expensive scan, so it materializes ONCE (persist) behind both the
-    * repeated-hash aggregate and the filter-back, and releases before
+    * strip surfaces. The gram frame (one rolling hash per char position)
+    * is the expensive scan, so it materializes ONCE (persist) behind both
+    * the repeated-hash aggregate and the filter-back, and releases before
     * returning (the nearDupPairs discipline); only the caller's aggregate
     * is ever checkpointed — the corpus-sized row set never writes. For
     * the minDocs=2 default, "≥ 2 distinct docs" is the single-phase
@@ -474,8 +448,21 @@ object Dedup {
     out
   }
 
-  /** Cross-doc repeated-gram start positions per doc, sorted:
-    * (id, positions array<int>) — the input to [[stripRepeatedSpans]]. */
+  /** Cross-document repeated substring detection (the exact-substring
+    * dedup family of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): an n-char span is REPEATED when its hash
+    * occurs in ≥ `minDocs` distinct docs — boilerplate, licenses, and
+    * templated text that doc- and passage-level dedup both miss because
+    * the surrounding document differs. Returns per-doc repeated-gram
+    * start positions, sorted: (id, positions array<int>) — the input to
+    * [[stripRepeatedSpans]].
+    *
+    * Scale shape: the gram explode is Σ|text| narrow rows on uniform
+    * 64-bit keys; repeated hashes come from one count-distinct-docs
+    * aggregate (map-side combinable), survivors semi-join the gram frame
+    * back (AQE broadcasts the usually-tiny repeated set), and positions
+    * collect per doc — arrays bounded by |doc| grams. No all-pairs stage
+    * at any size. */
   def repeatedGramPositions(df: DataFrame, idCol: String, textCol: String,
                             n: Int, minDocs: Int = 2): DataFrame =
     withRepeatedGramRows(df, idCol, textCol, n, minDocs)(

@@ -224,13 +224,22 @@ object Similarity {
   /** The IVF query path against ALREADY-ASSIGNED inverted lists —
     * (idCol, label, __qe, __n) rows, e.g. read back from an [[AnnIndex]]
     * store. Serving never re-quantizes or re-assigns the corpus; only
-    * the (tiny, broadcast) query side computes anything per call. */
+    * the (tiny, broadcast) query side computes anything per call.
+    *
+    * `excludeSelf` drops candidates whose id EQUALS the query id — right
+    * when queries are drawn from the corpus itself (q37's shape), wrong
+    * for a serving index whose query ids live in an unrelated id space:
+    * there an accidental id collision would silently drop a stored
+    * vector from that query's candidates. Pass false for external
+    * queries. */
   def ivfTopKFromLists(queries: DataFrame, lists: DataFrame, centroids: DataFrame,
                        k: Int, probes: Int = 2,
-                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(ivfAssign(queries, centroids, probes, idCol, embCol)
       .select(col(idCol).as("q_id"), col("label"), col("__qe").as("q_emb"), col("__n").as("q_norm")))
-    val scored = lists.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
+    val joined = lists.join(q, Seq("label"))
+    val scored = (if (excludeSelf) joined.filter(col("q_id") =!= col(idCol)) else joined)
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         qdot(col("q_emb"), col("__qe")) / (col("q_norm") * col("__n")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
@@ -511,10 +520,13 @@ object Similarity {
   /** The ADC query path against ALREADY-ENCODED codes — (idCol, sub,
     * label) rows, e.g. read back from an [[AnnIndex]] PQ store. Serving
     * reads nothing wider than the code ints; only the per-query lookup
-    * table computes anything per call. */
+    * table computes anything per call. `excludeSelf` as in
+    * [[ivfTopKFromLists]]: keep the default only when queries come from
+    * the indexed corpus itself. */
   def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
                       k: Int, m: Int, dim: Int,
-                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      excludeSelf: Boolean = true): DataFrame = {
     val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
     // the lut carries the codebook entry's self-dot next to the query dot,
     // so ONE (q_id, vec_id) aggregation yields both the approximate dot
@@ -528,11 +540,11 @@ object Similarity {
     val qn = broadcast(queries
       .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe"))
       .select(col("q_id"), qdot(col("__qe"), col("__qe")).as("qn2")))
-    val scored = codes.join(lut, Seq("sub", "label"))
+    val aggd = codes.join(lut, Seq("sub", "label"))
       .groupBy(col("q_id"), col(idCol))
       .agg(sum(col("pd")).as("dot"), sum(col("cn2")).as("rn2"))
       .join(qn, Seq("q_id"))
-      .filter(col("q_id") =!= col(idCol))
+    val scored = (if (excludeSelf) aggd.filter(col("q_id") =!= col(idCol)) else aggd)
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         col("dot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
@@ -647,7 +659,13 @@ object Similarity {
     * backstops miscalibration: the candidate pair count is measured on
     * the (cached) assignment before the quadratic stage runs, and the
     * call refuses — naming the observed count and the k that would fix
-    * it — rather than launching a job that cannot finish. */
+    * it — rather than launching a job that cannot finish.
+    *
+    * EAGER: unlike most operators here, this call runs Spark jobs at
+    * call time (the k-means fit, the budget probe, and the final
+    * checkpoint) and returns an already-materialized frame — the
+    * corpus-sized assignment cache must not outlive the call, so the
+    * result cannot stay lazy. */
   def semDedup(corpus: DataFrame, k: Int, iters: Int, tauE4: Long,
                idCol: String = "vec_id", embCol: String = "embedding",
                pairBudget: Long = 50_000_000L): DataFrame = {
@@ -676,29 +694,32 @@ object Similarity {
           s"~$kFix (or call semDedupAuto, which derives k from a target " +
           "cluster size) instead of running a quadratic stage this large.")
     }
-    val a = assigned.select(col(idCol).as("a_id"), col("label"),
-      col("__qe").as("ae"), col("__n").as("an"))
-    val b = assigned.select(col(idCol).as("b_id"), col("label"),
-      col("__qe").as("be"), col("__n").as("bn"))
-    val pairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
-        qdot(col("ae"), col("be")) / (col("an") * col("bn")), 4))
-      .filter(col("cos_e4") >= tauE4)
-      .select(col("a_id"), col("b_id"))
-    val comp = Clusters.dedupClusters(pairs)
-    val dist = assigned.join(broadcast(cent), "label")
-      .select(col(idCol),
-        (qdot(col("__qe"), col("__qe")) + qdot(col("ce"), col("ce"))
-          - lit(2) * qdot(col("__qe"), col("ce"))).as("dist_sq"))
-    val w = Window.partitionBy(col("cluster")).orderBy(col("dist_sq").desc, col(idCol))
-    val out = comp.select(col("cluster"), col("doc_id").as(idCol))
-      .join(dist, idCol)
-      .withColumn("keep", row_number().over(w) === 1)
-      .select(col("cluster"), col(idCol), col("dist_sq"), col("keep"))
-    // materialize before releasing the assignment cache the plan reads 3×
-    val ck = out.localCheckpoint(true)
-    assigned.unpersist()
-    ck
+    // the assignment cache must release on EVERY exit — a failure in the
+    // pair join / components / checkpoint below would otherwise pin a
+    // corpus-sized cache for the life of the session
+    try {
+      val a = assigned.select(col(idCol).as("a_id"), col("label"),
+        col("__qe").as("ae"), col("__n").as("an"))
+      val b = assigned.select(col(idCol).as("b_id"), col("label"),
+        col("__qe").as("be"), col("__n").as("bn"))
+      val pairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+          qdot(col("ae"), col("be")) / (col("an") * col("bn")), 4))
+        .filter(col("cos_e4") >= tauE4)
+        .select(col("a_id"), col("b_id"))
+      val comp = Clusters.dedupClusters(pairs)
+      val dist = assigned.join(broadcast(cent), "label")
+        .select(col(idCol),
+          (qdot(col("__qe"), col("__qe")) + qdot(col("ce"), col("ce"))
+            - lit(2) * qdot(col("__qe"), col("ce"))).as("dist_sq"))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("dist_sq").desc, col(idCol))
+      val out = comp.select(col("cluster"), col("doc_id").as(idCol))
+        .join(dist, idCol)
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("cluster"), col(idCol), col("dist_sq"), col("keep"))
+      // materialize before releasing the assignment cache the plan reads 3×
+      out.localCheckpoint(true)
+    } finally assigned.unpersist()
   }
 
   /** [[semDedup]] with k derived from the corpus: k = ⌈n / targetClusterSize⌉,

@@ -76,8 +76,12 @@ object SimQueries {
   private def withTempWarehouse(whDir: java.nio.file.Path)(result: => DataFrame): DataFrame = {
     val out = result.localCheckpoint(true)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(whDir).iterator().asScala.toSeq.reverse
+    // close the walk stream (it holds directory handles open until then —
+    // Bench/Verify invoke these queries many times per session)
+    val walk = java.nio.file.Files.walk(whDir)
+    try walk.iterator().asScala.toSeq.reverse
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
     out
   }
 

@@ -61,6 +61,38 @@ class AnnIndexSpec extends SparkSpec {
       rows(Similarity.pqTopK(queries, emb, cb, k = 5, m, dim)))
   }
 
+  test("serving scan prunes to the probed label partitions") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cent = Similarity.ivfCentroids(emb, "label")
+    val wh = freshWh()
+    AnnIndex.build(wh, "ann", "emb", emb, cent)
+    val nLabels = cent.count()
+    val probes = 2
+    // how many lists the 5 queries actually probe
+    val probed = Similarity.ivfAssign(queries, cent, probes)
+      .select("label").distinct().count()
+    assert(probed < nLabels, "fixture must leave some lists unprobed")
+    val served = AnnIndex.topK(wh, "ann", "emb", queries, k = 5, probes = probes)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def listScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => listScans(a.executedPlan)
+      case s: QueryStageExec => listScans(s.plan)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("emb_lists")) =>
+        Seq(f)
+      case other => other.children.flatMap(listScans)
+    }
+    val scans = listScans(served.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a file scan over the lists table")
+    val lists = scans.head
+    assert(lists.partitionFilters.nonEmpty,
+      "the probed labels must reach the scan as partition filters")
+    assert(lists.selectedPartitions.partitionCount.toLong === probed,
+      "the scan must list exactly the probed label directories")
+  }
+
   test("PQ append-then-query equals rebuild (codes are codebook-pure)") {
     val emb = Tables(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
