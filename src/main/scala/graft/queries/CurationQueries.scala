@@ -125,16 +125,37 @@ object CurationQueries {
   /** q118: the full tokenizer pipeline in one query — learn 200 BPE
     * merges from the corpus (one-job learner), then ENCODE every doc
     * with the codegen'd kernel and report the 40 most-frequent pieces.
-    * No SQL oracle exists for an iterative learner (rows-only check);
-    * BpeSpec pins encode == independent replica and size(encode) ==
-    * bpe_token_count. */
+    *
+    * Oracle design (the learn/encode seam): no SQL oracle can replay an
+    * iterative learner, so the query FREEZES the learned merge table to
+    * a deterministic temp parquet (`/tmp/graft_q118_merges_<sf>` — the
+    * learner is deterministic, so every run of the same corpus rewrites
+    * identical rows) and the DuckDB oracle replays ENCODE-GIVEN-MERGES
+    * from that frozen table: a nested list-fold applies the merges in
+    * rank order over the distinct word vocabulary, exactly the kernel's
+    * greedy left-to-right pass per rank (BpeExprs.BpeMergeKernel). The
+    * learner itself stays pinned by BpeSpec (batched ≡ sequential ≡
+    * fast); the oracle closes the remaining gap — the corpus-scale
+    * encode + aggregation — with a real hash check. */
   def q118BpeVocabUsage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
     val merges = graft.operators.Bpe.learnMergesFast(docs, "text", 200, minCount = 2L)
+    spark.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) => (i, a, b, nDocs) })
+      .toDF("rank", "a", "b", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(q118MergeDump(dir))
     docs.select(explode(graft.operators.Bpe.bpeEncode(col("text"), merges)).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("piece")).limit(40)
   }
+
+  /** Frozen-merge-table location, keyed by the sf dir's basename so a
+    * bench run at one scale can never clobber another scale's table; the
+    * oracle globs every dump and selects by the `n_docs` fingerprint, so
+    * the SAME static SQL replays correctly at whichever scale the
+    * harness bound its table views to. */
+  private def q118MergeDump(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q118_merges_${new java.io.File(dir).getName}"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
@@ -170,7 +191,36 @@ object CurationQueries {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
-    // q118 omitted: no SQL oracle for an iterative BPE learner (rows-only)
+    // q118: encode-given-frozen-merges (see q118BpeVocabUsage scaladoc).
+    // The merge table is written by the Spark query itself — the learner
+    // is deterministic, so the replay checks the corpus-scale encode +
+    // aggregation, while BpeSpec pins the learner. The glob sees every
+    // scale's dump; the n_docs fingerprint picks the one learned from
+    // the corpus THIS harness run bound its views to.
+    // chr(1) separates pieces inside the fold accumulator; chr(2)
+    // separates a|b inside one encoded merge — neither occurs in text.
+    "q118_bpe_vocab_usage" ->
+      raw"""WITH magg AS (SELECT list(a || chr(2) || b ORDER BY rank) AS ms
+             FROM read_parquet('${System.getProperty("java.io.tmpdir")}/graft_q118_merges_*/*.parquet')
+             WHERE n_docs = (SELECT count(*) FROM documents)),
+         toks AS (SELECT unnest(CASE WHEN len(trim(lower(text))) = 0 THEN []
+               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+             FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         enc AS (SELECT c, list_reduce(
+             list_prepend(array_to_string([w[i] for i in range(1, len(w)+1)], chr(1)), ms),
+             (acc, x) -> list_reduce(
+                string_split(acc, chr(1)),
+                (a2, y) -> CASE
+                   WHEN string_split(a2, chr(1))[-1] = string_split(x, chr(2))[1]
+                        AND y = string_split(x, chr(2))[2]
+                   THEN array_to_string(list_append(string_split(a2, chr(1))[1:-2],
+                          string_split(x, chr(2))[1] || string_split(x, chr(2))[2]), chr(1))
+                   ELSE a2 || chr(1) || y END)) AS e
+           FROM wc, magg),
+         pieces AS (SELECT unnest(string_split(e, chr(1))) AS piece, c FROM enc)
+         SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM pieces
+         GROUP BY 1 ORDER BY n DESC, piece LIMIT 40""",
     "q117_epoch_shuffle" ->
       raw"""WITH h AS (SELECT doc_id,
              CAST(('0x'||substr(md5('shuf:e1:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
