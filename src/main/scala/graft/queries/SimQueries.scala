@@ -217,6 +217,19 @@ object SimQueries {
       k = 8, iters = 2, tauE4 = 3500L)
       .orderBy(col("cluster"), col("vec_id"))
 
+  /** q122: q97 through the 100 TB-safe entry point — `semDedupAuto`
+    * derives k = ⌈n / targetClusterSize⌉ from the measured corpus
+    * instead of trusting a hand-picked constant, so per-cluster pair
+    * work stays bounded as data grows. targetClusterSize = 63 makes the
+    * derived k equal q97's hand-picked 8 on the sf0.01 corpus (500
+    * rows), proving auto ≡ manual when they agree; at other scales the
+    * oracle derives the same k from its own count(*), so the check
+    * holds wherever the harness runs it. */
+  def q122SemDedupAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAuto(Tables(spark, dir, "embeddings"),
+      targetClusterSize = 63L, iters = 2, tauE4 = 3500L)
+      .orderBy(col("cluster"), col("vec_id"))
+
   /** q100: distributed PCA — every embedding projected onto the corpus's
     * dominant principal direction (8 power iterations over a covariance
     * built in ONE corpus scan). The whitening/compression primitive:
@@ -266,6 +279,7 @@ object SimQueries {
     "q37_ivf_topk" -> (q37IvfTopK _),
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
+    "q122_semdedup_auto" -> (q122SemDedupAuto _),
     "q39_kmeans" -> (q39Kmeans _))
 
   // ---- oracle SQL ----
@@ -469,10 +483,21 @@ object SimQueries {
          SELECT vec_id, CAST(list_dot_product(ce, varr) AS BIGINT) AS pc1_proj
          FROM c, va ORDER BY vec_id"""
     },
-    "q97_semdedup" ->
+    "q97_semdedup" -> semDedupOracleSql("8"),
+    // q122: identical derivation with k DERIVED like semDedupAuto does —
+    // ⌈count(*) / 63⌉ — so the oracle agrees at every scale it runs at
+    "q122_semdedup_auto" -> semDedupOracleSql(
+      "(SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings)")) ++
+    oraclesMid ++ oraclesTail
+
+  /** The SemDeDup oracle chain (seeds → 2×(assign, step) → within-cluster
+    * pairs → recursive components → keep-the-outlier), parameterized by
+    * the seed-count SQL so the manual-k (q97) and derived-k (q122)
+    * surfaces share one derivation. */
+  private def semDedupOracleSql(seedLimit: String): String =
       raw"""WITH RECURSIVE e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
-                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 8)),
+                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT $seedLimit)),
          a1 AS (${assignSql("seeds")}),
          c1 AS (${stepSql("a1", "seeds")}),
          a2 AS (${assignSql("c1")}),
@@ -498,7 +523,9 @@ object SimQueries {
                ORDER BY dist_sq DESC, comp.vec_id) AS rn
            FROM comp JOIN dist ON dist.vec_id = comp.vec_id)
          SELECT cluster, vec_id, dist_sq, rn = 1 AS keep
-         FROM r ORDER BY cluster, vec_id""",
+         FROM r ORDER BY cluster, vec_id"""
+
+  private lazy val oraclesMid: Map[String, String] = Map(
     "q80_ivf_sq8" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
@@ -604,7 +631,7 @@ object SimQueries {
     // q120 serves q37's search from the persisted index — same result,
     // same oracle derivation
     "q120_ann_index_topk" -> ivfTopKSql,
-    "q37_ivf_topk" -> ivfTopKSql) ++ oraclesTail
+    "q37_ivf_topk" -> ivfTopKSql)
 
   private lazy val ivfTopKSql: String =
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),

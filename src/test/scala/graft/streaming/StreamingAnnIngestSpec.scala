@@ -69,4 +69,37 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(rows(AnnIndex.topK(wh, "ann", "emb", queries, k = 5)) ===
       rows(AnnIndex.topK(oneShot, "ann", "emb", queries, k = 5)))
   }
+
+  test("stream-ingested index serves q120's oracle-checked query set exactly") {
+    // the end-to-end anchor: stream the embeddings fixture into an index
+    // in two batches, then serve EXACTLY the workload q120's green oracle
+    // row pins (10 query vectors, k=5, probes=2, label-derived centroids)
+    // — every row equal to the ad-hoc ivfTopK the oracle hash-checks, so
+    // the streaming ingest path is transitively oracle-anchored.
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cent = Similarity.ivfCentroids(emb, "label")
+
+    val srcDir = Files.createTempDirectory("graft_annstream2_src_").toString
+    val ckpt = Files.createTempDirectory("graft_annstream2_ck_").toString
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_annstream2_wh_").toString)
+    AnnIndex.build(wh, "ann", "emb", emb.filter(lit(false)), cent)
+    emb.filter(col("vec_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$srcDir/batch1.parquet")
+    emb.filter(col("vec_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$srcDir/batch2.parquet")
+    val q = spark.readStream.schema(embSchema).parquet(s"$srcDir/*.parquet")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .option("maxFilesPerTrigger", "1") // two micro-batches, two appends
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) AnnIndex.append(wh, "ann", "emb", b)
+      }
+      .start()
+    q.awaitTermination()
+
+    val served = AnnIndex.topK(wh, "ann", "emb", queries, k = 5, probes = 2)
+    val adHoc = Similarity.ivfTopK(queries, emb, cent, k = 5, probes = 2)
+    assert(rows(served) === rows(adHoc))
+  }
 }
