@@ -108,5 +108,10 @@ object Bench {
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    // LAST stdout line, after spark.stop() so no straggler log can follow
+    // it: a tail-capture that truncates the per-query JSON map (observed
+    // at ~88 entries) still keeps the headline total. target/bench.json
+    // above stays the canonical full artifact.
+    println(s"TOTAL ${r3(total)} ${results.size} entries")
   }
 }
