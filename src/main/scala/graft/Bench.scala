@@ -39,6 +39,12 @@ object Bench {
     def releaseAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // ContextCleaner frees shuffle files only when the driver GCs their
+      // ShuffleDependency refs; at a 64 GB heap GC may never run across a
+      // whole sweep, so heavy-query shuffle debris accumulates on disk
+      // until ENOSPC (observed: the sf1.0 probe died at ~80 GB of spill).
+      // One explicit GC per query, safely off the timed clock.
+      System.gc()
     }
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -130,13 +130,37 @@ object Dedup {
   }
 
   /** Candidate pairs (a_id < b_id) sharing ≥1 LSH band. The only join in the
-    * near-dup path — on uniform (band, band_hash) keys. */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame =
-    bands.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
-      .join(bands.select(col("band"), col("band_hash"), col(idCol).as("b_id")),
+    * near-dup path — on uniform (band, band_hash) keys.
+    *
+    * `maxBucketSize`: skip buckets with more than `cap` members before the
+    * self-join. A bucket of B members contributes B²/2 candidate pairs, so
+    * on low-entropy corpora (boilerplate, templates, tiny vocabularies —
+    * measured on this repo's fixture: background 5-gram Jaccard ≈ 0.45
+    * makes chunk-level candidates grow ~quadratically, BENCH.md sf1.0
+    * probe) a handful of degenerate buckets dominate the whole job. The
+    * production stance is to drop them: members of a giant bucket are
+    * wholesale near-identical boilerplate, which the exact-substring /
+    * repetition operators (q119, q67) handle — pair enumeration inside
+    * such a bucket is quadratic work for no curation signal. The cap is a
+    * deterministic function of the bucket census (count ≤ cap), so capped
+    * results stay oracle-expressible (HAVING count(*) <= cap). */
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap)
+          .select(col("band"), col("band_hash"))
+        bands.join(ok, Seq("band", "band_hash"))
+      case None => bands
+    }
+    kept.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
+      .join(kept.select(col("band"), col("band_hash"), col(idCol).as("b_id")),
         Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+  }
 
   /** Exact n-gram Jaccard: |A∩B| via shingle match, jaccard =
     * inter/(|A|+|B|-inter). Integer ratio → bit-identical doubles in every
@@ -182,12 +206,13 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, b: Int = 4, shingleN: Int = 5,
                    minJaccard: Double = 0.5,
-                   verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes): DataFrame = {
+                   verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val enriched = signatureFrame(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = nearDupPairsFromSignatures(enriched, idCol, k, b, minJaccard,
-      verifyBroadcastBytes)
+      verifyBroadcastBytes, maxBucketSize)
     enriched.unpersist()
     out
   }
@@ -203,9 +228,10 @@ object Dedup {
   def nearDupPairsFromSignatures(sig: DataFrame, idCol: String,
                                  k: Int = 16, b: Int = 4,
                                  minJaccard: Double = 0.5,
-                                 verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes): DataFrame = {
+                                 verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
+                                 maxBucketSize: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol)
+    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol, maxBucketSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = jaccardFromSets(
       sig.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard,

@@ -807,4 +807,50 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos_e4"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Sign-bit words of a quantized vector: two longs holding the sign bits
+    * of dims [0,32) and [32,64) (the 32-bit split keeps the oracle's
+    * power-of-two reconstruction inside exact-double range — see
+    * SignBitsWord). 64 dims → 16 bytes; Hamming distance between two
+    * vectors is then two XOR+popcounts. */
+  def signWords(df: DataFrame, id: String,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qe = quantize(col(embCol))
+    df.select(col(idCol).as(id), qe.as(s"${id}_qe"),
+      org.apache.spark.sql.graft.SignBitsWord(qe, 0, 32).as(s"${id}_w0"),
+      org.apache.spark.sql.graft.SignBitsWord(qe, 32, 32).as(s"${id}_w1"))
+  }
+
+  /** Binary (sign-bit) Hamming search with exact re-rank — the standard
+    * two-stage pattern for cheap ANN over float embeddings: compress every
+    * vector to its 64 sign bits (16 bytes), shortlist the `shortlist`
+    * Hamming-nearest candidates per query (two XOR+popcounts per pair
+    * instead of a 64-term dot product), then re-rank the shortlist by the
+    * exact quantized cosine and keep top `k`.
+    *
+    * Scale shape: one corpus scan computes the words inline (codegen'd,
+    * no shuffle); the query side — ids, words, and quantized vectors for
+    * the rerank — broadcasts; the only wide state is the per-query
+    * shortlist window. Sign-bit Hamming approximates angular distance
+    * (each differing sign bit is a hyperplane the pair straddles), so
+    * recall@k tracks the shortlist/k ratio. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  shortlist: Int = 20,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(signWords(queries, "q", idCol, embCol))
+    val c = signWords(corpus, "c", idCol, embCol)
+    val scored = c.join(q, col("q") =!= col("c"))
+      .withColumn("hamming",
+        (bit_count(col("q_w0").bitwiseXOR(col("c_w0"))) +
+          bit_count(col("q_w1").bitwiseXOR(col("c_w1")))).cast("int"))
+    val slw = Window.partitionBy(col("q")).orderBy(col("hamming"), col("c"))
+    val sl = scored.withColumn("srk", row_number().over(slw))
+      .filter(col("srk") <= shortlist)
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qcosine(col("q_qe"), col("c_qe")), 4))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos_e4").desc, col("c"))
+    sl.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q").as("q_id"), col("c").as("neighbor_id"),
+        col("hamming"), col("cos_e4"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -82,8 +82,29 @@ object DedupQueries {
       .filter(col("n_repeated") > 0)
       .orderBy(col("doc_id"))
 
+  /** q126: q111's chunk-level near-dup with the LSH bucket cap (24) — the
+    * low-entropy-robust formulation. The sf1.0 scale probe (BENCH.md)
+    * measured uncapped chunk candidates growing ~quadratically on this
+    * fixture (background 5-gram Jaccard ≈ 0.45 from the 31-token
+    * vocabulary): 5k → 635k → 58.4M band pairs across the three scales,
+    * while cap 24 holds the growth linear (2.5k → 52k → 662k). Dropped
+    * buckets are wholesale-boilerplate groups the exact-substring and
+    * repetition operators (q119/q67) own; the cap is a deterministic
+    * census predicate, so the oracle replays it as HAVING count(*) <= 24. */
+  def q126CappedChunkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunker.tokenChunks(
+      Tables(spark, dir, "documents"), "doc_id", "text", size = 32, stride = 24)
+      .select((col("doc_id") * lit(100000L) + col("chunk_idx")).as("doc_id"),
+        col("chunk").as("text"))
+    Dedup.nearDupPairs(chunks, "doc_id", "text",
+      k = K, b = B, shingleN = N, minJaccard = 0.5,
+      maxBucketSize = Some(24))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_chunk_near_dup" -> (q111ChunkNearDup _),
+    "q126_capped_chunk_near_dup" -> (q126CappedChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
@@ -107,7 +128,17 @@ object DedupQueries {
     * ending in `pairs(a_id, b_id, jaccard_e4)` — shared by the q20 oracle,
     * the q41 connected-components oracle, and (over a chunk base CTE)
     * q111. `base` must provide (doc_id, text). */
-  private[queries] def nearDupPairsCtesFrom(base: String): String =
+  private[queries] def nearDupPairsCtesFrom(base: String,
+                                            maxBucket: Option[Int] = None): String = {
+    // bucket-capped variant: drop (band, bh) buckets over the cap before
+    // pairing — mirrors Dedup.lshCandidatePairs(maxBucketSize)
+    val bandsCtes = maxBucket match {
+      case Some(cap) =>
+        raw"""bands0 AS ($bandSelects),
+         bok AS (SELECT band, bh FROM bands0 GROUP BY band, bh HAVING count(*) <= $cap),
+         bands AS (SELECT b0.doc_id, b0.band, b0.bh FROM bands0 b0 JOIN bok USING (band, bh))"""
+      case None => s"bands AS ($bandSelects)"
+    }
     raw"""d AS (SELECT doc_id, CASE WHEN len(text) >= $N
            THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
            ELSE [text] END AS shs0 FROM $base),
@@ -115,7 +146,7 @@ object DedupQueries {
              list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
            FROM d),
          sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, $sigCols FROM h),
-         bands AS ($bandSelects),
+         $bandsCtes,
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -127,6 +158,7 @@ object DedupQueries {
          pairs AS (SELECT a_id, b_id,
              CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
            FROM scored)"""
+  }
 
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
 
@@ -149,6 +181,18 @@ object DedupQueries {
            CAST(floor(1e4 * r.n_repeated / t.n_grams + 0.5) AS BIGINT) AS rep_frac_e4
          FROM t JOIN r USING (doc_id)
          ORDER BY t.doc_id""",
+    "q126_capped_chunk_near_dup" ->
+      raw"""WITH ckt AS (SELECT doc_id,
+             CASE WHEN len(trim(text))=0 THEN []
+                  ELSE regexp_split_to_array(trim(text),'\s+') END AS tks
+           FROM documents),
+         ck AS (SELECT doc_id, tks, unnest(range(0, len(tks), 24)) AS s FROM ckt),
+         chunks AS (SELECT doc_id*100000 + s//24 AS doc_id,
+             array_to_string(tks[s+1:s+32], ' ') AS text
+           FROM ck),
+         ${nearDupPairsCtesFrom("chunks", maxBucket = Some(24))}
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
+         WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     "q111_chunk_near_dup" ->
       raw"""WITH ckt AS (SELECT doc_id,
              CASE WHEN len(trim(text))=0 THEN []

@@ -216,7 +216,27 @@ object MiscQueries {
       .orderBy(col("source_name"))
   }
 
+  /** q125: theta/KMV sketch set algebra — per-event-type distinct-user
+    * sketches (k=256, map-side-capped KMV partials), then pairwise
+    * intersection/union estimates between every two event types from the
+    * sketches alone. Diagonal rows (grp_a = grp_b) carry each single
+    * sketch's own estimate; off-diagonal rows the pair algebra. The
+    * cross-slice overlap question ("how many users do click and purchase
+    * share?") answered from k-bounded state — no distinct join. */
+  def q125ThetaSketchOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = graft.operators.ThetaSketch.sketch(
+      Tables(spark, dir, "events"), "event_type", "user_id", k)
+    val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
+    val singles = sk.select(
+      col("event_type").as("grp_a"), col("event_type").as("grp_b"),
+      col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
+    singles.unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_theta_sketch_ops" -> (q125ThetaSketchOps _),
     "q82_constraint_report" -> (q82ConstraintReport _),
     "q88_record_reconcile" -> (q88RecordReconcile _),
     "q85_frame_features" -> (q85FrameFeatures _),
@@ -236,6 +256,46 @@ object MiscQueries {
       .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    // q125: the KMV sketch is a pure function of the distinct hash set
+    // (k smallest), so distinct + row_number ≤ k rebuilds the identical
+    // sketch; the estimators are the same single-division arithmetic.
+    // 1152921504606846976 = 2^60 (stableHash60's domain), exact as a
+    // double; counts ≤ 2k keep every product inside exact-double range.
+    "q125_theta_sketch_ops" ->
+      raw"""WITH h AS (SELECT DISTINCT event_type AS g,
+             CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+           FROM events),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         sk AS (SELECT g, h FROM r WHERE rn <= 256),
+         meta AS (SELECT g, count(*) AS n,
+             CASE WHEN count(*) < 256 THEN 1152921504606846976 ELSE max(h) END AS theta
+           FROM sk GROUP BY 1),
+         est AS (SELECT g, n,
+             CASE WHEN n < 256 THEN n
+               ELSE CAST(floor(255.0*1152921504606846976 / CAST(theta AS DOUBLE)) AS BIGINT) END AS e
+           FROM meta),
+         singles AS (SELECT g AS grp_a, g AS grp_b, n AS n_common, e AS est_intersect,
+             e AS est_union FROM est),
+         pairs AS (SELECT a.g AS grp_a, b.g AS grp_b, least(a.theta, b.theta) AS theta_ab
+           FROM meta a JOIN meta b ON a.g < b.g),
+         common AS (SELECT p.grp_a, p.grp_b, count(*) AS n_common
+           FROM pairs p JOIN sk a ON a.g = p.grp_a JOIN sk b ON b.g = p.grp_b AND b.h = a.h
+           WHERE a.h < p.theta_ab GROUP BY 1, 2),
+         below AS (SELECT p.grp_a, p.grp_b, count(*) AS n_below
+           FROM pairs p JOIN sk s ON s.g = p.grp_a OR s.g = p.grp_b
+           WHERE s.h < p.theta_ab GROUP BY 1, 2),
+         pairrows AS (SELECT p.grp_a, p.grp_b,
+             coalesce(c.n_common, 0) AS n_common,
+             CAST(floor(CAST(coalesce(c.n_common, 0) AS DOUBLE) * 1152921504606846976.0
+               / CAST(p.theta_ab AS DOUBLE)) AS BIGINT) AS est_intersect,
+             CAST(floor(CAST(coalesce(b.n_below, 0) - coalesce(c.n_common, 0) AS DOUBLE)
+               * 1152921504606846976.0 / CAST(p.theta_ab AS DOUBLE)) AS BIGINT) AS est_union
+           FROM pairs p LEFT JOIN common c ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b
+           LEFT JOIN below b ON b.grp_a = p.grp_a AND b.grp_b = p.grp_b)
+         SELECT grp_a, grp_b, CAST(n_common AS BIGINT) AS n_common,
+           est_intersect, est_union
+         FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairrows)
+         ORDER BY grp_a, grp_b""",
     "q88_record_reconcile" ->
       """WITH stg_orders AS (
            SELECT o_orderkey FROM orders WHERE o_orderkey % 997 <> 0),

@@ -261,8 +261,18 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q124: binary sign-bit Hamming search — every vector compressed to two
+    * 32-bit sign words (16 bytes), queries shortlist the 20 Hamming-nearest
+    * candidates (XOR+popcount), exact quantized cosine re-ranks to top-5. */
+  def q124HammingTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"),
+      TopK, shortlist = 20)
+      .orderBy(col("q_id"), col("rank"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_sq8_recall" -> (q65Sq8Recall _),
+    "q124_hamming_topk" -> (q124HammingTopK _),
     "q91_pq_rerank" -> (q91PqRerank _),
     "q97_semdedup" -> (q97SemDedup _),
     "q100_pca_projection" -> (q100PcaProjection _),
@@ -609,6 +619,29 @@ object SimQueries {
              FROM s)
          SELECT vec_id, label, dist_sq, dist_sq > 2*mean_dist AS is_outlier
          FROM m ORDER BY vec_id""",
+    // q124: sign words rebuilt as exact power-of-two sums per 32-dim half
+    // (2^31 max — inside exact-double range; see SignBitsWord scaladoc),
+    // then the same shortlist-by-Hamming / rerank-by-cosine chain.
+    "q124_hamming_topk" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         b AS (SELECT e.vec_id, e.qe, w.w0, w.w1 FROM e JOIN (
+             SELECT vec_id,
+               CAST(sum(CASE WHEN v > 0 AND d <= 32 THEN CAST(power(2, d-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN v > 0 AND d > 32 THEN CAST(power(2, d-33) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+             FROM (SELECT vec_id, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM e)
+             GROUP BY 1) w USING (vec_id)),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id, q.qe AS q_qe, c.qe AS c_qe,
+               bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+             FROM b q JOIN b c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+         sl AS (SELECT q_id, vec_id, q_qe, c_qe, hamming,
+               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS srk FROM s),
+         ex AS (SELECT q_id, vec_id, hamming, ${cosSql("q_qe", "c_qe")} AS cos_e4
+             FROM sl WHERE srk <= 20),
+         r AS (SELECT q_id, vec_id, hamming, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM ex)
+         SELECT q_id, vec_id AS neighbor_id, CAST(hamming AS INT) AS hamming,
+           cos_e4, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q22_cosine_topk" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),

@@ -155,8 +155,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q123: model-based quality filtering — the frozen linear classifier
+    * (QualityModel) scored over every document: raw logit (e4 fixed-point)
+    * plus the p>0.5 keep decision. One codegen'd scan, no shuffle — the
+    * per-document cost a 100 TB filtering pass actually pays. */
+  def q123QualityModel(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.operators.QualityModel.logitE4(col("text")).as("logit_e4"),
+        graft.operators.QualityModel.keep(col("text")).as("keep"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
+    "q123_quality_model" -> (q123QualityModel _),
     "q92_bigram_lm" -> (q92BigramLm _),
     "q93_blocklist" -> (q93Blocklist _),
     "q94_quality_gate" -> (q94QualityGate _),
@@ -171,7 +184,29 @@ object TextQueries {
   private[queries] val stopCountSql =
     raw"len(regexp_extract_all(lower(text),'\b(the|and|is|of|to|in|a|for|on|it)\b'))"
 
+  // q123: the frozen QualityModel weights, replayed feature-for-feature.
+  // The logit accumulates bias-first, left-to-right — the same IEEE op
+  // order as QualityModel.logit, so the doubles are bit-identical.
+  private val q123LogitSql =
+    raw"""(-1.2 + 2.4*least(n_tok/200.0, 1.0)
+      + (-3.5)*(CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)
+      + 1.6*least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)
+      + (-2.0)*(CASE WHEN n_chr>0 THEN n_dig/CAST(n_chr AS DOUBLE) ELSE 0.0 END)
+      + (-0.8)*least(CASE WHEN n_tok>0 THEN CAST(n_chr AS DOUBLE)/(n_tok*20.0) ELSE 0.0 END, 1.0)
+      + (-0.5)*(CASE WHEN n_na>0 THEN 1.0 ELSE 0.0 END))"""
+
   val oracles: Map[String, String] = Map(
+    "q123_quality_model" ->
+      raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop,
+           len(regexp_extract_all(text,'[0-9]')) AS n_dig,
+           len(regexp_extract_all(text,'[^ -~]')) AS n_na,
+           len(text) AS n_chr
+           FROM documents)
+         SELECT doc_id,
+           CAST(floor($q123LogitSql*10000 + 0.5) AS BIGINT) AS logit_e4,
+           $q123LogitSql > 0.0 AS keep
+         FROM t ORDER BY doc_id""",
     "q16_token_stats" ->
       raw"""SELECT lang, count(*) AS n_docs,
          CAST(sum($tokCountSql) AS BIGINT) AS n_tokens,

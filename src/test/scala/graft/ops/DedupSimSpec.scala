@@ -43,6 +43,24 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never paired
   }
 
+  test("LSH bucket cap drops exactly the over-cap buckets' pairs, keeps the rest") {
+    // 30 copies of one text form a giant bucket; one unrelated near-dup
+    // pair must survive any cap ≥ 2
+    val base = (1L to 30L).map(i => (i, "the big data table scans the data fast and well")) ++
+      Seq((100L, "a small filter joins the keys on sorted rows today"),
+        (101L, "a small filter joins the keys on sorted rows now"))
+    val df = base.toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val capped = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5,
+      maxBucketSize = Some(8))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)))
+    assert(uncapped.exists(p => p._1 <= 30 && p._2 <= 30)) // giant bucket paired uncapped
+    assert(!capped.exists(p => p._1 <= 30 && p._2 <= 30)) // and fully dropped capped
+  }
+
   test("jaccard verify size gate: broadcast under budget, shuffle join above") {
     // hand-built hashed shingle sets: (1,2) near-identical, (3,4) disjoint
     val sets = Seq(

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Sign-bit Hamming search: SignBitsWord against a Scala-computed reference,
+  * and hammingTopK against a brute-force shortlist+rerank on the fixture. */
+class HammingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("SignBitsWord packs sign bits exactly as the Scala reference") {
+    val got = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"),
+        org.apache.spark.sql.graft.SignBitsWord(col("qe"), 0, 32).as("w0"),
+        org.apache.spark.sql.graft.SignBitsWord(col("qe"), 32, 32).as("w1"))
+      .as[(Long, Seq[Long], Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, qe, w0, w1) =>
+      def ref(from: Int): Long =
+        (0 until 32).foldLeft(0L) { (s, j) =>
+          if (from + j < qe.length && qe(from + j) > 0) s | (1L << j) else s
+        }
+      assert(w0 === ref(0), s"w0 mismatch for vec $id")
+      assert(w1 === ref(32), s"w1 mismatch for vec $id")
+    }
+  }
+
+  test("hammingTopK equals the brute-force shortlist + exact rerank") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 3
+    val shortlist = 10
+    val got = Similarity.hammingTopK(queries, emb, k, shortlist)
+      .select("q_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Int, Int)].collect().toSet
+
+    // reference: full sign-bit + quantized cosine in Scala
+    val vecs = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def words(qe: Seq[Long]): (Long, Long) = {
+      def w(from: Int) = (0 until 32).foldLeft(0L) { (s, j) =>
+        if (from + j < qe.length && qe(from + j) > 0) s | (1L << j) else s
+      }
+      (w(0), w(32))
+    }
+    def cosE4(a: Seq[Long], b: Seq[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.floor(dot / (na * nb) * 10000 + 0.5).toLong
+    }
+    val expected = (0L until 5L).flatMap { q =>
+      val (qw0, qw1) = words(vecs(q))
+      val sl = vecs.keys.filter(_ != q).toSeq
+        .map { c =>
+          val (cw0, cw1) = words(vecs(c))
+          val h = java.lang.Long.bitCount(qw0 ^ cw0) + java.lang.Long.bitCount(qw1 ^ cw1)
+          (c, h)
+        }
+        .sortBy { case (c, h) => (h, c) }.take(shortlist)
+      sl.map { case (c, h) => (c, h, cosE4(vecs(q), vecs(c))) }
+        .sortBy { case (c, _, cos) => (-cos, c) }.take(k)
+        .zipWithIndex.map { case ((c, h, _), i) => (q, c, h, i + 1) }
+    }.toSet
+    assert(got === expected)
+  }
+}

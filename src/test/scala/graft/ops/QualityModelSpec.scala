@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.QualityModel
+
+/** QualityModel: the frozen linear classifier's logit against hand-computed
+  * feature math, zero-denominator guards, and threshold semantics. */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logitOf(text: String): Double =
+    Seq(text).toDF("text")
+      .select(QualityModel.logit(col("text")).as("z"))
+      .as[Double].head()
+
+  test("logit matches the hand-computed weighted feature sum") {
+    // "the data is good" → 4 tokens, 16 chars, 0 punct, 2 stopwords
+    // (the, is), 0 digits, 0 non-ascii
+    val fLen = math.min(4.0 / 200.0, 1.0)
+    val fPunct = 0.0
+    val fStop = math.min(2 * 5.0 / 4.0, 1.0)
+    val fDigit = 0.0
+    val fCpt = math.min(16.0 / (4 * 20.0), 1.0)
+    val expected = -1.2 + 2.4 * fLen + -3.5 * fPunct + 1.6 * fStop +
+      -2.0 * fDigit + -0.8 * fCpt + -0.5 * 0.0
+    assert(logitOf("the data is good") === expected)
+  }
+
+  test("empty text hits every zero-denominator guard, score is finite") {
+    val z = logitOf("")
+    assert(z === -1.2) // all features 0 → bias alone
+  }
+
+  test("noise features lower the score: punctuation, digits, markup-length tokens") {
+    val clean = logitOf("the data is good and the value is fine for it")
+    assert(logitOf("the data is good ##### $$$$$ and the value!!!") < clean)
+    assert(logitOf("the data is 4242 4242 4242 good 127 0 0 1") < clean)
+    assert(logitOf("the data is good httpxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx") < clean)
+  }
+
+  test("keep is exactly logit > 0") {
+    val df = Seq(
+      "the data is good and the value is fine for it",
+      "##### $$$$$ !!!!", "").toDF("text")
+      .select(QualityModel.logit(col("text")).as("z"),
+        QualityModel.keep(col("text")).as("keep"))
+    df.as[(Double, Boolean)].collect().foreach { case (z, keep) =>
+      assert(keep === (z > 0.0))
+    }
+  }
+
+  test("features are all within [0, 1]") {
+    val rows = Seq(
+      "", "x", "the the the the the", "!!!! ????", "12345 67890",
+      "one two three four five six seven eight nine ten " * 30)
+      .toDF("text")
+      .select(array(QualityModel.features(col("text")): _*).as("f"))
+      .as[Seq[Double]].collect()
+    rows.foreach(_.foreach(f => assert(f >= 0.0 && f <= 1.0, s"feature $f out of range")))
+  }
+}

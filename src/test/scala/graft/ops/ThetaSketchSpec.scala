@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.ThetaSketch
+
+/** KMV/theta sketches: the aggregate's k-min-distinct contract, partition
+  * invariance, exact-below-saturation estimates, and the pair algebra
+  * against a Scala re-derivation. */
+class ThetaSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hash60(salt: String, v: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+
+  test("sketch holds the k smallest distinct hashes, ascending, any partitioning") {
+    val df = (1 to 1000).map(i => ("g", s"v${i % 400}")).toDF("g", "v")
+    val expected = (0 until 400).map(i => hash60("theta", s"v$i")).distinct.sorted.take(64)
+    for (parts <- Seq(1, 7)) {
+      val sk = ThetaSketch.sketch(df.repartition(parts), "g", "v", k = 64)
+        .select(col("hs")).as[Seq[Long]].head()
+      assert(sk === expected, s"parts=$parts")
+    }
+  }
+
+  test("estimate is exactly n below saturation") {
+    val df = (1 to 50).map(i => ("g", s"x$i")).toDF("g", "v")
+    val got = ThetaSketch.distinctEstimate(df, "g", "v", k = 256)
+      .select("n_hashes", "est_distinct").as[(Long, Long)].head()
+    assert(got === ((50L, 50L)))
+  }
+
+  test("saturated estimate is within ~3 sigma of the true distinct count") {
+    val k = 64
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"u$i")).toDF("g", "v")
+    val est = ThetaSketch.distinctEstimate(df, "g", "v", k)
+      .select("est_distinct").as[Long].head()
+    val sigma = n / math.sqrt(k - 1)
+    assert(math.abs(est - n) < 3 * sigma, s"est $est vs true $n (sigma $sigma)")
+  }
+
+  test("pairwise ops match the Scala re-derivation of the theta algebra") {
+    val k = 32
+    val rows =
+      (1 to 300).map(i => ("a", s"u$i")) ++ // a: u1..u300
+        (101 to 400).map(i => ("b", s"u$i")) // b: u101..u400, overlap 200
+    val sk = ThetaSketch.sketch(rows.toDF("g", "v"), "g", "v", k)
+    val got = ThetaSketch.pairwiseOps(sk, "g", k)
+      .select("grp_a", "grp_b", "n_common", "est_intersect", "est_union")
+      .as[(String, String, Long, Long, Long)].head()
+
+    def kmv(vs: Seq[String]): Seq[Long] =
+      vs.distinct.map(v => hash60("theta", v)).sorted.take(k)
+    val (ha, hb) = (kmv((1 to 300).map(i => s"u$i")), kmv((101 to 400).map(i => s"u$i")))
+    val hmax = 1L << 60
+    val (ta, tb) = (if (ha.size < k) hmax else ha(k - 1), if (hb.size < k) hmax else hb(k - 1))
+    val theta = math.min(ta, tb)
+    val nCommon = ha.toSet.intersect(hb.toSet).count(_ < theta).toLong
+    val nBelow = ha.count(_ < theta).toLong + hb.count(_ < theta).toLong
+    def scaled(c: Long) = math.floor(c.toDouble * hmax.toDouble / theta.toDouble).toLong
+    assert(got === (("a", "b", nCommon, scaled(nCommon), scaled(nBelow - nCommon))))
+  }
+}
