@@ -31,6 +31,7 @@ object Bench {
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc() // free shuffle files during warmup too (see releaseAll)
       }
     // clearCache() only drops catalog-cached plans; localCheckpoint blocks
     // (near-dup pair frames, CC rounds) are persistent RDDs that otherwise
