@@ -31,7 +31,7 @@ object Bench {
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc() // free shuffle files during warmup too (see releaseAll)
+        gcIfDiskPressured() // free shuffle files during warmup too
       }
     // clearCache() only drops catalog-cached plans; localCheckpoint blocks
     // (near-dup pair frames, CC rounds) are persistent RDDs that otherwise
@@ -40,12 +40,25 @@ object Bench {
     def releaseAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // ContextCleaner frees shuffle files only when the driver GCs their
-      // ShuffleDependency refs; at a 64 GB heap GC may never run across a
-      // whole sweep, so heavy-query shuffle debris accumulates on disk
-      // until ENOSPC (observed: the sf1.0 probe died at ~80 GB of spill).
-      // One explicit GC per query, safely off the timed clock.
-      System.gc()
+      gcIfDiskPressured()
+    }
+    // ContextCleaner frees shuffle files only when the driver GCs their
+    // ShuffleDependency refs; at a 64 GB heap GC may never run across a
+    // whole sweep, so heavy-query shuffle debris accumulates on disk until
+    // ENOSPC (observed: the sf1.0 probe died at ~80 GB of spill). But an
+    // UNCONDITIONAL System.gc() per query costs ~16% on sub-second queries
+    // (A/B'd at sf0.1: 26.8 s -> 31.2 s over 25 small queries — a full GC
+    // clears the soft/weak caches the hot path leans on), so GC only fires
+    // under actual disk pressure: tmp free space below 64 GB, the point
+    // where one more heavy query could ENOSPC. sf0.1 sweeps never trip it;
+    // sf1.0 probes trip it exactly between the heavy queries that need it.
+    // SPARK_GRAFT_BENCH_GC=0 disables, =1 forces every query.
+    def gcIfDiskPressured(): Unit = sys.env.get("SPARK_GRAFT_BENCH_GC") match {
+      case Some("0") => ()
+      case Some("1") => System.gc()
+      case _ =>
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        if (tmp.getUsableSpace < (64L << 30)) System.gc()
     }
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()

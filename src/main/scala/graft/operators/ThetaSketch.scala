@@ -29,19 +29,30 @@ object ThetaSketch {
   /** Hash domain: stableHash60 ∈ [0, 2^60). */
   val HMax: Long = 1L << 60
 
+  /** Raw per-group KMV buffer: (group, hs ascending array ≤ k). The
+    * streaming surface (StreamingSketch.kmvSketchStream) maintains exactly
+    * this frame as its state; `withMeta` turns any snapshot of it into the
+    * estimator-ready sketch. */
+  def rawSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int, salt: String = "theta"): DataFrame =
+    df.select(col(groupCol),
+        stableHash60(concat(lit(salt + ":"), col(valueCol).cast("string"))).as("h"))
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.KmvMinKAgg(col("h"), k).as("hs"))
+
+  /** Attach (n = |hs|, theta = k-th min or 2^60) to a (group, hs) frame. */
+  def withMeta(raw: DataFrame, groupCol: String, k: Int): DataFrame =
+    raw.select(col(groupCol), col("hs"),
+      size(col("hs")).cast("long").as("n"),
+      when(size(col("hs")) < k, lit(HMax))
+        .otherwise(element_at(col("hs"), k)).as("theta"))
+
   /** Per-group KMV sketch of `valueCol`'s distinct values:
     * (group, hs ascending array ≤ k, n = |hs|, theta = k-th min or 2^60).
     * `salt` decorrelates sketches built over the same column. */
   def sketch(df: DataFrame, groupCol: String, valueCol: String,
              k: Int, salt: String = "theta"): DataFrame =
-    df.select(col(groupCol),
-        stableHash60(concat(lit(salt + ":"), col(valueCol).cast("string"))).as("h"))
-      .groupBy(col(groupCol))
-      .agg(org.apache.spark.sql.graft.KmvMinKAgg(col("h"), k).as("hs"))
-      .select(col(groupCol), col("hs"),
-        size(col("hs")).cast("long").as("n"),
-        when(size(col("hs")) < k, lit(HMax))
-          .otherwise(element_at(col("hs"), k)).as("theta"))
+    withMeta(rawSketch(df, groupCol, valueCol, k, salt), groupCol, k)
 
   /** The KMV distinct estimate from (n, theta): exact n below saturation,
     * else floor((k-1)·2^60 / theta) — single IEEE division, engine-exact. */

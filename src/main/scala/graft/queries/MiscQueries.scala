@@ -235,8 +235,31 @@ object MiscQueries {
       .orderBy(col("grp_a"), col("grp_b"))
   }
 
+  /** q127: cross-source text-overlap matrix — a theta sketch of each
+    * source's winnowing fingerprints (q38's n=5/w=4 family), then the
+    * q125 pair algebra over all source pairs: which slices of the corpus
+    * share verbatim-ish text, estimated from k-bounded state instead of
+    * a fingerprint self-join. The contamination/provenance question
+    * ("how much of source A is also in source B?") at matrix scale:
+    * cost is sources²·k, independent of corpus size. */
+  def q127SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val fps = Tables(spark, dir, "documents").select(
+      col("source"),
+      explode(graft.functions.TextFunctions.winnowingFingerprints(
+        col("text"), 5, 4)).as("fp"))
+    val sk = graft.operators.ThetaSketch.sketch(fps, "source", "fp", k, salt = "srcov")
+    val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
+    val singles = sk.select(
+      col("source").as("grp_a"), col("source").as("grp_b"),
+      col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
+    singles.unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "source", k))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_theta_sketch_ops" -> (q125ThetaSketchOps _),
+    "q127_source_overlap" -> (q127SourceOverlap _),
     "q82_constraint_report" -> (q82ConstraintReport _),
     "q88_record_reconcile" -> (q88RecordReconcile _),
     "q85_frame_features" -> (q85FrameFeatures _),
@@ -255,16 +278,14 @@ object MiscQueries {
       s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 
-  val oracles: Map[String, String] = Map(
-    // q125: the KMV sketch is a pure function of the distinct hash set
-    // (k smallest), so distinct + row_number ≤ k rebuilds the identical
-    // sketch; the estimators are the same single-division arithmetic.
-    // 1152921504606846976 = 2^60 (stableHash60's domain), exact as a
-    // double; counts ≤ 2k keep every product inside exact-double range.
-    "q125_theta_sketch_ops" ->
-      raw"""WITH h AS (SELECT DISTINCT event_type AS g,
-             CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
-           FROM events),
+  /** The q125/q127 theta-algebra oracle chain from a CTE `h(g, h)` of
+    * distinct (group, hash60) rows: KMV sketch via row_number ≤ k (the k
+    * smallest distinct hashes are a pure function of the set, so this
+    * rebuilds KmvMinKAgg's buffer exactly), then the same single-division
+    * estimators. 1152921504606846976 = 2^60 (stableHash60's domain),
+    * exact as a double; counts ≤ 2k keep every product exact-double. */
+  private def thetaOpsSql(hashCte: String): String =
+    raw"""WITH h AS ($hashCte),
          r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
          sk AS (SELECT g, h FROM r WHERE rn <= 256),
          meta AS (SELECT g, count(*) AS n,
@@ -295,7 +316,28 @@ object MiscQueries {
          SELECT grp_a, grp_b, CAST(n_common AS BIGINT) AS n_common,
            est_intersect, est_union
          FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairrows)
-         ORDER BY grp_a, grp_b""",
+         ORDER BY grp_a, grp_b"""
+
+  val oracles: Map[String, String] = Map(
+    "q125_theta_sketch_ops" -> thetaOpsSql(
+      raw"""SELECT DISTINCT event_type AS g,
+          CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM events"""),
+    // q127: the winnowing fingerprint family is q38's (n=5, w=4) keyed by
+    // source; the theta chain then runs over the distinct (source, fp)
+    // hashes with its own salt.
+    "q127_source_overlap" -> thetaOpsSql(
+      raw"""SELECT DISTINCT source AS g,
+          CAST(('0x'||substr(md5('srcov:'||CAST(fp AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM (SELECT source, unnest(list_distinct(CASE WHEN len(hs) >= 4
+              THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+              ELSE [list_min(hs)] END)) AS fp
+          FROM (SELECT source,
+              list_transform(CASE WHEN len(text) >= 5
+                THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+                ELSE [text] END,
+                x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+            FROM documents))"""),
     "q88_record_reconcile" ->
       """WITH stg_orders AS (
            SELECT o_orderkey FROM orders WHERE o_orderkey % 997 <> 0),

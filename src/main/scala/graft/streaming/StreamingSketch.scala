@@ -31,4 +31,18 @@ object StreamingSketch {
   def hllRegisterStream(stream: DataFrame, keys: Seq[String],
                         valueCol: String): DataFrame =
     Sketches.hllRegisters(stream, keys, valueCol)
+
+  /** Live KMV/theta sketch per group over a stream — the distinct-count /
+    * set-overlap companion to the HLL registers, with the same bounded-
+    * state argument: the state store holds ONE ≤ k-longs buffer per group
+    * (KmvMinKAgg's serialized TreeSet), never a row per distinct value,
+    * and needs no watermark because the k-min-distinct merge is
+    * associative, commutative and idempotent — the k smallest distinct
+    * hashes of a set are a pure function of the set, so neither
+    * micro-batch splits nor replays can change any snapshot. Feed any
+    * sink snapshot to `ThetaSketch.withMeta` → `estimate`/`pairwiseOps`
+    * for live cross-slice overlap (q125's algebra on streaming state). */
+  def kmvSketchStream(stream: DataFrame, groupCol: String, valueCol: String,
+                      k: Int, salt: String = "theta"): DataFrame =
+    graft.operators.ThetaSketch.rawSketch(stream, groupCol, valueCol, k, salt)
 }
