@@ -815,10 +815,16 @@ object Similarity {
     * vectors is then two XOR+popcounts. */
   def signWords(df: DataFrame, id: String,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val qe = quantize(col(embCol))
-    df.select(col(idCol).as(id), qe.as(s"${id}_qe"),
-      org.apache.spark.sql.graft.SignBitsWord(qe, 0, 32).as(s"${id}_w0"),
-      org.apache.spark.sql.graft.SignBitsWord(qe, 32, 32).as(s"${id}_w1"))
+    // two-step projection: quantize ONCE per row, then derive both words
+    // from the materialized column. A single select would re-evaluate the
+    // (non-codegen HOF) transform three times — CollapseProject leaves
+    // multi-referenced non-cheap aliases alone, so this shape survives
+    // optimization.
+    val qe = s"${id}_qe"
+    df.select(col(idCol).as(id), quantize(col(embCol)).as(qe))
+      .select(col(id), col(qe),
+        org.apache.spark.sql.graft.SignBitsWord(col(qe), 0, 32).as(s"${id}_w0"),
+        org.apache.spark.sql.graft.SignBitsWord(col(qe), 32, 32).as(s"${id}_w1"))
   }
 
   /** Binary (sign-bit) Hamming search with exact re-rank — the standard

@@ -70,6 +70,9 @@ object ThetaSketch {
 
   /** Pairwise set-operation estimates between every two groups' sketches
     * (grp_a < grp_b): intersection and union distinct-count estimates.
+    * The sketch frame is consumed several times (meta, explode, census);
+    * callers should persist/checkpoint it — it is groups·(k+3) values —
+    * or the lineage re-aggregates the source per consumer.
     *
     * Theta algebra: at the pair's common threshold θ = min(θa, θb), each
     * sketch is a uniform sample of its set at rate θ/2^60, so

@@ -225,8 +225,12 @@ object MiscQueries {
     * share?") answered from k-bounded state — no distinct join. */
   def q125ThetaSketchOps(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
+    // the sketch is groups·(k+3) values — checkpoint it so the singles +
+    // pair-algebra consumers read it once instead of re-aggregating the
+    // events scan per consumer (5 scans in the uncheckpointed plan)
     val sk = graft.operators.ThetaSketch.sketch(
       Tables(spark, dir, "events"), "event_type", "user_id", k)
+      .localCheckpoint(true)
     val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
     val singles = sk.select(
       col("event_type").as("grp_a"), col("event_type").as("grp_b"),
@@ -248,7 +252,10 @@ object MiscQueries {
       col("source"),
       explode(graft.functions.TextFunctions.winnowingFingerprints(
         col("text"), 5, 4)).as("fp"))
+    // checkpoint like q125: the fingerprint explode + KMV aggregation runs
+    // once, not once per algebra consumer
     val sk = graft.operators.ThetaSketch.sketch(fps, "source", "fp", k, salt = "srcov")
+      .localCheckpoint(true)
     val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
     val singles = sk.select(
       col("source").as("grp_a"), col("source").as("grp_b"),
