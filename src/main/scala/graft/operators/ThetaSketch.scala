@@ -82,10 +82,10 @@ object ThetaSketch {
   def pairwiseOps(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
     val meta = sketches.select(col(groupCol).as("g"), col("n"), col("theta"))
     val hs = sketches.select(col(groupCol).as("g"), explode(col("hs")).as("h"))
-    val pairs = meta.select(col("g").as("grp_a"), col("theta").as("ta"), col("n").as("na"))
-      .join(meta.select(col("g").as("grp_b"), col("theta").as("tb"), col("n").as("nb")),
+    val pairs = meta.select(col("g").as("grp_a"), col("theta").as("ta"))
+      .join(meta.select(col("g").as("grp_b"), col("theta").as("tb")),
         col("grp_a") < col("grp_b"))
-      .withColumn("theta_ab", least(col("ta"), col("tb")))
+      .select(col("grp_a"), col("grp_b"), least(col("ta"), col("tb")).as("theta_ab"))
     val common = hs.select(col("g").as("grp_a"), col("h"))
       .join(hs.select(col("g").as("grp_b"), col("h")), Seq("h"))
       .filter(col("grp_a") < col("grp_b"))
