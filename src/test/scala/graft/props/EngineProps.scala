@@ -271,4 +271,34 @@ object EngineProps extends Properties("engine") {
       rows.map(_._4).sum == lens.map(_.toLong).sum &&     // tokens conserved
       rows.length == lens.length                          // every doc batched
     }
+
+  private val genVals: Gen[List[String]] =
+    Gen.listOfN(60, Gen.choose(0, 40).map(i => s"v$i"))
+
+  property("kmv sketch == sorted distinct hash minima, any order/partitioning") =
+    forAll(genVals, Gen.choose(1, 5), Gen.choose(1, 7)) { (vs, k, parts) =>
+      val sk = graft.operators.ThetaSketch.rawSketch(
+        vs.map(("g", _)).toDF("g", "v").repartition(parts), "g", "v", k)
+        .select(col("hs")).as[Seq[Long]].head()
+      val ref = vs.distinct.map { v =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"theta:$v".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16)
+      }.distinct.sorted.take(k)
+      sk == ref
+    }
+
+  property("sign-bit words: every bit j matches qe(from+j) > 0") =
+    forAll(Gen.listOfN(64, Gen.choose(-3L, 3L))) { qe =>
+      val (w0, w1) = Seq(qe).toDF("qe")
+        .select(
+          org.apache.spark.sql.graft.SignBitsWord(col("qe"), 0, 32).as("w0"),
+          org.apache.spark.sql.graft.SignBitsWord(col("qe"), 32, 32).as("w1"))
+        .as[(Long, Long)].head()
+      (0 until 32).forall { j =>
+        (((w0 >> j) & 1L) == 1L) == (qe(j) > 0) &&
+        (((w1 >> j) & 1L) == 1L) == (qe(32 + j) > 0)
+      }
+    }
 }
