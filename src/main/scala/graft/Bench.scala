@@ -13,6 +13,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ContextCleaner frees shuffle files only when the driver GCs their
+    // ShuffleDependency refs; at a 64 GB heap GC may never run across a
+    // whole sweep, so heavy-query shuffle debris accumulates on disk until
+    // ENOSPC (observed: the sf1.0 probe died at ~80 GB of spill). But an
+    // UNCONDITIONAL System.gc() per query costs ~16% on sub-second queries
+    // (A/B'd at sf0.1: 26.8 s -> 31.2 s over 25 small queries — a full GC
+    // clears the soft/weak caches the hot path leans on). Round 7's gate
+    // (absolute tmp free < 64 GB) was environment-dependent: on a box
+    // that STARTS at 79 GB free, ~15 GB of mid-sweep debris armed it
+    // permanently and every remaining query paid the full-GC tax (the
+    // committed r7 artifact overstated query times 20–35%). So gate on
+    // what the sweep itself has CONSUMED: free space is sampled at sweep
+    // start across the dirs shuffle files actually land in
+    // (spark.local.dir, not java.io.tmpdir — they can be different
+    // volumes), and GC fires only once the sweep's own debris has eaten
+    // a 24 GB budget, or as a last-resort ENOSPC floor at 8 GB free.
+    // Debris-free sweeps never trip it regardless of how full the disk
+    // started; sf1.0 probes trip it exactly between the heavy queries
+    // that need it, and after the cleaner frees the debris the delta
+    // falls back under budget so the gate DISARMS.
+    // SPARK_GRAFT_BENCH_GC=0 disables, =1 forces every query.
+    val shuffleDirs: Seq[java.io.File] = spark.conf
+      .getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(new java.io.File(_))
+    def minFree(): Long = shuffleDirs.map(_.getUsableSpace).min
+    val sweepStartFree: Long = minFree()
+    def gcIfDiskPressured(): Unit = sys.env.get("SPARK_GRAFT_BENCH_GC") match {
+      case Some("0") => ()
+      case Some("1") => System.gc()
+      case _ =>
+        val free = minFree()
+        if (sweepStartFree - free > (24L << 30) || free < (8L << 30))
+          System.gc()
+    }
     // untimed warmup: a full pass over every query so JIT, whole-stage
     // codegen compilation (incl. the custom expressions), parquet footer
     // reads and broadcast setup all land off the clock. The timed pass
@@ -41,24 +77,6 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       gcIfDiskPressured()
-    }
-    // ContextCleaner frees shuffle files only when the driver GCs their
-    // ShuffleDependency refs; at a 64 GB heap GC may never run across a
-    // whole sweep, so heavy-query shuffle debris accumulates on disk until
-    // ENOSPC (observed: the sf1.0 probe died at ~80 GB of spill). But an
-    // UNCONDITIONAL System.gc() per query costs ~16% on sub-second queries
-    // (A/B'd at sf0.1: 26.8 s -> 31.2 s over 25 small queries — a full GC
-    // clears the soft/weak caches the hot path leans on), so GC only fires
-    // under actual disk pressure: tmp free space below 64 GB, the point
-    // where one more heavy query could ENOSPC. sf0.1 sweeps never trip it;
-    // sf1.0 probes trip it exactly between the heavy queries that need it.
-    // SPARK_GRAFT_BENCH_GC=0 disables, =1 forces every query.
-    def gcIfDiskPressured(): Unit = sys.env.get("SPARK_GRAFT_BENCH_GC") match {
-      case Some("0") => ()
-      case Some("1") => System.gc()
-      case _ =>
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-        if (tmp.getUsableSpace < (64L << 30)) System.gc()
     }
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()

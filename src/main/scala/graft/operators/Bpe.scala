@@ -237,14 +237,37 @@ object Bpe {
     * cannot sit on the driver, `learnMergesBatched` keeps every round
     * distributed instead. */
   def learnMergesFast(df: DataFrame, textCol: String, nMerges: Int,
-                      minCount: Long = 2L): Seq[(String, String)] = {
-    import scala.collection.mutable
-    // the one distributed pass: distinct words with counts
-    val vocab: Array[(Long, Array[String])] = df
-      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+                      minCount: Long = 2L): Seq[(String, String)] =
+    learnFromVocab(collectVocab(df.select(col(textCol)), textCol),
+      nMerges, minCount)
+
+  /** learnMergesFast PLUS the corpus row count, read from an Observation
+    * riding the learner's own vocab scan — the q118 seam: the frozen-merge
+    * oracle needs an `n_docs` fingerprint, and a dedicated `docs.count()`
+    * would pay one extra full corpus scan for pure oracle plumbing. The
+    * observation node sits upstream of the explode, so every input row is
+    * counted exactly once (empty docs included) while the scan it rides
+    * was happening anyway. */
+  def learnMergesFastCounted(df: DataFrame, textCol: String, nMerges: Int,
+                             minCount: Long = 2L): (Seq[(String, String)], Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val vocab = collectVocab(
+      df.select(col(textCol)).observe(obs, count(lit(1)).as("n_docs")), textCol)
+    val merges = learnFromVocab(vocab, nMerges, minCount)
+    (merges, obs.get("n_docs").asInstanceOf[Long])
+  }
+
+  /** The one distributed pass: distinct lowercase whitespace words with
+    * counts, collected (driver-trivial — see learnMergesFast scaladoc). */
+  private def collectVocab(df: DataFrame, textCol: String): Array[(Long, Array[String])] =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .collect()
       .map(r => (r.getLong(1), r.getString(0).split("")))
+
+  private def learnFromVocab(vocab: Array[(Long, Array[String])],
+                             nMerges: Int, minCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
     val words: Array[Array[String]] = vocab.map(_._2)
     val counts: Array[Long] = vocab.map(_._1)
     val pairOrd: Ordering[(Long, String, String)] = (p, q) => {

@@ -129,6 +129,13 @@ object Dedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("band_hash"))
   }
 
+  /** Default candidate-pair budget for the UNCAPPED LSH path: the census
+    * guard in [[lshCandidatePairs]] refuses above it. 50M pairs ≈ the
+    * verify stage a 32-core box clears in minutes; the sf1.0 probe's
+    * degenerate corpus measured 58.4M — exactly the run the guard exists
+    * to stop. Same budget class as semDedup's pairBudget. */
+  val DefaultCandidatePairBudget: Long = 50_000_000L
+
   /** Candidate pairs (a_id < b_id) sharing ≥1 LSH band. The only join in the
     * near-dup path — on uniform (band, band_hash) keys.
     *
@@ -143,9 +150,21 @@ object Dedup {
     * repetition operators (q119, q67) handle — pair enumeration inside
     * such a bucket is quadratic work for no curation signal. The cap is a
     * deterministic function of the bucket census (count ≤ cap), so capped
-    * results stay oracle-expressible (HAVING count(*) <= cap). */
+    * results stay oracle-expressible (HAVING count(*) <= cap).
+    *
+    * GUARDED BY DEFAULT: with no cap, one cheap (band, band_hash) census
+    * aggregate runs at call time and the call REFUSES — naming the
+    * observed pair count, the largest bucket, and `maxBucketSize` as the
+    * fix — when Σ n·(n−1)/2 exceeds `candidatePairBudget`. A 100 TB
+    * caller cannot silently summon quadratic work (the sf1.0 probe
+    * measured 58.4M band pairs, 20× time at 10× data, on a low-entropy
+    * corpus). Uncapped-EXACT stays available as the explicit opt-in
+    * `candidatePairBudget <= 0` (the oracle-pinned q20/q111 formulations
+    * use it). A capped call skips the census: its pair count is already
+    * bounded by buckets · cap². */
   def lshCandidatePairs(bands: DataFrame, idCol: String,
-                        maxBucketSize: Option[Int] = None): DataFrame = {
+                        maxBucketSize: Option[Int] = None,
+                        candidatePairBudget: Long = DefaultCandidatePairBudget): DataFrame = {
     val kept = maxBucketSize match {
       case Some(cap) =>
         val ok = bands.groupBy(col("band"), col("band_hash"))
@@ -153,7 +172,27 @@ object Dedup {
           .filter(col("__n") <= cap)
           .select(col("band"), col("band_hash"))
         bands.join(ok, Seq("band", "band_hash"))
-      case None => bands
+      case None =>
+        if (candidatePairBudget > 0) {
+          val census = bands.groupBy(col("band"), col("band_hash"))
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).cast("long"),
+              coalesce(max(col("n")), lit(0L)).cast("long"))
+            .head()
+          val nPairs = census.getLong(0) / 2
+          val maxBucket = census.getLong(1)
+          if (nPairs > candidatePairBudget)
+            throw new IllegalArgumentException(
+              s"lshCandidatePairs: $nPairs band-bucket candidate pairs exceed " +
+                s"the budget $candidatePairBudget (largest bucket: $maxBucket " +
+                "members). Low-entropy corpora (boilerplate, templates) make " +
+                "the uncapped pair stage quadratic — pass " +
+                "maxBucketSize = Some(cap) (e.g. Some(24)) to drop degenerate " +
+                "buckets (their mass belongs to the repeated-substring " +
+                "operators), or opt in to uncapped-exact explicitly with " +
+                "candidatePairBudget <= 0.")
+        }
+        bands
     }
     kept.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
       .join(kept.select(col("band"), col("band_hash"), col(idCol).as("b_id")),
@@ -207,13 +246,15 @@ object Dedup {
                    k: Int = 16, b: Int = 4, shingleN: Int = 5,
                    minJaccard: Double = 0.5,
                    verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   candidatePairBudget: Long = DefaultCandidatePairBudget): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val enriched = signatureFrame(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = nearDupPairsFromSignatures(enriched, idCol, k, b, minJaccard,
-      verifyBroadcastBytes, maxBucketSize)
-    enriched.unpersist()
+    val out =
+      try nearDupPairsFromSignatures(enriched, idCol, k, b, minJaccard,
+        verifyBroadcastBytes, maxBucketSize, candidatePairBudget)
+      finally enriched.unpersist()
     out
   }
 
@@ -229,9 +270,11 @@ object Dedup {
                                  k: Int = 16, b: Int = 4,
                                  minJaccard: Double = 0.5,
                                  verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
-                                 maxBucketSize: Option[Int] = None): DataFrame = {
+                                 maxBucketSize: Option[Int] = None,
+                                 candidatePairBudget: Long = DefaultCandidatePairBudget): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol, maxBucketSize)
+    val cands = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol,
+        maxBucketSize, candidatePairBudget)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = jaccardFromSets(
       sig.select(col(idCol), col("shs"), col("sz")), idCol, minJaccard,
@@ -277,7 +320,8 @@ object Dedup {
                               priorSig: DataFrame,
                               k: Int = 16, b: Int = 4, shingleN: Int = 5,
                               minJaccard: Double = 0.5,
-                              verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes):
+                              verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
+                              candidatePairBudget: Long = DefaultCandidatePairBudget):
       (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val newSig = signatureFrame(newDocs, idCol, textCol, k, shingleN)
@@ -290,7 +334,30 @@ object Dedup {
     val priorSorted = priorSig.withColumn("shs", array_sort(col("shs")))
     val newBands = lshBands(newSig, idCol, b, k / b)
     val priorBands = lshBands(priorSorted, idCol, b, k / b)
-    val newNew = lshCandidatePairs(newBands, idCol)
+    // the budget guards below can refuse AFTER newSig is cached — release
+    // it on any failure exit (the success path deliberately keeps it: the
+    // caller persists `combined` without re-signing, then unpersists)
+    try {
+    val newNew = lshCandidatePairs(newBands, idCol,
+      candidatePairBudget = candidatePairBudget)
+    // guard the cross-batch fan-out with the same census contract: pairs
+    // per bucket are n_new · n_prior, one cheap aggregate before the join
+    if (candidatePairBudget > 0) {
+      val crossCensus = newBands.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("nn"))
+        .join(priorBands.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("np")), Seq("band", "band_hash"))
+        .agg(coalesce(sum(col("nn") * col("np")), lit(0L)).cast("long")).head()
+      val nCross = crossCensus.getLong(0)
+      if (nCross > candidatePairBudget)
+        throw new IllegalArgumentException(
+          s"nearDupPairsIncremental: $nCross new×prior band-bucket candidate " +
+            s"pairs exceed the budget $candidatePairBudget — a degenerate " +
+            "bucket in the stored corpus is colliding with the whole batch. " +
+            "Strip boilerplate (repeated-substring operators) before " +
+            "signing, or opt in to uncapped-exact with " +
+            "candidatePairBudget <= 0.")
+    }
     // new×prior collisions, normalized to the a_id < b_id convention
     val cross = newBands.select(col("band"), col("band_hash"), col(idCol).as("n_id"))
       .join(priorBands.select(col("band"), col("band_hash"), col(idCol).as("p_id")),
@@ -314,6 +381,7 @@ object Dedup {
     // The combined frame carries the SORTED prior, upgrading legacy
     // signatures on their first post-upgrade batch.
     (pairs, priorSorted.unionByName(newSig))
+    } catch { case e: Throwable => newSig.unpersist(); throw e }
   }
 
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:

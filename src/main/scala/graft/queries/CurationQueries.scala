@@ -139,8 +139,11 @@ object CurationQueries {
     * encode + aggregation — with a real hash check. */
   def q118BpeVocabUsage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val nDocs = docs.count()
-    val merges = graft.operators.Bpe.learnMergesFast(docs, "text", 200, minCount = 2L)
+    // n_docs (the oracle's scale fingerprint) rides the learner's vocab
+    // scan as an Observation — a dedicated docs.count() cost one extra
+    // full corpus scan for pure oracle plumbing
+    val (merges, nDocs) =
+      graft.operators.Bpe.learnMergesFastCounted(docs, "text", 200, minCount = 2L)
     spark.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) => (i, a, b, nDocs) })
       .toDF("rank", "a", "b", "n_docs")
       .coalesce(1).write.mode("overwrite").parquet(q118MergeDump(dir))

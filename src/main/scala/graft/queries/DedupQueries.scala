@@ -17,10 +17,15 @@ object DedupQueries {
   private val N = 5  // shingle length
 
   /** q20: MinHash(16) → LSH(4×4) candidates → exact-Jaccard verify ≥ 0.5.
-    * The at-scale near-dup path: no all-pairs stage exists in the plan. */
+    * The at-scale near-dup path: no all-pairs stage exists in the plan.
+    * Opts in to UNCAPPED-exact (budget guard off): this formulation is
+    * oracle-pinned across scales including the sf1.0 probe — the guarded
+    * default would refuse rather than run a degenerate corpus, which is
+    * the library contract but not this query's. */
   def q20LshNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
-      k = K, b = B, shingleN = N, minJaccard = 0.5)
+      k = K, b = B, shingleN = N, minJaccard = 0.5,
+      candidatePairBudget = 0L)
       .orderBy(col("a_id"), col("b_id"))
 
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
@@ -66,8 +71,12 @@ object DedupQueries {
       Tables(spark, dir, "documents"), "doc_id", "text", size = 32, stride = 24)
       .select((col("doc_id") * lit(100000L) + col("chunk_idx")).as("doc_id"),
         col("chunk").as("text"))
+    // uncapped-exact opt-in: q111 IS the measured quadratic-on-low-entropy
+    // formulation (BENCH.md sf1.0 probe) kept on the surface deliberately;
+    // q126 is the guarded production variant
     Dedup.nearDupPairs(chunks, "doc_id", "text",
-      k = K, b = B, shingleN = N, minJaccard = 0.5)
+      k = K, b = B, shingleN = N, minJaccard = 0.5,
+      candidatePairBudget = 0L)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -61,6 +61,49 @@ class DedupSimSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 <= 30 && p._2 <= 30)) // and fully dropped capped
   }
 
+  test("LSH candidate budget refuses an over-budget corpus, naming maxBucketSize") {
+    // 30 identical docs → one 30-member bucket per band → 4·30·29/2 = 1740
+    // band pairs; a 100-pair budget must refuse BEFORE the pair join runs
+    val df = (1L to 30L)
+      .map(i => (i, "the big data table scans the data fast and well"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5,
+        candidatePairBudget = 100L))
+    assert(e.getMessage.contains("maxBucketSize"), e.getMessage)
+    assert(e.getMessage.contains("candidatePairBudget"), e.getMessage)
+    // the refusal releases its caches (nearDupPairs discipline holds on
+    // the failure path too)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"refusal leaked ${added.size} cached RDDs")
+    // the named fix works: capped call proceeds on the same corpus/budget
+    val capped = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5,
+      maxBucketSize = Some(8), candidatePairBudget = 100L)
+    assert(capped.count() === 0L) // the only bucket is over-cap boilerplate
+    // and the explicit uncapped-exact opt-in still runs the full stage
+    val uncapped = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5,
+      candidatePairBudget = 0L)
+    assert(uncapped.count() === 30L * 29L / 2L)
+  }
+
+  test("incremental cross-batch budget refuses when the stored corpus has a degenerate bucket") {
+    val boiler = (1L to 40L)
+      .map(i => (i * 2, "the big data table scans the data fast and well"))
+    val prior = Dedup.signDocuments(boiler.toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((101L, "the big data table scans the data fast and well"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupPairsIncremental(batch, "doc_id", "text", prior,
+        candidatePairBudget = 10L))
+    assert(e.getMessage.contains("new×prior"), e.getMessage)
+    assert(e.getMessage.contains("candidatePairBudget"), e.getMessage)
+    // the failure path must release the new-batch signature cache
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"refusal leaked ${added.size} cached RDDs")
+  }
+
   test("jaccard verify size gate: broadcast under budget, shuffle join above") {
     // hand-built hashed shingle sets: (1,2) near-identical, (3,4) disjoint
     val sets = Seq(
