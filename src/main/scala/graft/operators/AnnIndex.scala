@@ -135,7 +135,7 @@ object AnnIndex {
   /** ADC top-k from the stored codes — identical results to
     * `Similarity.pqTopK` over the same corpus and codebooks. No partition
     * prune here: plain ADC scores every stored code (see [[buildPq]]);
-    * compose with the IVF lists for candidate-pruned serving. */
+    * [[buildIvfPq]]/[[topKIvfPq]] is the candidate-pruned composition. */
   def topKPq(wh: Warehouse, schema: String, name: String, queries: DataFrame,
              k: Int, m: Int, dim: Int, idCol: String = "vec_id",
              embCol: String = "embedding", excludeSelf: Boolean = true): DataFrame =
@@ -143,4 +143,108 @@ object AnnIndex {
       wh.read(schema, codesTable(name)).select(col("id").as(idCol), col("sub"), col("label")),
       wh.read(schema, codebooksTable(name)), k, m, dim, idCol, embCol,
       excludeSelf)
+
+  // ---- composed IVF+PQ store (IVFADC): coarse lists prune candidates,
+  // PQ codes score them. The stored rows carry each vector's coarse list
+  // NEXT TO its m codes and are hive-partitioned by that list, so a
+  // probes=p serving read scans only the probed `clist=` directories —
+  // candidate pruning happens in the FILE LISTING, not after a full code
+  // scan (plain topKPq reads every code by design). Both the coarse
+  // assignment and the codes depend only on frozen centroids/codebooks,
+  // so append-equals-rebuild holds exactly as for the simple index.
+
+  private def ivfPqCodesTable(name: String) = s"${name}_ivfpq_codes"
+
+  /** Store coarse centroids + codebooks + the one-time composed
+    * (id, sub, label, clist) encoding of `corpus`, partitioned by clist. */
+  def buildIvfPq(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+                 coarse: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    wh.overwrite(schema, centroidsTable(name), coarse.select(col("label"), col("ce")))
+    wh.overwrite(schema, codebooksTable(name),
+      codebooks.select(col("sub"), col("label"), col("ce")))
+    wh.overwrite(schema, ivfPqCodesTable(name),
+      encodeIvfPq(wh, schema, name, corpus, m, dim, idCol, embCol),
+      partitionBy = Seq("clist"))
+  }
+
+  /** Assign + encode ONLY the arriving batch against the stored
+    * centroids/codebooks and append — O(batch), corpus never re-read. */
+  def appendIvfPq(wh: Warehouse, schema: String, name: String, newVectors: DataFrame,
+                  m: Int, dim: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): Unit =
+    wh.append(schema, ivfPqCodesTable(name),
+      encodeIvfPq(wh, schema, name, newVectors, m, dim, idCol, embCol))
+
+  private def encodeIvfPq(wh: Warehouse, schema: String, name: String,
+                          vectors: DataFrame, m: Int, dim: Int,
+                          idCol: String, embCol: String): DataFrame =
+    Similarity.pqEncode(vectors, wh.read(schema, codebooksTable(name)),
+        m, dim, idCol, embCol)
+      .join(Similarity.ivfAssign(vectors, wh.read(schema, centroidsTable(name)),
+          probes = 1, idCol, embCol)
+        .select(col(idCol), col("label").as("clist")), Seq(idCol))
+      .select(col(idCol).as("id"), col("sub"), col("label"), col("clist"))
+
+  /** IVFADC top-k from the store — identical results to
+    * `Similarity.ivfPqTopK` over the same corpus, coarse centroids, and
+    * codebooks. Probed coarse lists are resolved FIRST (the same bounded
+    * query-side collect as [[topK]]) and pushed as a STATIC partition
+    * filter, so the codes scan lists only the probed `clist=` dirs — a
+    * probes=2 query batch reads 2 directories of (id, sub, label) ints,
+    * never the corpus. */
+  def topKIvfPq(wh: Warehouse, schema: String, name: String, queries: DataFrame,
+                k: Int, probes: Int = 2, m: Int = 4, dim: Int = 64,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                excludeSelf: Boolean = true): DataFrame = {
+    val cents = wh.read(schema, centroidsTable(name))
+    val probed = Similarity.ivfAssign(queries, cents, probes, idCol, embCol)
+      .select(col("label")).distinct().collect().map(_.get(0))
+    val codes = wh.read(schema, ivfPqCodesTable(name))
+      .filter(col("clist").isInCollection(probed))
+      .select(col("id").as(idCol), col("sub"), col("label"), col("clist"))
+    Similarity.ivfPqTopKFromCodes(queries, codes, cents,
+      wh.read(schema, codebooksTable(name)), k, probes, m, dim,
+      idCol, embCol, excludeSelf)
+  }
+
+  // ---- binary sign-word store: 16 bytes of Hamming shortlist state per
+  // vector, with the quantized embedding co-stored for the exact rerank.
+  // Sign words are a pure row-local function of the vector (centroid- and
+  // codebook-independent), so append-equals-rebuild holds TRIVIALLY — no
+  // frozen model state exists to drift from.
+
+  private def signsTable(name: String) = s"${name}_signs"
+
+  /** Store (id, w0, w1, qe) for every corpus vector — one row-local
+    * signing scan. Serving shortlists from (id, w0, w1) alone (parquet
+    * column pruning keeps `qe` out of that scan: 16 B/vector of IO) and
+    * fetches `qe` only for shortlisted candidates. */
+  def buildHamming(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+                   idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    wh.overwrite(schema, signsTable(name), signRows(corpus, idCol, embCol))
+
+  /** Sign ONLY the arriving batch and append — O(batch). */
+  def appendHamming(wh: Warehouse, schema: String, name: String, newVectors: DataFrame,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    wh.append(schema, signsTable(name), signRows(newVectors, idCol, embCol))
+
+  private def signRows(vectors: DataFrame, idCol: String, embCol: String): DataFrame =
+    Similarity.signWords(vectors, "c", idCol, embCol)
+      .select(col("c").as("id"), col("c_w0").as("w0"), col("c_w1").as("w1"),
+        col("c_qe").as("qe"))
+
+  /** Binary-shortlist + exact-rerank top-k from the stored sign words —
+    * identical results to `Similarity.hammingTopK` over the same corpus.
+    * The Hamming stage scans only (id, w0, w1); `qe` joins back for the
+    * |Q|·shortlist survivors. */
+  def topKHamming(wh: Warehouse, schema: String, name: String, queries: DataFrame,
+                  k: Int, shortlist: Int = 20, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val t = wh.read(schema, signsTable(name))
+    Similarity.hammingTopKFromWords(queries,
+      t.select(col("id").as("c"), col("w0").as("c_w0"), col("w1").as("c_w1")),
+      t.select(col("id").as("c"), col("qe").as("c_qe")),
+      k, shortlist, idCol, embCol)
+  }
 }

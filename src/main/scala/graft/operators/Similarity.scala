@@ -776,15 +776,33 @@ object Similarity {
                 codebooks: DataFrame, k: Int, probes: Int = 2,
                 m: Int = 4, dim: Int = 64,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // the composed rows an AnnIndex IVF+PQ store persists: each vector's
+    // m PQ codes plus its coarse list — derived here ad hoc, then served
+    // through the same query path as the store (one code path to trust)
+    val codes = pqEncode(corpus, codebooks.select("sub", "label", "ce"),
+        m, dim, idCol, embCol)
+      .join(ivfAssign(corpus, coarse, probes = 1, idCol, embCol)
+        .select(col(idCol), col("label").as("clist")), Seq(idCol))
+    ivfPqTopKFromCodes(queries, codes, coarse, codebooks, k, probes, m, dim,
+      idCol, embCol)
+  }
+
+  /** The IVFADC query path against ALREADY-STORED composed rows —
+    * (idCol, clist, sub, label), e.g. read back from an [[AnnIndex]]
+    * IVF+PQ store (clist = the vector's coarse inverted list, label =
+    * its codebook entry per subspace). Serving computes nothing per call
+    * beyond the tiny query side: the query's probed lists, its m·k ADC
+    * lookup table, and its norm all broadcast; the stored side reads
+    * nothing wider than three ints per (vector, subspace). `excludeSelf`
+    * as in [[ivfTopKFromLists]]. */
+  def ivfPqTopKFromCodes(queries: DataFrame, codes: DataFrame, coarse: DataFrame,
+                         codebooks: DataFrame, k: Int, probes: Int = 2,
+                         m: Int = 4, dim: Int = 64,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         excludeSelf: Boolean = true): DataFrame = {
     val cb = codebooks.withColumn("cn2", qdot(col("ce"), col("ce")))
-    val codes = pqEncode(corpus, cb.select("sub", "label", "ce"), m, dim, idCol, embCol)
-    val corpusList = ivfAssign(corpus, coarse, probes = 1, idCol, embCol)
-      .select(col(idCol), col("label").as("clist"))
     val qList = broadcast(ivfAssign(queries, coarse, probes, idCol, embCol)
       .select(col(idCol).as("q_id"), col("label").as("clist")))
-    // each corpus vector lives in exactly one list, so a (q, vec) pair
-    // matches at most once — no distinct needed
-    val cand = corpusList.join(qList, Seq("clist")).select(col("q_id"), col(idCol))
     val lut = broadcast(
       pqSliced(queries, m, dim, idCol, embCol)
         .withColumnRenamed(idCol, "q_id")
@@ -794,12 +812,14 @@ object Similarity {
     val qn = broadcast(queries
       .select(col(idCol).as("q_id"), quantize(col(embCol)).as("__qe"))
       .select(col("q_id"), qdot(col("__qe"), col("__qe")).as("qn2")))
-    val scored = cand.join(codes, Seq(idCol))
+    // each corpus vector lives in exactly one list, so a (q, vec) pair
+    // matches at most once — no distinct needed
+    val aggd = codes.join(qList, Seq("clist"))
       .join(lut, Seq("q_id", "sub", "label"))
       .groupBy(col("q_id"), col(idCol))
       .agg(sum(col("pd")).as("dot"), sum(col("cn2")).as("rn2"))
       .join(qn, Seq("q_id"))
-      .filter(col("q_id") =!= col(idCol))
+    val scored = (if (excludeSelf) aggd.filter(col("q_id") =!= col(idCol)) else aggd)
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         col("dot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))
@@ -852,6 +872,36 @@ object Similarity {
     val slw = Window.partitionBy(col("q")).orderBy(col("hamming"), col("c"))
     val sl = scored.withColumn("srk", row_number().over(slw))
       .filter(col("srk") <= shortlist)
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qcosine(col("q_qe"), col("c_qe")), 4))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos_e4").desc, col("c"))
+    sl.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q").as("q_id"), col("c").as("neighbor_id"),
+        col("hamming"), col("cos_e4"), col("rank").cast("int").as("rank"))
+  }
+
+  /** [[hammingTopK]] served from PERSISTED sign words — the AnnIndex
+    * store path. `cWords` is the stored (c, c_w0, c_w1) projection:
+    * the shortlist stage reads 16 bytes per vector (two longs; parquet
+    * column pruning keeps the co-stored quantized embedding out of the
+    * scan), instead of recomputing words from raw embeddings per query.
+    * `cQe` — the stored (c, c_qe) projection — joins back AFTER the
+    * shortlist filter, so exact quantized vectors are fetched only for
+    * the |Q|·shortlist survivors (AQE broadcasts the tiny shortlist
+    * side). Value-identical to [[hammingTopK]] over the same corpus:
+    * same tie-breaks, same windows, same output columns. */
+  def hammingTopKFromWords(queries: DataFrame, cWords: DataFrame, cQe: DataFrame,
+                           k: Int, shortlist: Int = 20,
+                           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(signWords(queries, "q", idCol, embCol))
+    val scored = cWords.join(q, col("q") =!= col("c"))
+      .withColumn("hamming",
+        (bit_count(col("q_w0").bitwiseXOR(col("c_w0"))) +
+          bit_count(col("q_w1").bitwiseXOR(col("c_w1")))).cast("int"))
+    val slw = Window.partitionBy(col("q")).orderBy(col("hamming"), col("c"))
+    val sl = scored.withColumn("srk", row_number().over(slw))
+      .filter(col("srk") <= shortlist)
+      .join(cQe, Seq("c"))
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         qcosine(col("q_qe"), col("c_qe")), 4))
     val w = Window.partitionBy(col("q")).orderBy(col("cos_e4").desc, col("c"))

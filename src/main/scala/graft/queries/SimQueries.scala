@@ -270,7 +270,50 @@ object SimQueries {
       TopK, shortlist = 20)
       .orderBy(col("q_id"), col("rank"))
 
+  /** q128: q90's IVFADC stack served from a PERSISTED composed index —
+    * buildIvfPq stores coarse centroids, codebooks, and each vector's
+    * (codes, coarse list) rows hive-partitioned by list; topKIvfPq
+    * resolves the probed lists first and pushes them as a static
+    * partition filter, so serving scans only the probed `clist=` dirs of
+    * int-thin code rows (plain topKPq/q121 reads every stored code).
+    * Results must be row-identical to the ad-hoc q90 (same oracle SQL),
+    * proving the store/serve round-trip loses nothing. */
+  def q128IvfPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q128_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.operators.AnnIndex.buildIvfPq(wh, "ann", "emb", emb,
+      Similarity.ivfCentroids(emb, "label"),
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      m = PqM, dim = Dim)
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.topKIvfPq(wh, "ann", "emb",
+        queriesDf(spark, dir), TopK, probes = 2, m = PqM, dim = Dim)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** q129: q124's binary Hamming search served from PERSISTED sign words —
+    * buildHamming stores (id, w0, w1, qe) once; the serving shortlist
+    * scans 16 B/vector (column pruning keeps qe out of the Hamming scan)
+    * and the exact rerank joins qe back for shortlisted candidates only.
+    * Row-identical to ad-hoc q124 (same oracle SQL): the store/serve
+    * round-trip loses nothing, and no query ever re-signs the corpus. */
+  def q129HammingIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q129_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.operators.AnnIndex.buildHamming(wh, "ann", "emb", emb)
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.topKHamming(wh, "ann", "emb",
+        queriesDf(spark, dir), TopK, shortlist = 20)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_ivfpq_index_topk" -> (q128IvfPqIndexTopK _),
+    "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q124_hamming_topk" -> (q124HammingTopK _),
     "q91_pq_rerank" -> (q91PqRerank _),
@@ -446,6 +489,12 @@ object SimQueries {
     // result, same oracle derivation
     "q121_pq_index_topk" -> pqOracleSql(coarsePrune = false),
     "q90_ivf_pq" -> pqOracleSql(coarsePrune = true),
+    // q128 serves q90's IVFADC from the persisted composed index — same
+    // result, same oracle derivation
+    "q128_ivfpq_index_topk" -> pqOracleSql(coarsePrune = true),
+    // q129 serves q124's Hamming search from persisted sign words — same
+    // result, same oracle derivation
+    "q129_hamming_index_topk" -> hammingTopKSql,
     "q91_pq_rerank" -> pqOracleSql(coarsePrune = false, rerank = true),
     "q107_semantic_decontam" ->
       raw"""WITH $planesCte, $bucketsCte,
@@ -619,29 +668,7 @@ object SimQueries {
              FROM s)
          SELECT vec_id, label, dist_sq, dist_sq > 2*mean_dist AS is_outlier
          FROM m ORDER BY vec_id""",
-    // q124: sign words rebuilt as exact power-of-two sums per 32-dim half
-    // (2^31 max — inside exact-double range; see SignBitsWord scaladoc),
-    // then the same shortlist-by-Hamming / rerank-by-cosine chain.
-    "q124_hamming_topk" ->
-      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
-         b AS (SELECT e.vec_id, e.qe, w.w0, w.w1 FROM e JOIN (
-             SELECT vec_id,
-               CAST(sum(CASE WHEN v > 0 AND d <= 32 THEN CAST(power(2, d-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
-               CAST(sum(CASE WHEN v > 0 AND d > 32 THEN CAST(power(2, d-33) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
-             FROM (SELECT vec_id, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM e)
-             GROUP BY 1) w USING (vec_id)),
-         s AS (SELECT q.vec_id AS q_id, c.vec_id, q.qe AS q_qe, c.qe AS c_qe,
-               bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
-             FROM b q JOIN b c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
-         sl AS (SELECT q_id, vec_id, q_qe, c_qe, hamming,
-               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS srk FROM s),
-         ex AS (SELECT q_id, vec_id, hamming, ${cosSql("q_qe", "c_qe")} AS cos_e4
-             FROM sl WHERE srk <= 20),
-         r AS (SELECT q_id, vec_id, hamming, cos_e4,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM ex)
-         SELECT q_id, vec_id AS neighbor_id, CAST(hamming AS INT) AS hamming,
-           cos_e4, CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "q124_hamming_topk" -> hammingTopKSql,
     "q22_cosine_topk" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),
@@ -665,6 +692,31 @@ object SimQueries {
     // same oracle derivation
     "q120_ann_index_topk" -> ivfTopKSql,
     "q37_ivf_topk" -> ivfTopKSql)
+
+  // shared by q124 (ad-hoc) and q129 (served from the persisted sign-word
+  // store): sign words rebuilt as exact power-of-two sums per 32-dim half
+  // (2^31 max — inside exact-double range; see SignBitsWord scaladoc),
+  // then the same shortlist-by-Hamming / rerank-by-cosine chain.
+  private lazy val hammingTopKSql: String =
+    raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         b AS (SELECT e.vec_id, e.qe, w.w0, w.w1 FROM e JOIN (
+             SELECT vec_id,
+               CAST(sum(CASE WHEN v > 0 AND d <= 32 THEN CAST(power(2, d-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN v > 0 AND d > 32 THEN CAST(power(2, d-33) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+             FROM (SELECT vec_id, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM e)
+             GROUP BY 1) w USING (vec_id)),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id, q.qe AS q_qe, c.qe AS c_qe,
+               bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+             FROM b q JOIN b c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+         sl AS (SELECT q_id, vec_id, q_qe, c_qe, hamming,
+               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS srk FROM s),
+         ex AS (SELECT q_id, vec_id, hamming, ${cosSql("q_qe", "c_qe")} AS cos_e4
+             FROM sl WHERE srk <= 20),
+         r AS (SELECT q_id, vec_id, hamming, cos_e4,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM ex)
+         SELECT q_id, vec_id AS neighbor_id, CAST(hamming AS INT) AS hamming,
+           cos_e4, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   private lazy val ivfTopKSql: String =
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),

@@ -93,6 +93,110 @@ class AnnIndexSpec extends SparkSpec {
       "the scan must list exactly the probed label directories")
   }
 
+  // shared plan-walker: every FileSourceScanExec over a table whose root
+  // path contains `frag`, through AQE wrappers
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def scansOf(p: SparkPlan, frag: String): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan, frag)
+    case s: QueryStageExec => scansOf(s.plan, frag)
+    case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+      Seq(f)
+    case other => other.children.flatMap(scansOf(_, frag))
+  }
+
+  test("IVF+PQ store: stored composed codes answer exactly like ad-hoc ivfPqTopK") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, dim) = (4, 64)
+    val coarse = Similarity.ivfCentroids(emb, "label")
+    val cb = Similarity.pqCodebooks(emb, m, k = 8, dim = dim, iters = 2)
+    val wh = freshWh()
+    AnnIndex.buildIvfPq(wh, "ann", "emb", emb, coarse, cb, m, dim)
+    assert(rows(AnnIndex.topKIvfPq(wh, "ann", "emb", queries, k = 5, probes = 2, m, dim)) ===
+      rows(Similarity.ivfPqTopK(queries, emb, coarse, cb, k = 5, probes = 2, m, dim)))
+  }
+
+  test("IVF+PQ serving scan prunes to the probed coarse-list partitions") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, dim, probes) = (4, 64, 2)
+    val coarse = Similarity.ivfCentroids(emb, "label")
+    val cb = Similarity.pqCodebooks(emb, m, k = 8, dim = dim, iters = 2)
+    val wh = freshWh()
+    AnnIndex.buildIvfPq(wh, "ann", "emb", emb, coarse, cb, m, dim)
+    val probed = Similarity.ivfAssign(queries, coarse, probes)
+      .select("label").distinct().count()
+    assert(probed < coarse.count(), "fixture must leave some lists unprobed")
+    val served = AnnIndex.topKIvfPq(wh, "ann", "emb", queries, k = 5, probes, m, dim)
+    val scans = scansOf(served.queryExecution.executedPlan, "emb_ivfpq_codes")
+    assert(scans.nonEmpty, "expected a file scan over the composed codes table")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "the probed coarse lists must reach the scan as partition filters")
+    assert(scans.head.selectedPartitions.partitionCount.toLong === probed,
+      "the scan must list exactly the probed clist directories")
+  }
+
+  test("IVF+PQ append-then-query equals rebuild (assignment and codes are model-pure)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, dim) = (4, 64)
+    val coarse = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val cb = Similarity.pqCodebooks(emb, m, k = 8, dim = dim, iters = 2)
+    val incr = freshWh()
+    AnnIndex.buildIvfPq(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 0),
+      coarse, cb, m, dim)
+    AnnIndex.appendIvfPq(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 1), m, dim)
+    val full = freshWh()
+    AnnIndex.buildIvfPq(full, "ann", "emb", emb, coarse, cb, m, dim)
+    assert(rows(AnnIndex.topKIvfPq(incr, "ann", "emb", queries, k = 5, probes = 2, m, dim)) ===
+      rows(AnnIndex.topKIvfPq(full, "ann", "emb", queries, k = 5, probes = 2, m, dim)))
+  }
+
+  private def hammingRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "neighbor_id", "hamming", "cos_e4", "rank")
+      .as[(Long, Long, Int, Long, Int)].collect().sortBy(r => (r._1, r._5)).toSeq
+
+  test("Hamming store: stored sign words answer exactly like ad-hoc hammingTopK") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val wh = freshWh()
+    AnnIndex.buildHamming(wh, "ann", "emb", emb)
+    assert(hammingRows(AnnIndex.topKHamming(wh, "ann", "emb", queries, k = 5)) ===
+      hammingRows(Similarity.hammingTopK(queries, emb, k = 5)))
+  }
+
+  test("Hamming shortlist scan reads only (id, w0, w1) — qe stays pruned out") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val wh = freshWh()
+    AnnIndex.buildHamming(wh, "ann", "emb", emb)
+    val served = AnnIndex.topKHamming(wh, "ann", "emb", queries, k = 5)
+    val scans = scansOf(served.queryExecution.executedPlan, "emb_signs")
+    assert(scans.nonEmpty, "expected file scans over the signs table")
+    // two scans exist by design: the 16 B-wide shortlist scan (no qe) and
+    // the post-shortlist qe fetch — the WIDE column must appear in exactly
+    // the fetch scan, never the shortlist scan
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.exists(s => s == Set("id", "w0", "w1")),
+      s"one scan must read exactly (id,w0,w1); got $schemas")
+    assert(schemas.exists(s => !s.contains("w0") && s.contains("qe")),
+      s"the qe fetch must not re-read the words; got $schemas")
+  }
+
+  test("Hamming append-then-query equals rebuild (sign words are row-pure)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val incr = freshWh()
+    AnnIndex.buildHamming(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 0))
+    AnnIndex.appendHamming(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 1))
+    val full = freshWh()
+    AnnIndex.buildHamming(full, "ann", "emb", emb)
+    assert(hammingRows(AnnIndex.topKHamming(incr, "ann", "emb", queries, k = 5)) ===
+      hammingRows(AnnIndex.topKHamming(full, "ann", "emb", queries, k = 5)))
+  }
+
   test("PQ append-then-query equals rebuild (codes are codebook-pure)") {
     val emb = Tables(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
