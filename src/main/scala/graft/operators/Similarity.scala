@@ -856,10 +856,14 @@ object Similarity {
     *
     * Scale shape: one corpus scan computes the words inline (codegen'd,
     * no shuffle); the query side — ids, words, and quantized vectors for
-    * the rerank — broadcasts; the only wide state is the per-query
-    * shortlist window. Sign-bit Hamming approximates angular distance
-    * (each differing sign bit is a hyperplane the pair straddles), so
-    * recall@k tracks the shortlist/k ratio. */
+    * the rerank — broadcasts. The shortlist window's rank-filter shape
+    * triggers WindowGroupLimit: a PARTIAL group-limit runs map-side, so
+    * each scan task forwards at most `shortlist` rows per query into the
+    * exchange and the final window task holds ≤ shortlist·partitions
+    * rows per query — never the corpus (HammingSpec pins the Partial
+    * node). Sign-bit Hamming approximates angular distance (each
+    * differing sign bit is a hyperplane the pair straddles), so recall@k
+    * tracks the shortlist/k ratio. */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                   shortlist: Int = 20,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -37,6 +37,11 @@ object ThetaSketch {
                 k: Int, salt: String = "theta"): DataFrame =
     df.select(col(groupCol),
         stableHash60(concat(lit(salt + ":"), col(valueCol).cast("string"))).as("h"))
+      // NULL values hash to NULL (concat/md5 propagate) and count nothing:
+      // the explicit filter makes that contract engine-independent — the
+      // oracle replay filters h IS NOT NULL identically, so a nullable
+      // value column can never make an unsaturated group's n differ by 1
+      .filter(col("h").isNotNull)
       .groupBy(col(groupCol))
       .agg(org.apache.spark.sql.graft.KmvMinKAgg(col("h"), k).as("hs"))
 

@@ -225,18 +225,25 @@ object MiscQueries {
     * share?") answered from k-bounded state — no distinct join. */
   def q125ThetaSketchOps(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
-    // the sketch is groups·(k+3) values — checkpoint it so the singles +
+    // the sketch is groups·(k+3) values — persisted so the singles +
     // pair-algebra consumers read it once instead of re-aggregating the
-    // events scan per consumer (5 scans in the uncheckpointed plan)
+    // events scan per consumer (5 scans in the unpersisted plan), and
+    // RELEASED before returning (the nearDupPairs discipline): the tiny
+    // result is eagerly checkpointed first, so a long-lived caller
+    // accumulates nothing across invocations
     val sk = graft.operators.ThetaSketch.sketch(
       Tables(spark, dir, "events"), "event_type", "user_id", k)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
     val singles = sk.select(
       col("event_type").as("grp_a"), col("event_type").as("grp_b"),
       col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
-    singles.unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
+    val out = singles
+      .unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
       .orderBy(col("grp_a"), col("grp_b"))
+      .localCheckpoint(true)
+    sk.unpersist()
+    out
   }
 
   /** q127: cross-source text-overlap matrix — a theta sketch of each
@@ -252,16 +259,21 @@ object MiscQueries {
       col("source"),
       explode(graft.functions.TextFunctions.winnowingFingerprints(
         col("text"), 5, 4)).as("fp"))
-    // checkpoint like q125: the fingerprint explode + KMV aggregation runs
-    // once, not once per algebra consumer
+    // persist-then-release like q125: the fingerprint explode + KMV
+    // aggregation runs once, not once per algebra consumer, and the cache
+    // goes before returning (only the tiny checkpointed result remains)
     val sk = graft.operators.ThetaSketch.sketch(fps, "source", "fp", k, salt = "srcov")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
     val singles = sk.select(
       col("source").as("grp_a"), col("source").as("grp_b"),
       col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
-    singles.unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "source", k))
+    val out = singles
+      .unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "source", k))
       .orderBy(col("grp_a"), col("grp_b"))
+      .localCheckpoint(true)
+    sk.unpersist()
+    out
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +305,8 @@ object MiscQueries {
     * exact as a double; counts ≤ 2k keep every product exact-double. */
   private def thetaOpsSql(hashCte: String): String =
     raw"""WITH h AS ($hashCte),
-         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM h WHERE h IS NOT NULL),
          sk AS (SELECT g, h FROM r WHERE rn <= 256),
          meta AS (SELECT g, count(*) AS n,
              CASE WHEN count(*) < 256 THEN 1152921504606846976 ELSE max(h) END AS theta

@@ -30,6 +30,27 @@ class HammingSpec extends SparkSpec {
     }
   }
 
+  test("shortlist window group-limits map-side (no corpus-per-query task state)") {
+    // the srk <= shortlist rank filter must keep its WindowGroupLimit
+    // shape: the PARTIAL node bounds every scan task to `shortlist` rows
+    // per query BEFORE the exchange — without it, one task would buffer
+    // |corpus| scored rows per query. Pin it for both the ad-hoc path and
+    // the stored-words serving path (a refactor that breaks the
+    // rank-filter pattern silently loses the bound, not correctness).
+    val queries = emb.filter(col("vec_id") < 5)
+    val adHoc = Similarity.hammingTopK(queries, emb, 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(adHoc.contains("WindowGroupLimit") && adHoc.contains("Partial"),
+      s"hammingTopK shortlist lost its partial group-limit:\n$adHoc")
+    val words = Similarity.signWords(emb, "c")
+    val stored = Similarity.hammingTopKFromWords(queries,
+      words.select(col("c"), col("c_w0"), col("c_w1")),
+      words.select(col("c"), col("c_qe")), 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(stored.contains("WindowGroupLimit") && stored.contains("Partial"),
+      s"hammingTopKFromWords shortlist lost its partial group-limit:\n$stored")
+  }
+
   test("hammingTopK equals the brute-force shortlist + exact rerank") {
     val queries = emb.filter(col("vec_id") < 5)
     val k = 3

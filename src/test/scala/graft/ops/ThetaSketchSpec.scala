@@ -27,6 +27,20 @@ class ThetaSketchSpec extends SparkSpec {
     }
   }
 
+  test("NULL values count nothing: sketch over nullable input equals the non-null subset") {
+    // previously latent: a NULL value hashes to NULL and KmvMinKAgg skips
+    // it, but an oracle chain without the explicit h IS NOT NULL keeps a
+    // NULL row through DISTINCT — the two sides are now pinned identical
+    val withNulls = Seq(("a", Some("x")), ("a", None), ("a", Some("y")),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = ThetaSketch.sketch(withNulls, "g", "v", k = 16)
+      .select("g", "n").as[(String, Long)].collect().toMap
+    // an all-null group contributes no hashes and therefore NO sketch row —
+    // the same groups the oracle's WHERE h IS NOT NULL chain yields
+    assert(got === Map("a" -> 2L),
+      "nulls must not contribute hashes; all-null groups must vanish")
+  }
+
   test("estimate is exactly n below saturation") {
     val df = (1 to 50).map(i => ("g", s"x$i")).toDF("g", "v")
     val got = ThetaSketch.distinctEstimate(df, "g", "v", k = 256)

@@ -63,4 +63,45 @@ class StreamingThetaSpec extends SparkSpec {
       assert(math.abs(got._4 - 400.0) < 160.0)
     } finally run.stop()
   }
+
+  test("stream-ingested sketch state serves q125's oracle-checked estimators exactly") {
+    // the end-to-end anchor (the StreamingAnnIngest→q120 pattern): stream
+    // the events fixture in two micro-batches, snapshot the sketch state,
+    // run EXACTLY q125's estimator chain (k=256 singles + pair algebra)
+    // over it, and match the batch q125 query row-for-row — the query the
+    // oracle hash-checks, so the streaming sketch path is transitively
+    // oracle-anchored.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 256
+    val events = graft.core.Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+    val srcDir = Files.createTempDirectory("graft_stheta_src_").toString
+    val ckpt = Files.createTempDirectory("graft_stheta_ck_").toString
+    events.filter(col("user_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$srcDir/batch1.parquet")
+    events.filter(col("user_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$srcDir/batch2.parquet")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1") // two micro-batches
+      .parquet(s"$srcDir/*.parquet")
+    val run = StreamingSketch.kmvSketchStream(stream, "event_type", "user_id", k)
+      .writeStream.outputMode("complete").format("memory").queryName("kmv_q125")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    run.awaitTermination()
+    val sk = ThetaSketch.withMeta(spark.table("kmv_q125"), "event_type", k)
+    val est = ThetaSketch.estimate(col("n"), col("theta"), k)
+    val singles = sk.select(
+      col("event_type").as("grp_a"), col("event_type").as("grp_b"),
+      col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("grp_a", "grp_b", "n_common", "est_intersect", "est_union")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val got = rows(singles.unionByName(ThetaSketch.pairwiseOps(sk, "event_type", k))
+      .orderBy(col("grp_a"), col("grp_b")))
+    val want = rows(graft.queries.MiscQueries.q125ThetaSketchOps(spark, sf))
+    assert(got === want)
+  }
 }
