@@ -208,6 +208,61 @@ object AnnIndex {
       idCol, embCol, excludeSelf)
   }
 
+  // ---- composed IVF+SQ8 store: coarse lists prune, byte codes (4× over
+  // raw floats) reconstruct-and-score. The frozen model is the
+  // (centroids, bounds) pair — per-dim corpus bounds are as much a model
+  // artifact as a codebook, so they freeze at build and appended batches
+  // encode against them (append-equals-rebuild holds over the frozen
+  // pair, exactly like PQ over its codebooks).
+
+  private def sq8BoundsTable(name: String) = s"${name}_sq8_bounds"
+  private def sq8CodesTable(name: String) = s"${name}_sq8_codes"
+
+  /** Store coarse centroids + per-dim bounds + the composed
+    * (id, label, sq_codes) encoding of `corpus`, partitioned by label.
+    * `bounds` from `Similarity.sq8Bounds(corpus)` — frozen at build. */
+  def buildSq8(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+               centroids: DataFrame, bounds: DataFrame,
+               idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    wh.overwrite(schema, centroidsTable(name), centroids.select(col("label"), col("ce")))
+    wh.overwrite(schema, sq8BoundsTable(name), bounds.select(col("lo"), col("hi")))
+    wh.overwrite(schema, sq8CodesTable(name),
+      encodeSq8(wh, schema, name, corpus, idCol, embCol),
+      partitionBy = Seq("label"))
+  }
+
+  /** Assign + encode ONLY the arriving batch against the stored frozen
+    * (centroids, bounds) and append — O(batch). */
+  def appendSq8(wh: Warehouse, schema: String, name: String, newVectors: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    wh.append(schema, sq8CodesTable(name),
+      encodeSq8(wh, schema, name, newVectors, idCol, embCol))
+
+  private def encodeSq8(wh: Warehouse, schema: String, name: String,
+                        vectors: DataFrame, idCol: String, embCol: String): DataFrame =
+    Similarity.ivfSq8Encode(vectors,
+        wh.read(schema, centroidsTable(name)),
+        wh.read(schema, sq8BoundsTable(name)), idCol, embCol)
+      .select(col(idCol).as("id"), col("label"), col("sq_codes"))
+
+  /** IVF+SQ8 top-k from the store — identical results to
+    * `Similarity.ivfSq8TopK` over the same corpus, centroids, and bounds.
+    * Probed labels resolve first and push as a static partition filter
+    * (the [[topK]]/[[topKIvfPq]] pattern): serving scans only the probed
+    * `label=` dirs of byte codes, never raw embeddings. */
+  def topKSq8(wh: Warehouse, schema: String, name: String, queries: DataFrame,
+              k: Int, probes: Int = 2, idCol: String = "vec_id",
+              embCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    val cents = wh.read(schema, centroidsTable(name))
+    val probed = Similarity.ivfAssign(queries, cents, probes, idCol, embCol)
+      .select(col("label")).distinct().collect().map(_.get(0))
+    val codes = wh.read(schema, sq8CodesTable(name))
+      .filter(col("label").isInCollection(probed))
+      .select(col("id").as(idCol), col("label"), col("sq_codes"))
+    Similarity.ivfSq8TopKFromCodes(queries, codes, cents,
+      wh.read(schema, sq8BoundsTable(name)), k, probes, idCol, embCol, excludeSelf)
+  }
+
   // ---- binary sign-word store: 16 bytes of Hamming shortlist state per
   // vector, with the quantized embedding co-stored for the exact rerank.
   // Sign words are a pure row-local function of the vector (centroid- and

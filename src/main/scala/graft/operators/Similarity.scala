@@ -355,23 +355,50 @@ object Similarity {
                  k: Int, probes: Int = 2,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bounds = sq8Bounds(corpus, embCol)
-    // ivfAssign already carries the e3-quantized vector (__qe) — encode/
-    // decode from it directly rather than re-scanning the corpus and
-    // joining the reconstruction back on id (that join is a second
-    // full-corpus exchange for data the assign output already holds)
-    def recon(assigned: DataFrame, id: String, emb: String, norm: String): DataFrame =
-      assigned.join(broadcast(bounds), lit(true))
-        .select(col(idCol).as(id), col("label"),
-          sq8Decode(sq8CodesQ(col("__qe"), col("lo"), col("hi")),
-            col("lo"), col("hi")).as(emb))
-        .withColumn(norm, sqrt(qdot(col(emb), col(emb)).cast("double")))
-    val corpusIdx =
-      recon(ivfAssign(corpus, centroids, probes = 1, idCol, embCol),
-        idCol, "__re", "__rn")
+    ivfSq8TopKFromCodes(queries,
+      ivfSq8Encode(corpus, centroids, bounds, idCol, embCol),
+      centroids, bounds, k, probes, idCol, embCol)
+  }
+
+  /** The composed (id, label, sq_codes) rows an AnnIndex IVF+SQ8 store
+    * persists: each vector's coarse list next to its byte codes.
+    * ivfAssign already carries the e3-quantized vector (__qe) — encode
+    * from it directly rather than re-scanning the corpus and joining the
+    * codes back on id (a second full-corpus exchange for data the assign
+    * output already holds). Codes depend only on the frozen (centroids,
+    * bounds) pair, so append-equals-rebuild holds for any store built on
+    * them. */
+  def ivfSq8Encode(vectors: DataFrame, centroids: DataFrame, bounds: DataFrame,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfAssign(vectors, centroids, probes = 1, idCol, embCol)
+      .join(broadcast(bounds), lit(true))
+      .select(col(idCol), col("label"),
+        sq8CodesQ(col("__qe"), col("lo"), col("hi")).as("sq_codes"))
+
+  /** The IVF+SQ8 query path against ALREADY-ENCODED composed rows —
+    * (idCol, label, sq_codes), e.g. read back from an [[AnnIndex]] SQ8
+    * store. Candidates come from the coarse-list join (the store prunes
+    * the scan to probed labels before this runs); scoring reconstructs
+    * each candidate from its byte codes and ranks by the exact
+    * reconstruction cosine. `excludeSelf` as in [[ivfTopKFromLists]]. */
+  def ivfSq8TopKFromCodes(queries: DataFrame, codes: DataFrame,
+                          centroids: DataFrame, bounds: DataFrame,
+                          k: Int, probes: Int = 2,
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          excludeSelf: Boolean = true): DataFrame = {
+    val corpusIdx = codes.join(broadcast(bounds), lit(true))
+      .select(col(idCol), col("label"),
+        sq8Decode(col("sq_codes"), col("lo"), col("hi")).as("__re"))
+      .withColumn("__rn", sqrt(qdot(col("__re"), col("__re")).cast("double")))
     val q = broadcast(
-      recon(ivfAssign(queries, centroids, probes, idCol, embCol),
-        "q_id", "q_emb", "q_norm"))
-    val scored = corpusIdx.join(q, Seq("label")).filter(col("q_id") =!= col(idCol))
+      ivfAssign(queries, centroids, probes, idCol, embCol)
+        .join(broadcast(bounds), lit(true))
+        .select(col(idCol).as("q_id"), col("label"),
+          sq8Decode(sq8CodesQ(col("__qe"), col("lo"), col("hi")),
+            col("lo"), col("hi")).as("q_emb"))
+        .withColumn("q_norm", sqrt(qdot(col("q_emb"), col("q_emb")).cast("double"))))
+    val joined = corpusIdx.join(q, Seq("label"))
+    val scored = (if (excludeSelf) joined.filter(col("q_id") =!= col(idCol)) else joined)
       .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
         qdot(col("q_emb"), col("__re")) / (col("q_norm") * col("__rn")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e4").desc, col(idCol))

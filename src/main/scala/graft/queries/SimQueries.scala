@@ -311,9 +311,31 @@ object SimQueries {
     }
   }
 
+  /** q130: q80's IVF+SQ8 composition served from a PERSISTED store —
+    * buildSq8 freezes (centroids, per-dim bounds) and stores each
+    * vector's byte codes next to its coarse list, partitioned by list;
+    * topKSq8 pushes the probed lists as a static partition filter and
+    * reconstructs candidates from their codes. Row-identical to ad-hoc
+    * q80 (same oracle SQL): with this, every ANN family the engine
+    * serves ad hoc — IVF, PQ, IVF+PQ, SQ8+IVF, sign-bit Hamming — also
+    * serves from a persistent, append-only, partition-pruned store. */
+  def q130Sq8IndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q130_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.operators.AnnIndex.buildSq8(wh, "ann", "emb", emb,
+      Similarity.ivfCentroids(emb, "label"), Similarity.sq8Bounds(emb))
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.topKSq8(wh, "ann", "emb",
+        queriesDf(spark, dir), TopK, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_ivfpq_index_topk" -> (q128IvfPqIndexTopK _),
     "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
+    "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q124_hamming_topk" -> (q124HammingTopK _),
     "q91_pq_rerank" -> (q91PqRerank _),
@@ -547,7 +569,7 @@ object SimQueries {
     // ⌈count(*) / 63⌉ — so the oracle agrees at every scale it runs at
     "q122_semdedup_auto" -> semDedupOracleSql(
       "(SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings)")) ++
-    oraclesMid ++ oraclesTail
+    oraclesMid ++ oraclesMid2 ++ oraclesTail
 
   /** The SemDeDup oracle chain (seeds → 2×(assign, step) → within-cluster
     * pairs → recursive components → keep-the-outlier), parameterized by
@@ -585,7 +607,12 @@ object SimQueries {
          FROM r ORDER BY cluster, vec_id"""
 
   private lazy val oraclesMid: Map[String, String] = Map(
-    "q80_ivf_sq8" ->
+    // q130 serves q80's IVF+SQ8 composition from the persisted store —
+    // same result, same oracle derivation
+    "q130_sq8_index_topk" -> oraclesMidQ80,
+    "q80_ivf_sq8" -> oraclesMidQ80)
+
+  private lazy val oraclesMidQ80: String =
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
          cagg AS (SELECT label, d,
@@ -620,7 +647,9 @@ object SimQueries {
          r AS (SELECT q_id, vec_id, cos_e4,
                row_number() OVER (PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM s)
          SELECT q_id, vec_id AS neighbor_id, cos_e4, CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= $TopK ORDER BY q_id, rank""",
+         FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  private lazy val oraclesMid2: Map[String, String] = Map(
     "q65_sq8_recall" ->
       raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          pe AS (SELECT generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

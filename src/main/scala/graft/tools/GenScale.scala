@@ -69,6 +69,27 @@ object GenScale {
       col("label"))
   }
 
+  /** Shard-c events frame (for the q125 theta-sketch sf1.0 gate):
+    * event_id offset by c*n; 40% of rows draw a hash-chosen user from a
+    * 2× user-id domain (keyed on the NEW event id — deterministic,
+    * distributed), the rest keep their user. Per-type distinct-user sets
+    * therefore GROW with scale but keep heavy cross-type overlap — the
+    * regime the pairwise theta estimators exist for. ts/value/props ride
+    * along unchanged (the sketch queries never read them, but the table
+    * stays schema-complete for any other consumer). */
+  def eventShard(events: DataFrame, c: Int, n: Long): DataFrame = {
+    if (c == 0) return events
+    val newId = col("event_id") + lit(c.toLong * n)
+    val maxUser = lit(3000L) // fixture user ids are < 1500; churn doubles the domain
+    val churned = when(
+      pmod(xxhash64(newId, lit(53)), lit(100)) < lit(40),
+      pmod(xxhash64(newId, lit(59)), maxUser)
+    ).otherwise(col("user_id"))
+    events.select(
+      newId.as("event_id"), col("ts"), churned.as("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
   def scaled(base: DataFrame, factor: Int, shard: (DataFrame, Int, Long) => DataFrame): DataFrame = {
     val n = base.count()
     (0 until factor).map(c => shard(base, c, n)).reduce(_ unionAll _)
@@ -93,6 +114,9 @@ object GenScale {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaled(emb, factor, embShard).repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    scaled(events, factor, eventShard).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"GENSCALE wrote factor=$factor to $outDir")
     spark.stop()
   }

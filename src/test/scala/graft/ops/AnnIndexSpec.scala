@@ -154,6 +154,51 @@ class AnnIndexSpec extends SparkSpec {
       rows(AnnIndex.topKIvfPq(full, "ann", "emb", queries, k = 5, probes = 2, m, dim)))
   }
 
+  test("IVF+SQ8 store: stored codes answer exactly like ad-hoc ivfSq8TopK") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val coarse = Similarity.ivfCentroids(emb, "label")
+    val bounds = Similarity.sq8Bounds(emb)
+    val wh = freshWh()
+    AnnIndex.buildSq8(wh, "ann", "emb", emb, coarse, bounds)
+    assert(rows(AnnIndex.topKSq8(wh, "ann", "emb", queries, k = 5, probes = 2)) ===
+      rows(Similarity.ivfSq8TopK(queries, emb, coarse, k = 5, probes = 2)))
+  }
+
+  test("IVF+SQ8 serving scan prunes to the probed label partitions") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val probes = 2
+    val coarse = Similarity.ivfCentroids(emb, "label")
+    val wh = freshWh()
+    AnnIndex.buildSq8(wh, "ann", "emb", emb, coarse, Similarity.sq8Bounds(emb))
+    val probed = Similarity.ivfAssign(queries, coarse, probes)
+      .select("label").distinct().count()
+    assert(probed < coarse.count(), "fixture must leave some lists unprobed")
+    val served = AnnIndex.topKSq8(wh, "ann", "emb", queries, k = 5, probes)
+    val scans = scansOf(served.queryExecution.executedPlan, "emb_sq8_codes")
+    assert(scans.nonEmpty, "expected a file scan over the sq8 codes table")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "the probed labels must reach the scan as partition filters")
+    assert(scans.head.selectedPartitions.partitionCount.toLong === probed,
+      "the scan must list exactly the probed label directories")
+  }
+
+  test("IVF+SQ8 append-then-query equals rebuild (codes are frozen-(centroids,bounds)-pure)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val coarse = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val bounds = Similarity.sq8Bounds(emb) // frozen model: same bounds both stores
+    val incr = freshWh()
+    AnnIndex.buildSq8(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 0),
+      coarse, bounds)
+    AnnIndex.appendSq8(incr, "ann", "emb", emb.filter(col("vec_id") % 2 === 1))
+    val full = freshWh()
+    AnnIndex.buildSq8(full, "ann", "emb", emb, coarse, bounds)
+    assert(rows(AnnIndex.topKSq8(incr, "ann", "emb", queries, k = 5, probes = 2)) ===
+      rows(AnnIndex.topKSq8(full, "ann", "emb", queries, k = 5, probes = 2)))
+  }
+
   private def hammingRows(df: org.apache.spark.sql.DataFrame) =
     df.select("q_id", "neighbor_id", "hamming", "cos_e4", "rank")
       .as[(Long, Long, Int, Long, Int)].collect().sortBy(r => (r._1, r._5)).toSeq
