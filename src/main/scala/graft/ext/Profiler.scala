@@ -69,4 +69,70 @@ object Profiler {
       .orderBy(col("n").desc, col("key"))
       .limit(topK)
   }
+
+  /** Pairwise token-distribution drift between corpus slices — the
+    * DISTRIBUTIONAL complement of the verbatim-overlap matrix (q127):
+    * two sources can share zero text yet have near-identical token
+    * distributions (same register/domain), or share boilerplate yet
+    * diverge distributionally. The metric is total-variation distance
+    * over the global top-`topN` tokens plus one residual "other" bucket:
+    * TV = ½ Σ |p_i − q_i| ∈ [0, 1], reported e4. The question it
+    * answers at 100 TB: "did this source's distribution shift between
+    * crawls" / "which sources are interchangeable in a mixture".
+    *
+    * Exactness: with n_i, m_i the bucket counts and N_a, N_b the slice
+    * totals, ½ Σ |n_i/N_a − m_i/N_b| = Σ|n_i·N_b − m_i·N_a| / (2·N_a·N_b)
+    * — an exact INTEGER numerator (addition order-free), one IEEE
+    * division at the end: engine-exact like the theta estimators. Bound:
+    * n_i·N_b must stay under 2^63 — fine to ~3·10^9 tokens per slice;
+    * beyond that, pre-scale counts to e-9 proportions before calling.
+    *
+    * Scale shape: one token explode → (slice, token) count (map-side
+    * combine, uniform keys), top-N via TakeOrdered (k rows to the
+    * driver plan, no global sort), bucketed histograms are slices×(N+1)
+    * rows, and the pair stage joins two copies of that tiny frame —
+    * slices²·N work, independent of corpus size. The count frame is
+    * persisted across its three consumers and released before returning
+    * (result is eagerly checkpointed, matrix-sized). */
+  def tokenDrift(docs: DataFrame, sliceCol: String, textCol: String,
+                 topN: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val OtherBucket = "\u0001other" // control-prefixed: no natural token collides
+    val counts = docs
+      .select(col(sliceCol).as("src"),
+        explode(wsTokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = try {
+      val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("nt"))
+      val top = counts.groupBy(col("tok")).agg(sum(col("n")).as("g"))
+        .orderBy(col("g").desc, col("tok")).limit(topN).select(col("tok"))
+      val keyed = counts
+        .join(broadcast(top.withColumn("__t", lit(1))), Seq("tok"), "left")
+        .select(col("src"),
+          when(col("__t").isNotNull, col("tok")).otherwise(lit(OtherBucket)).as("tok"),
+          col("n"))
+        .groupBy(col("src"), col("tok")).agg(sum(col("n")).as("n"))
+      // zero-filled grid: a token absent from a slice must contribute its
+      // FULL other-side mass to the distance, not silently drop
+      val filled = totals.select(col("src"))
+        .join(broadcast(keyed.select(col("tok")).distinct()), lit(true))
+        .join(keyed, Seq("src", "tok"), "left")
+        .select(col("src"), col("tok"), coalesce(col("n"), lit(0L)).as("n"))
+        .join(totals, Seq("src"))
+      val a = filled.select(col("src").as("src_a"), col("tok"),
+        col("n").as("na"), col("nt").as("nta"))
+      val b = filled.select(col("src").as("src_b"), col("tok"),
+        col("n").as("nb"), col("nt").as("ntb"))
+      a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(max(col("nta")).as("n_a"), max(col("ntb")).as("n_b"),
+          sum(abs(col("na") * col("ntb") - col("nb") * col("nta"))).as("s"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          floor(col("s").cast("double") * 10000.0d /
+            (lit(2.0d) * col("n_a") * col("n_b")) + 0.5d).cast("long").as("tv_e4"))
+        .localCheckpoint(true)
+    } finally counts.unpersist()
+    out
+  }
 }

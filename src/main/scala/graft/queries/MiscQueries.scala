@@ -276,9 +276,22 @@ object MiscQueries {
     out
   }
 
+  /** q131: token-distribution drift matrix — pairwise total-variation
+    * distance between every two sources' token distributions (global
+    * top-64 tokens + residual bucket), integer-exact (see
+    * Profiler.tokenDrift). The distributional complement of q127's
+    * verbatim-overlap matrix: q127 asks "do these sources share TEXT",
+    * q131 asks "do they share a REGISTER" — the drift/mixture-design
+    * signal for a training-data pipeline. */
+  def q131TokenDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.tokenDrift(
+      Tables(spark, dir, "documents"), "source", "text", topN = 64)
+      .orderBy(col("src_a"), col("src_b"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_theta_sketch_ops" -> (q125ThetaSketchOps _),
     "q127_source_overlap" -> (q127SourceOverlap _),
+    "q131_token_drift" -> (q131TokenDrift _),
     "q82_constraint_report" -> (q82ConstraintReport _),
     "q88_record_reconcile" -> (q88RecordReconcile _),
     "q85_frame_features" -> (q85FrameFeatures _),
@@ -339,6 +352,32 @@ object MiscQueries {
          ORDER BY grp_a, grp_b"""
 
   val oracles: Map[String, String] = Map(
+    // q131: the TV-distance replay — same top-64 + chr(1)-other bucketing,
+    // same exact-integer numerator Σ|n_i·N_b − m_i·N_a|, same single IEEE
+    // division (the theta-estimator exactness pattern)
+    "q131_token_drift" ->
+      raw"""WITH occ AS (SELECT source AS src, unnest(CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(lower(trim(text)),'\s+') END) AS tok FROM documents),
+         c AS (SELECT src, tok, count(*) AS n FROM occ GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+         top AS (SELECT tok FROM (SELECT tok, sum(n) AS g FROM c GROUP BY 1
+             ORDER BY g DESC, tok LIMIT 64)),
+         keyed AS (SELECT src, CASE WHEN tok IN (SELECT tok FROM top) THEN tok
+             ELSE chr(1)||'other' END AS tok, CAST(sum(n) AS BIGINT) AS n
+           FROM c GROUP BY 1, 2),
+         toks AS (SELECT DISTINCT tok FROM keyed),
+         grid AS (SELECT t.src, k.tok FROM tot t, toks k),
+         filled AS (SELECT g.src, g.tok, coalesce(k.n, 0) AS n, tot.nt
+           FROM grid g LEFT JOIN keyed k ON k.src = g.src AND k.tok = g.tok
+           JOIN tot ON tot.src = g.src),
+         p AS (SELECT a.src AS src_a, b.src AS src_b,
+             max(a.nt) AS n_a, max(b.nt) AS n_b,
+             CAST(sum(abs(a.n*b.nt - b.n*a.nt)) AS BIGINT) AS s
+           FROM filled a JOIN filled b ON a.tok = b.tok AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_a, n_b,
+           CAST(floor(CAST(s AS DOUBLE)*10000.0/(2.0*n_a*n_b) + 0.5) AS BIGINT) AS tv_e4
+         FROM p ORDER BY src_a, src_b""",
     "q125_theta_sketch_ops" -> thetaOpsSql(
       raw"""SELECT DISTINCT event_type AS g,
           CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h

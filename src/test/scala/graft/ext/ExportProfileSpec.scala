@@ -63,6 +63,31 @@ class ExportProfileSpec extends SparkSpec {
     assert(p("props").getAs[Long]("n_nulls") === 0L)
   }
 
+  test("tokenDrift equals a hand-computed TV distance; identical slices read 0, disjoint 1") {
+    // a: {x:2, y:1, z:1} (N=4); b: {x:1, y:3} (N=4); c ≡ a; d: {q:2} disjoint
+    val docs = Seq(
+      ("a", "x x y z"), ("b", "x y y y"), ("c", "x x y z"), ("d", "q q"))
+      .toDF("src", "text")
+    val got = Profiler.tokenDrift(docs, "src", "text", topN = 64)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // TV(a,b) = ½(|2/4−1/4| + |1/4−3/4| + |1/4−0|) = ½·(1/4+2/4+1/4) = 1/2
+    assert(got(("a", "b")) === 5000L)
+    assert(got(("a", "c")) === 0L, "identical distributions must read 0")
+    assert(got(("a", "d")) === 10000L, "disjoint vocabularies must read 1")
+    assert(got.size === 6) // 4 slices → 6 pairs
+    // the residual bucket carries mass: with topN=1 only the global top
+    // token (x? counts: x=5? x:2+1+2=5, y:1+3+1=5, q:2 — tie x/y → y? order
+    // by count desc, token asc picks the lexicographically FIRST of the
+    // tie: x) stays itemized, everything else folds into "other" —
+    // TV(a,d): p_a = {x:2/4, other:2/4}, p_d = {x:0, other:1} → ½(2/4+2/4)= ½
+    val coarse = Profiler.tokenDrift(docs, "src", "text", topN = 1)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(coarse(("a", "d")) === 5000L)
+    assert(coarse(("a", "c")) === 0L)
+  }
+
   test("empty export with verifyCounts returns an empty manifest, no crash") {
     val out = Files.createTempDirectory("graft_exp0_").toString
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
