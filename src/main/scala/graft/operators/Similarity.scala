@@ -158,6 +158,37 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("ce"))
 
+  /** Embedding-distribution drift between two corpus snapshots, per
+    * label: how far each label's integer centroid moved from snapshot A
+    * to snapshot B — the embedding-space complement of the token-level
+    * drift matrix (Profiler.tokenDrift): "did this slice's embedding
+    * distribution shift between crawls / model versions", the signal
+    * that an ANN store's frozen centroids (AnnIndex) need a recall
+    * re-check or a rebuild. All integer: centroids are the q39/q60
+    * floor-mean convention, drift_sq = |ca − cb|² via the exact
+    * three-dot identity, norms are self-dots — engine-exact, no
+    * tolerance anywhere. Labels present in only one snapshot report
+    * null on the missing side (appeared/vanished slices are exactly
+    * what a drift monitor must surface, not drop).
+    *
+    * Scale shape: two centroid aggregations (per-label element-wise
+    * means — map-side combinable, label·dim narrow rows through the
+    * shuffle) + a label-count aggregate each, joined at label
+    * granularity — the comparison never touches vector pairs. */
+  def centroidDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, c: String, n: String): DataFrame =
+      ivfCentroids(df, labelCol, embCol).withColumnRenamed("ce", c)
+        .join(df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(n)),
+          Seq("label"))
+    side(snapA, "ca", "n_a").join(side(snapB, "cb", "n_b"), Seq("label"), "full_outer")
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("ca").isNotNull && col("cb").isNotNull,
+          qdistSq(col("ca"), col("cb"))).as("drift_sq"),
+        when(col("ca").isNotNull, qdot(col("ca"), col("ca"))).as("norm_a_sq"),
+        when(col("cb").isNotNull, qdot(col("cb"), col("cb"))).as("norm_b_sq"))
+  }
+
   /** Deterministic Lloyd's k-means over quantized vectors — real learned
     * IVF centroids (no RNG: seeds are the k lowest-id vectors; fixed
     * iteration count; integer-quantized means). Each iteration is one

@@ -123,3 +123,67 @@ object ThetaSketch {
   private def scaled(count: Column, theta: Column): Column =
     floor(count.cast("double") * lit(HMax.toDouble) / theta.cast("double")).cast("long")
 }
+
+/** Persistent theta-sketch store over the Warehouse — the sketch analog
+  * of [[AnnIndex]]: per-group KMV buffers maintained as a tiny stored
+  * table so "distinct users per event type" / "fingerprints per source"
+  * never rescans history. The KMV merge is a capped DISTINCT set-union
+  * (associative, commutative, idempotent — [[org.apache.spark.sql.graft.
+  * KmvMinKAgg]]'s TreeSet core), so:
+  *   - append cost is O(batch + groups·k): the stored buffers explode to
+  *     ≤ groups·k hash rows and re-aggregate WITH the new batch's hashes
+  *     — history is never re-read, let alone re-hashed;
+  *   - append-then-serve ≡ build-on-the-union EXACTLY (the k smallest
+  *     distinct hashes of a set are a pure function of the set), the
+  *     same invariant the ANN stores pin — and replayed batches change
+  *     nothing (idempotent), so at-least-once ingest is safe.
+  * Estimators run on any snapshot via [[ThetaSketch.withMeta]] →
+  * estimate/pairwiseOps. The stored table is groups·(k) longs — registry
+  * scale — so the store read is never the bottleneck at any corpus size. */
+object SketchStore {
+  import graft.core.Warehouse
+
+  private def table(name: String) = s"${name}_theta"
+
+  /** Create (or replace) the store with `df`'s sketch. `k`/`salt` are the
+    * sketch contract — every append must use the same pair, so they are
+    * stamped into each row and checked on append. */
+  def build(wh: Warehouse, schema: String, name: String, df: DataFrame,
+            groupCol: String, valueCol: String, k: Int,
+            salt: String = "theta"): Unit =
+    wh.overwrite(schema, table(name),
+      ThetaSketch.rawSketch(df, groupCol, valueCol, k, salt)
+        .withColumnRenamed(groupCol, "g")
+        .withColumn("k", lit(k)).withColumn("salt", lit(salt)))
+
+  /** Merge the arriving batch into the stored buffers — O(batch) plus the
+    * sketch-sized history explode. Refuses loudly on a k/salt mismatch
+    * (a sketch built under one contract cannot absorb hashes from
+    * another — the error names both). */
+  def append(wh: Warehouse, schema: String, name: String, newRows: DataFrame,
+             groupCol: String, valueCol: String, k: Int,
+             salt: String = "theta"): Unit = {
+    val stored = wh.read(schema, table(name))
+    val contract = stored.select(col("k"), col("salt")).distinct().collect()
+    contract.foreach { r =>
+      require(r.getInt(0) == k && r.getString(1) == salt,
+        s"SketchStore.append: stored sketch has (k=${r.getInt(0)}, " +
+          s"salt=${r.getString(1)}) but the append was called with " +
+          s"(k=$k, salt=$salt) — a KMV buffer is only mergeable under " +
+          "its own contract; rebuild the store to change it")
+    }
+    val oldHashes = stored.select(col("g"), explode(col("hs")).as("h"))
+    val newHashes = ThetaSketch.rawSketch(newRows, groupCol, valueCol, k, salt)
+      .select(col(groupCol).as("g"), explode(col("hs")).as("h"))
+    wh.overwrite(schema, table(name),
+      oldHashes.unionByName(newHashes)
+        .groupBy(col("g"))
+        .agg(org.apache.spark.sql.graft.KmvMinKAgg(col("h"), k).as("hs"))
+        .withColumn("k", lit(k)).withColumn("salt", lit(salt)))
+  }
+
+  /** The estimator-ready sketch frame (g, hs, n, theta) from the store. */
+  def sketch(wh: Warehouse, schema: String, name: String, k: Int): DataFrame =
+    ThetaSketch.withMeta(
+      wh.read(schema, table(name)).select(col("g"), col("hs")), "g", k)
+}

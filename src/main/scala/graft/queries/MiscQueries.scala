@@ -276,6 +276,47 @@ object MiscQueries {
     out
   }
 
+  /** q132: q125's theta set-algebra served from a PERSISTED sketch store —
+    * the store is built from the even-event_id half, the odd half arrives
+    * as an APPEND (merge cost O(batch + groups·k); history never re-read),
+    * and the estimators run from the stored buffers. Because the KMV merge
+    * is an exact capped set-union, the served matrix is ROW-IDENTICAL to
+    * q125's one-shot derivation — same oracle SQL pins it. The production
+    * shape for "distinct users per event type, maintained forever":
+    * per-batch sketch upkeep over a registry-sized table instead of a
+    * growing distinct-count rescan. */
+  def q132SketchStoreOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val events = Tables(spark, dir, "events")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q132_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.operators.SketchStore.build(wh, "sk", "users",
+      events.filter(col("event_id") % 2 === 0), "event_type", "user_id", k)
+    graft.operators.SketchStore.append(wh, "sk", "users",
+      events.filter(col("event_id") % 2 === 1), "event_type", "user_id", k)
+    val sk = graft.operators.SketchStore.sketch(wh, "sk", "users", k)
+      .withColumnRenamed("g", "event_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = graft.operators.ThetaSketch.estimate(col("n"), col("theta"), k)
+    val singles = sk.select(
+      col("event_type").as("grp_a"), col("event_type").as("grp_b"),
+      col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
+    val out = singles
+      .unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
+      .orderBy(col("grp_a"), col("grp_b"))
+      .localCheckpoint(true)
+    sk.unpersist()
+    // the per-invocation store must not accumulate across Bench/Verify
+    // re-invocations (the withTempWarehouse discipline, result already
+    // checkpointed above)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(whDir)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    out
+  }
+
   /** q131: token-distribution drift matrix — pairwise total-variation
     * distance between every two sources' token distributions (global
     * top-64 tokens + residual bucket), integer-exact (see
@@ -292,6 +333,7 @@ object MiscQueries {
     "q125_theta_sketch_ops" -> (q125ThetaSketchOps _),
     "q127_source_overlap" -> (q127SourceOverlap _),
     "q131_token_drift" -> (q131TokenDrift _),
+    "q132_sketch_store_ops" -> (q132SketchStoreOps _),
     "q82_constraint_report" -> (q82ConstraintReport _),
     "q88_record_reconcile" -> (q88RecordReconcile _),
     "q85_frame_features" -> (q85FrameFeatures _),
@@ -379,6 +421,13 @@ object MiscQueries {
            CAST(floor(CAST(s AS DOUBLE)*10000.0/(2.0*n_a*n_b) + 0.5) AS BIGINT) AS tv_e4
          FROM p ORDER BY src_a, src_b""",
     "q125_theta_sketch_ops" -> thetaOpsSql(
+      raw"""SELECT DISTINCT event_type AS g,
+          CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM events"""),
+    // q132 serves q125's matrix from the persisted sketch store (built in
+    // two batches) — the KMV merge is an exact set-union, so the same
+    // one-shot oracle derivation pins it
+    "q132_sketch_store_ops" -> thetaOpsSql(
       raw"""SELECT DISTINCT event_type AS g,
           CAST(('0x'||substr(md5('theta:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
         FROM events"""),

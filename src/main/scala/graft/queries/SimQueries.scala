@@ -332,7 +332,22 @@ object SimQueries {
     }
   }
 
+  /** q133: embedding-distribution drift — per label, how far the integer
+    * centroid moved between snapshot A (even vec_id) and snapshot B (odd
+    * vec_id), with exact integer displacement and norms. The
+    * embedding-space complement of q131's token drift, and the monitor
+    * that tells an AnnIndex deployment its frozen centroids have drifted
+    * from the data (rebuild-for-recall signal). */
+  def q133EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.centroidDrift(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      "label")
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_embedding_drift" -> (q133EmbeddingDrift _),
     "q128_ivfpq_index_topk" -> (q128IvfPqIndexTopK _),
     "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
     "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
@@ -607,6 +622,34 @@ object SimQueries {
          FROM r ORDER BY cluster, vec_id"""
 
   private lazy val oraclesMid: Map[String, String] = Map(
+    // q133: both snapshots' centroids via the q60 floor-mean CTE shape,
+    // exact-integer displacement by the three-dot identity
+    "q133_embedding_drift" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pa AS (SELECT label, generate_subscripts(qe,1) AS d, unnest(qe) AS v
+           FROM e WHERE vec_id % 2 = 0),
+         ca AS (SELECT label, d, CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c
+           FROM pa GROUP BY 1, 2),
+         centa AS (SELECT label, list(c ORDER BY d) AS ce FROM ca GROUP BY 1),
+         na AS (SELECT label, count(*) AS n_a FROM e WHERE vec_id % 2 = 0 GROUP BY 1),
+         pb AS (SELECT label, generate_subscripts(qe,1) AS d, unnest(qe) AS v
+           FROM e WHERE vec_id % 2 = 1),
+         cb AS (SELECT label, d, CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c
+           FROM pb GROUP BY 1, 2),
+         centb AS (SELECT label, list(c ORDER BY d) AS ce FROM cb GROUP BY 1),
+         nb AS (SELECT label, count(*) AS n_b FROM e WHERE vec_id % 2 = 1 GROUP BY 1),
+         aa AS (SELECT centa.label, na.n_a, centa.ce FROM centa JOIN na USING (label)),
+         bb AS (SELECT centb.label, nb.n_b, centb.ce FROM centb JOIN nb USING (label))
+         SELECT coalesce(aa.label, bb.label) AS label, aa.n_a, bb.n_b,
+           CASE WHEN aa.ce IS NOT NULL AND bb.ce IS NOT NULL THEN
+             CAST(list_dot_product(aa.ce, aa.ce) + list_dot_product(bb.ce, bb.ce)
+               - 2*list_dot_product(aa.ce, bb.ce) AS BIGINT) END AS drift_sq,
+           CASE WHEN aa.ce IS NOT NULL THEN
+             CAST(list_dot_product(aa.ce, aa.ce) AS BIGINT) END AS norm_a_sq,
+           CASE WHEN bb.ce IS NOT NULL THEN
+             CAST(list_dot_product(bb.ce, bb.ce) AS BIGINT) END AS norm_b_sq
+         FROM aa FULL OUTER JOIN bb ON aa.label = bb.label
+         ORDER BY label""",
     // q130 serves q80's IVF+SQ8 composition from the persisted store —
     // same result, same oracle derivation
     "q130_sq8_index_topk" -> oraclesMidQ80,

@@ -386,6 +386,36 @@ class DedupSimSpec extends SparkSpec {
     assert(fused.map(_._3).distinct.size === 3)
   }
 
+  test("centroidDrift: zero on identical snapshots, exact displacement, one-sided labels keep nulls") {
+    import graft.operators.Similarity
+    val snapA = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0), // centroid (2000, 0)
+      (3L, Seq(0.0f, 1.0f), 1),                           // centroid (0, 1000)
+      (9L, Seq(5.0f, 5.0f), 7))                           // label 7 vanishes in B
+      .toDF("vec_id", "embedding", "label")
+    val snapB = Seq(
+      (4L, Seq(2.0f, 1.0f), 0),                           // centroid (2000, 1000)
+      (5L, Seq(0.0f, 1.0f), 1),                           // unchanged
+      (6L, Seq(9.0f, 9.0f), 8))                           // label 8 appears in B
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(snapA, snapB, "label")
+      .orderBy("label")
+      .as[(Int, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val byLabel = got.map(r => r._1 -> r).toMap
+    // label 0 moved (0, 1000): drift² = 1000² = 1e6
+    assert(byLabel(0)._4 === Some(1000000L))
+    assert(byLabel(0)._2 === Some(2L) && byLabel(0)._3 === Some(1L))
+    // label 1 identical → drift 0
+    assert(byLabel(1)._4 === Some(0L))
+    // vanished label: B side null, drift null — surfaced, not dropped
+    assert(byLabel(7)._3 === None && byLabel(7)._4 === None
+      && byLabel(7)._5 === Some(2L * 5000L * 5000L))
+    // appeared label: A side null
+    assert(byLabel(8)._2 === None && byLabel(8)._4 === None)
+    assert(got.map(_._1) === Seq(0, 1, 7, 8))
+  }
+
   test("centroid outliers: the far vector flags, tight cluster members don't") {
     import graft.operators.Similarity
     // label 0: three vectors near (1,0) and one at (-40,-40) — the noise

@@ -58,6 +58,36 @@ class ThetaSketchSpec extends SparkSpec {
     assert(math.abs(est - n) < 3 * sigma, s"est $est vs true $n (sigma $sigma)")
   }
 
+  test("SketchStore: append equals rebuild, replays are idempotent, contract mismatch refuses") {
+    import graft.operators.SketchStore
+    val k = 32
+    val rows = (0L until 600L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("g", "v")
+    def freshWh() = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_skstore_").toString)
+    // two-batch build+append vs one-shot build: buffers row-identical
+    val incr = freshWh()
+    SketchStore.build(incr, "s", "t", rows.filter(col("v") % 2 === 0), "g", "v", k)
+    SketchStore.append(incr, "s", "t", rows.filter(col("v") % 2 === 1), "g", "v", k)
+    val full = freshWh()
+    SketchStore.build(full, "s", "t", rows, "g", "v", k)
+    def buffers(wh: graft.core.Warehouse) =
+      SketchStore.sketch(wh, "s", "t", k)
+        .select("g", "hs").as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(buffers(incr) === buffers(full))
+    // replaying an already-absorbed batch changes nothing (idempotent
+    // merge — at-least-once ingest is safe)
+    SketchStore.append(incr, "s", "t", rows.filter(col("v") % 2 === 1), "g", "v", k)
+    assert(buffers(incr) === buffers(full))
+    // a sketch is only mergeable under its own (k, salt) contract
+    val e1 = intercept[IllegalArgumentException](
+      SketchStore.append(incr, "s", "t", rows, "g", "v", k = 64))
+    assert(e1.getMessage.contains("k=32"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      SketchStore.append(incr, "s", "t", rows, "g", "v", k, salt = "other"))
+    assert(e2.getMessage.contains("salt"), e2.getMessage)
+  }
+
   test("pairwise ops match the Scala re-derivation of the theta algebra") {
     val k = 32
     val rows =
