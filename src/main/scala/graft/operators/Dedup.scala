@@ -326,6 +326,27 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val newSig = signatureFrame(newDocs, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the budget guards can refuse AFTER newSig is cached — release it on
+    // any failure exit (the success path deliberately keeps it: the caller
+    // persists `combined` without re-signing, then unpersists)
+    try nearDupPairsIncrementalFromSignatures(newSig, priorSig, idCol, k, b,
+      minJaccard, verifyBroadcastBytes, candidatePairBudget)
+    catch { case e: Throwable => newSig.unpersist(); throw e }
+  }
+
+  /** [[nearDupPairsIncremental]] from an ALREADY-SIGNED (and ideally
+    * caller-persisted) batch signature frame — the seam a streaming
+    * ingest uses so cache ownership stays with the caller: sign + persist
+    * the batch yourself, call this, write `combined`, unpersist. The
+    * text is never touched here. */
+  def nearDupPairsIncrementalFromSignatures(newSig: DataFrame, priorSig: DataFrame,
+                                            idCol: String,
+                                            k: Int = 16, b: Int = 4,
+                                            minJaccard: Double = 0.5,
+                                            verifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes,
+                                            candidatePairBudget: Long = DefaultCandidatePairBudget):
+      (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     // defensive re-sort: the verify intersect is a sorted two-pointer merge
     // (signatureFrame sorts shs since round 4), but priorSig may have been
     // PERSISTED by an older build whose shs was first-occurrence-ordered —
@@ -334,10 +355,6 @@ object Dedup {
     val priorSorted = priorSig.withColumn("shs", array_sort(col("shs")))
     val newBands = lshBands(newSig, idCol, b, k / b)
     val priorBands = lshBands(priorSorted, idCol, b, k / b)
-    // the budget guards below can refuse AFTER newSig is cached — release
-    // it on any failure exit (the success path deliberately keeps it: the
-    // caller persists `combined` without re-signing, then unpersists)
-    try {
     val newNew = lshCandidatePairs(newBands, idCol,
       candidatePairBudget = candidatePairBudget)
     // guard the cross-batch fan-out with the same census contract: pairs
@@ -376,12 +393,12 @@ object Dedup {
     val pairs = jaccardFromSets(sets, idCol, minJaccard, cands, verifyBroadcastBytes)
       .localCheckpoint(true)
     cands.unpersist()
-    // newSig stays cached so writing `combined` to storage doesn't re-sign
-    // the batch; the caller unpersists (or clears) after materializing it.
-    // The combined frame carries the SORTED prior, upgrading legacy
-    // signatures on their first post-upgrade batch.
+    // newSig stays cached (when the caller persisted it) so writing
+    // `combined` to storage doesn't re-sign the batch; the caller
+    // unpersists after materializing it. The combined frame carries the
+    // SORTED prior, upgrading legacy signatures on their first
+    // post-upgrade batch.
     (pairs, priorSorted.unionByName(newSig))
-    } catch { case e: Throwable => newSig.unpersist(); throw e }
   }
 
   /** Jaccard verify over per-doc hashed shingle sets and candidate pairs:
