@@ -94,6 +94,33 @@ object AnnIndex {
       excludeSelf)
   }
 
+  /** Inverted-list occupancy report from the STORED index — the
+    * maintenance monitor a serving deployment runs after appends: list
+    * sizes, share of the corpus, and skew vs the uniform ideal
+    * (skew_e4 = n·nlists/total, 10000 = perfectly balanced). Empty lists
+    * (a centroid no vector chose) report n = 0 — a probe of that list
+    * scans nothing, but many empties mean the centroids no longer fit
+    * the data; a hot list (skew ≫ 1) means probes that hit it scan far
+    * more than corpus/nlists. Together with [[Similarity.centroidDrift]]
+    * this is the rebuild-for-recall decision input. Integer/e4-exact:
+    * one groupBy over the (label-pruned-width) lists scan, joined to the
+    * centroid table at list granularity. */
+  def stats(wh: Warehouse, schema: String, name: String): DataFrame = {
+    val counts = wh.read(schema, listsTable(name))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    val lists = wh.read(schema, centroidsTable(name)).select(col("label"))
+    val nLists = lists.count()
+    val sized = lists.join(counts, Seq("label"), "left")
+      .select(col("label"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val total = broadcast(sized.agg(sum(col("n_vectors")).as("__total")))
+    sized.join(total, lit(true))
+      .select(col("label"), col("n_vectors"),
+        graft.functions.TextFunctions.fixedPoint(
+          col("n_vectors") / col("__total"), 4).as("share_e4"),
+        graft.functions.TextFunctions.fixedPoint(
+          col("n_vectors") * lit(nLists) / col("__total"), 4).as("skew_e4"))
+  }
+
   // ---- PQ variant: 16× smaller stored payload (m code ints per vector
   // instead of the quantized embedding), ADC serving off the codes alone.
   // Same append-equals-rebuild invariant: codes depend only on the

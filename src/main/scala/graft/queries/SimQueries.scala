@@ -346,7 +346,25 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** q134: inverted-list occupancy report from the persisted ANN index —
+    * per stored list: vector count, corpus share, and skew vs the
+    * uniform ideal. The maintenance monitor of the store family
+    * (build → append → serve → MONITOR): empty lists and hot lists are
+    * the rebuild-for-recall signals q133's centroid drift complements. */
+  def q134AnnIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q134_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
+      Similarity.ivfCentroids(emb, "label"))
+    withTempWarehouse(whDir) {
+      graft.operators.AnnIndex.stats(wh, "ann", "emb")
+        .orderBy(col("label"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_ann_index_stats" -> (q134AnnIndexStats _),
     "q133_embedding_drift" -> (q133EmbeddingDrift _),
     "q128_ivfpq_index_topk" -> (q128IvfPqIndexTopK _),
     "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
@@ -622,6 +640,31 @@ object SimQueries {
          FROM r ORDER BY cluster, vec_id"""
 
   private lazy val oraclesMid: Map[String, String] = Map(
+    // q134: the stored assignment is ivfAssign(probes=1) against the
+    // label-derived centroids — the same ca CTE the IVF oracles replay —
+    // then per-list counts with empty lists kept, share/skew e4 in the
+    // engine's exact operation order
+    "q134_ann_index_stats" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         ca AS (SELECT vec_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent) WHERE r <= 1),
+         counts AS (SELECT label, count(*) AS n FROM ca GROUP BY 1),
+         sized AS (SELECT cent.label, coalesce(counts.n, 0) AS n_vectors
+           FROM cent LEFT JOIN counts USING (label)),
+         t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nlists FROM sized)
+         SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(floor(CAST(n_vectors AS DOUBLE)/total*10000 + 0.5) AS BIGINT) AS share_e4,
+           CAST(floor(CAST(n_vectors*nlists AS DOUBLE)/total*10000 + 0.5) AS BIGINT) AS skew_e4
+         FROM sized, t ORDER BY label""",
     // q133: both snapshots' centroids via the q60 floor-mean CTE shape,
     // exact-integer displacement by the three-dot identity
     "q133_embedding_drift" ->

@@ -154,6 +154,33 @@ class AnnIndexSpec extends SparkSpec {
       rows(AnnIndex.topKIvfPq(full, "ann", "emb", queries, k = 5, probes = 2, m, dim)))
   }
 
+  test("stats: counts track appends, shares sum to ~1, empty lists surface with n=0") {
+    val emb = Tables(spark, sf, "embeddings")
+    // plant a guaranteed-empty list: label 999 duplicates label 0's
+    // centroid, and ivfAssign breaks cosine ties toward the LOWER label,
+    // so 999 can never win an assignment
+    val base = Similarity.ivfCentroids(emb, "label")
+    val cent = base.unionByName(
+      base.filter(col("label") === 0).select(lit(999).as("label"), col("ce")))
+    val wh = freshWh()
+    AnnIndex.build(wh, "ann", "emb", emb.filter(col("vec_id") % 2 === 0), cent)
+    val half = AnnIndex.stats(wh, "ann", "emb")
+      .select("label", "n_vectors").as[(Int, Long)].collect().toMap
+    AnnIndex.append(wh, "ann", "emb", emb.filter(col("vec_id") % 2 === 1))
+    val stats = AnnIndex.stats(wh, "ann", "emb")
+      .select("label", "n_vectors", "share_e4", "skew_e4")
+      .as[(Int, Long, Long, Long)].collect()
+    val full = stats.map(r => r._1 -> r._2).toMap
+    assert(full.values.sum === emb.count(), "every vector counted once after append")
+    assert(full.values.sum > half.values.sum, "appends must grow the counts")
+    assert(full(999) === 0L, "an empty list must report n=0, not vanish")
+    val shareSum = stats.map(_._3).sum
+    assert(math.abs(shareSum - 10000L) <= stats.length,
+      s"shares must sum to ~1 (e4 rounding): $shareSum")
+    // skew of the empty list is 0; a uniform list would be 10000
+    assert(stats.find(_._1 == 999).get._4 === 0L)
+  }
+
   test("IVF+SQ8 store: stored codes answer exactly like ad-hoc ivfSq8TopK") {
     val emb = Tables(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
