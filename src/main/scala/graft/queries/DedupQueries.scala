@@ -51,11 +51,26 @@ object DedupQueries {
     * pairs vs re-running the whole corpus. */
   def q99IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // persisted: the premise is "prior signatures come from STORAGE" — a
+    // lazy text-derived frame would re-SIGN the prior corpus on every
+    // action the incremental path runs (two census guards + the verify
+    // job's two branches ≈ 4 signings); the cache makes the fixture match
+    // the premise physically. pairs materialize eagerly inside the call
+    // (localCheckpoint), so the release below is safe.
     val prior = Dedup.signDocuments(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-    val (pairs, _) = Dedup.nearDupPairsIncremental(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior,
-      k = K, b = B, shingleN = N, minJaccard = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // uncapped-exact opt-in (the q20/q111 stance): this query pins the
+    // incremental ≡ full-corpus EQUIVALENCE, which q20's uncapped contract
+    // defines; the budget guard's refusal behavior is pinned by
+    // DedupSimSpec and exercised on the bench surface by q36/q41's
+    // guarded defaults
+    val (pairs, _) =
+      try Dedup.nearDupPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior,
+        k = K, b = B, shingleN = N, minJaccard = 0.5,
+        candidatePairBudget = 0L)
+      finally prior.unpersist()
     pairs.orderBy(col("a_id"), col("b_id"))
   }
 
