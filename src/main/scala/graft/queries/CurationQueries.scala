@@ -160,6 +160,52 @@ object CurationQueries {
   private def q118MergeDump(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_q118_merges_${new java.io.File(dir).getName}"
 
+  /** q136: tokenizer fertility per source — how well the learned BPE
+    * vocabulary fits each slice of the corpus. Learns the same 200-merge
+    * table as q118 (its own frozen dump — the query stays self-contained
+    * under subset verification), encodes every doc with the codegen'd
+    * kernel, and reports per source: words, pieces, characters, and the
+    * two integer-exact ratios a mixture designer reads — `fert_e4`
+    * (pieces per word ×1e4: high = the tokenizer fragments this source;
+    * the OOV/garbage signal) and `cpp_e4` (chars per piece ×1e4: low =
+    * poor compression). Entirely integer arithmetic — counts and two
+    * integer floor-divisions, no IEEE anywhere.
+    *
+    * Scale shape: the encode is one row-local codegen'd projection (no
+    * shuffle), the aggregate is one map-side-combined groupBy(source) of
+    * three longs; learning is the q118 sample-scale seam. At 100 TB the
+    * cost is the tokenize scan itself — the signal that tells you WHICH
+    * source is bloating your token budget before you train. */
+  def q136TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val docs = Tables(spark, dir, "documents")
+    val (merges, nDocs) =
+      graft.operators.Bpe.learnMergesFastCounted(docs, "text", 200, minCount = 2L)
+    spark.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) => (i, a, b, nDocs) })
+      .toDF("rank", "a", "b", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(q136MergeDump(dir))
+    docs
+      .select(col("source"),
+        size(wsTokens(lower(col("text")))).cast("long").as("n_w"),
+        graft.operators.Bpe.bpeEncode(col("text"), merges).as("pieces"))
+      .select(col("source"), col("n_w"),
+        size(col("pieces")).cast("long").as("n_p"),
+        aggregate(col("pieces"), lit(0L),
+          (acc, p) => acc + length(p).cast("long")).as("n_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_w")).as("n_words"), sum(col("n_p")).as("n_pieces"),
+        sum(col("n_c")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("CASE WHEN n_words > 0 THEN n_pieces * 10000 div n_words ELSE 0 END")
+          .as("fert_e4"),
+        expr("CASE WHEN n_pieces > 0 THEN n_chars * 10000 div n_pieces ELSE 0 END")
+          .as("cpp_e4"))
+      .orderBy(col("source"))
+  }
+
+  private def q136MergeDump(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q136_merges_${new java.io.File(dir).getName}"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
@@ -169,7 +215,8 @@ object CurationQueries {
     "q106_split_assignment" -> (q106SplitAssignment _),
     "q110_distribution_match" -> (q110DistributionMatch _),
     "q117_epoch_shuffle" -> (q117EpochShuffle _),
-    "q118_bpe_vocab_usage" -> (q118BpeVocabUsage _))
+    "q118_bpe_vocab_usage" -> (q118BpeVocabUsage _),
+    "q136_tokenizer_fertility" -> (q136TokenizerFertility _))
 
   // ---- oracle SQL ----
 
@@ -224,6 +271,41 @@ object CurationQueries {
          pieces AS (SELECT unnest(string_split(e, chr(1))) AS piece, c FROM enc)
          SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM pieces
          GROUP BY 1 ORDER BY n DESC, piece LIMIT 40""",
+    // q136: encode each distinct word ONCE from the frozen q136 merge
+    // dump (same fold kernel as q118's oracle), derive per-word piece
+    // and char counts, then join the per-(source, word) counts — the
+    // fold cost stays at q118's global-vocab scale, not vocab×sources.
+    "q136_tokenizer_fertility" ->
+      raw"""WITH magg AS (SELECT list(a || chr(2) || b ORDER BY rank) AS ms
+             FROM read_parquet('${System.getProperty("java.io.tmpdir")}/graft_q136_merges_*/*.parquet')
+             WHERE n_docs = (SELECT count(*) FROM documents)),
+         toks AS (SELECT source, unnest(CASE WHEN len(trim(lower(text))) = 0 THEN []
+               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+             FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         enc AS (SELECT w, list_reduce(
+             list_prepend(array_to_string([w[i] for i in range(1, len(w)+1)], chr(1)), ms),
+             (acc, x) -> list_reduce(
+                string_split(acc, chr(1)),
+                (a2, y) -> CASE
+                   WHEN string_split(a2, chr(1))[-1] = string_split(x, chr(2))[1]
+                        AND y = string_split(x, chr(2))[2]
+                   THEN array_to_string(list_append(string_split(a2, chr(1))[1:-2],
+                          string_split(x, chr(2))[1] || string_split(x, chr(2))[2]), chr(1))
+                   ELSE a2 || chr(1) || y END)) AS e
+           FROM wc, magg),
+         pw AS (SELECT w, len(string_split(e, chr(1))) AS np, len(w) AS nc FROM enc),
+         sc AS (SELECT source, w, count(*) AS cs FROM toks GROUP BY 1, 2),
+         agg AS (SELECT sc.source, CAST(sum(sc.cs) AS BIGINT) AS n_words,
+             CAST(sum(sc.cs * pw.np) AS BIGINT) AS n_pieces,
+             CAST(sum(sc.cs * pw.nc) AS BIGINT) AS n_chars
+           FROM sc JOIN pw USING (w) GROUP BY 1)
+         SELECT source, n_words, n_pieces, n_chars,
+           CAST(CASE WHEN n_words > 0 THEN (n_pieces * 10000) // n_words
+             ELSE 0 END AS BIGINT) AS fert_e4,
+           CAST(CASE WHEN n_pieces > 0 THEN (n_chars * 10000) // n_pieces
+             ELSE 0 END AS BIGINT) AS cpp_e4
+         FROM agg ORDER BY source""",
     "q117_epoch_shuffle" ->
       raw"""WITH h AS (SELECT doc_id,
              CAST(('0x'||substr(md5('shuf:e1:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
