@@ -135,4 +135,112 @@ object Profiler {
     } finally counts.unpersist()
     out
   }
+
+  /** Per-slice total-variation distance between two snapshots' BUCKET
+    * distributions — the generic drift primitive behind quality-score /
+    * length / any-bucketed-metric monitoring: bucket each snapshot
+    * yourself (deciles, length bands, …), this measures how far each
+    * slice's distribution moved. Same exact-integer TV arithmetic as
+    * [[tokenDrift]] (numerator Σ|n_i·N_b − m_i·N_a| is order-free exact,
+    * one IEEE division; same ~3·10⁹-rows-per-slice bound). Buckets
+    * missing from one side contribute their full other-side mass; slices
+    * present in only ONE snapshot are dropped — drift is undefined
+    * without both sides (appeared/vanished slices are the snapshot-diff/
+    * centroid-drift operators' job). Scale shape: two bucket histograms
+    * (map-side combine) joined at slices×buckets granularity —
+    * corpus-size-independent after the histogram scans. */
+  def distributionDrift(snapA: DataFrame, snapB: DataFrame,
+                        sliceCol: String, bucketCol: String): DataFrame = {
+    // side-tagged union instead of a cross-snapshot join: the two
+    // snapshots usually share ONE lineage (filters of the same frame),
+    // where a self-join on the histogram keys hits Spark's ambiguous
+    // attribute resolution; the union has no cross-branch join at all,
+    // handles missing buckets implicitly (the absent side's conditional
+    // count is 0), and reads both snapshots in one shuffle
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(sliceCol).as("src"), col(bucketCol).as("bk"),
+        lit(tag).as("__side"))
+    val counts = side(snapA, 0).unionByName(side(snapB, 1))
+      .groupBy(col("src"), col("bk"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("nb"))
+    driftFromCounts(counts, sliceCol)
+  }
+
+  /** The TV core over an already-built histogram-pair frame
+    * `(src, bk, na, nb)` — shared by [[distributionDrift]] (row-level
+    * snapshots), the versioned profile store (histograms persisted per
+    * snapshot, drift replayed WITHOUT re-scanning either corpus), and
+    * the streaming histogram's state snapshots. Missing buckets may
+    * appear as absent rows or zero counts — both are correct (an absent
+    * row contributes |0·N − m·N'| either way). */
+  private[graft] def driftFromCounts(counts: DataFrame,
+                                     sliceName: String): DataFrame = {
+    // slice totals via a window, not a counts⋈totals self-join — the
+    // same ambiguous-self-reference hazard the side-tagged union dodges
+    // upstream (a memory-sink view as `counts` makes the join's attribute
+    // dedup fail outright), and the frame is slices×buckets rows, so one
+    // window shuffle on src is the natural plan anyway
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    counts
+      .withColumn("nta", sum(col("na")).over(w))
+      .withColumn("ntb", sum(col("nb")).over(w))
+      // drift is undefined for a slice present in only one snapshot
+      .filter(col("nta") > 0 && col("ntb") > 0)
+      .groupBy(col("src"))
+      .agg(max(col("nta")).as("n_a"), max(col("ntb")).as("n_b"),
+        sum(abs(col("na") * col("ntb") - col("nb") * col("nta"))).as("s"))
+      .select(col("src").as(sliceName), col("n_a"), col("n_b"),
+        floor(col("s").cast("double") * 10000.0d /
+          (lit(2.0d) * col("n_a") * col("n_b")) + 0.5d).cast("long").as("tv_e4"))
+  }
+}
+
+/** Versioned per-slice histogram store — the drift monitors' memory,
+  * riding the Warehouse's existing version log (time travel): each
+  * [[ProfileStore.snapshot]] commits the (slice, bucket) histogram of a
+  * corpus snapshot as the table's next version, and
+  * [[ProfileStore.drift]] replays the TV drift between ANY two committed
+  * versions from the stored histograms alone — neither corpus is ever
+  * re-read. What this buys at 100 TB: the expensive part of a drift
+  * check is histogramming the corpus scan; the store makes that a
+  * once-per-snapshot cost, after which every pairwise "how far did we
+  * move since version v" is a join of two slices×buckets frames
+  * (registry scale). The version log IS the retention contract — a
+  * snapshot stays comparable until OrphanSweep retires its version, the
+  * same lifecycle every other Warehouse table has. */
+object ProfileStore {
+  import graft.core.Warehouse
+
+  private def table(name: String) = s"${name}_profile"
+
+  /** Histogram `df` by (slice, bucket) and commit it as the next version
+    * of the store; returns the committed version (pass to [[drift]]).
+    * The histogram is one map-side-combined aggregate of the snapshot —
+    * the only corpus-scale work in the store's lifecycle. */
+  def snapshot(wh: Warehouse, schema: String, name: String, df: DataFrame,
+               sliceCol: String, bucketCol: String): Long = {
+    wh.overwrite(schema, table(name),
+      df.groupBy(col(sliceCol).as("src"), col(bucketCol).as("bk"))
+        .agg(count(lit(1)).as("n")))
+    wh.currentVersion(schema, table(name))
+  }
+
+  /** TV drift per slice between two committed snapshot versions, served
+    * entirely from the store (Warehouse.readAt on both sides). Output
+    * matches [[Profiler.distributionDrift]] row-for-row when the stored
+    * snapshots histogram the same frames — the store is a serving path,
+    * not a different metric. */
+  def drift(wh: Warehouse, schema: String, name: String,
+            va: Long, vb: Long, sliceName: String): DataFrame = {
+    def hist(v: Long, a: Boolean) =
+      wh.readAt(schema, table(name), v).select(col("src"), col("bk"),
+        (if (a) col("n") else lit(0L)).as("na"),
+        (if (a) lit(0L) else col("n")).as("nb"))
+    Profiler.driftFromCounts(
+      hist(va, a = true).unionByName(hist(vb, a = false))
+        .groupBy(col("src"), col("bk"))
+        .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb")),
+      sliceName)
+  }
 }

@@ -301,19 +301,12 @@ object MiscQueries {
     val singles = sk.select(
       col("event_type").as("grp_a"), col("event_type").as("grp_b"),
       col("n").as("n_common"), est.as("est_intersect"), est.as("est_union"))
-    val out = singles
-      .unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
-      .orderBy(col("grp_a"), col("grp_b"))
-      .localCheckpoint(true)
+    val out = QueryUtil.withTempWarehouse(whDir) {
+      singles
+        .unionByName(graft.operators.ThetaSketch.pairwiseOps(sk, "event_type", k))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }
     sk.unpersist()
-    // the per-invocation store must not accumulate across Bench/Verify
-    // re-invocations (the withTempWarehouse discipline, result already
-    // checkpointed above)
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(whDir)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
     out
   }
 

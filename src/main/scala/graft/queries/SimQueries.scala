@@ -61,29 +61,13 @@ object SimQueries {
     val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
       Similarity.ivfCentroids(emb, "label"))
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.topK(wh, "ann", "emb",
         queriesDf(spark, dir), TopK, probes = 2)
         .orderBy(col("q_id"), col("rank"))
     }
   }
 
-  /** Materialize a (small) result eagerly, then delete the per-invocation
-    * index directory — Bench/Verify call each query many times per
-    * session, and an undeleted temp Warehouse per call accumulates
-    * without bound. Eager checkpoint first: the frame must stop reading
-    * the store before the store goes away. */
-  private def withTempWarehouse(whDir: java.nio.file.Path)(result: => DataFrame): DataFrame = {
-    val out = result.localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    // close the walk stream (it holds directory handles open until then —
-    // Bench/Verify invoke these queries many times per session)
-    val walk = java.nio.file.Files.walk(whDir)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-    out
-  }
 
   /** q121: q89's PQ/ADC search served from PERSISTED codes — buildPq
     * writes codebooks + 16×-compressed codes into a Warehouse, topKPq
@@ -95,7 +79,7 @@ object SimQueries {
     graft.operators.AnnIndex.buildPq(wh, "ann", "emb", emb,
       Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
       m = PqM, dim = Dim)
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.topKPq(wh, "ann", "emb",
         queriesDf(spark, dir), TopK, m = PqM, dim = Dim)
         .orderBy(col("q_id"), col("rank"))
@@ -286,7 +270,7 @@ object SimQueries {
       Similarity.ivfCentroids(emb, "label"),
       Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
       m = PqM, dim = Dim)
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.topKIvfPq(wh, "ann", "emb",
         queriesDf(spark, dir), TopK, probes = 2, m = PqM, dim = Dim)
         .orderBy(col("q_id"), col("rank"))
@@ -304,7 +288,7 @@ object SimQueries {
     val whDir = java.nio.file.Files.createTempDirectory("graft_q129_")
     val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.buildHamming(wh, "ann", "emb", emb)
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.topKHamming(wh, "ann", "emb",
         queriesDf(spark, dir), TopK, shortlist = 20)
         .orderBy(col("q_id"), col("rank"))
@@ -325,7 +309,7 @@ object SimQueries {
     val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.buildSq8(wh, "ann", "emb", emb,
       Similarity.ivfCentroids(emb, "label"), Similarity.sq8Bounds(emb))
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.topKSq8(wh, "ann", "emb",
         queriesDf(spark, dir), TopK, probes = 2)
         .orderBy(col("q_id"), col("rank"))
@@ -357,7 +341,7 @@ object SimQueries {
     val wh = new graft.core.Warehouse(spark, whDir.toString)
     graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
       Similarity.ivfCentroids(emb, "label"))
-    withTempWarehouse(whDir) {
+    QueryUtil.withTempWarehouse(whDir) {
       graft.operators.AnnIndex.stats(wh, "ann", "emb")
         .orderBy(col("label"))
     }

@@ -167,7 +167,58 @@ object TextQueries {
         graft.operators.QualityModel.keep(col("text")).as("keep"))
       .orderBy(col("doc_id"))
 
+  /** q135: quality-distribution drift per source — each source's
+    * quality-score decile histogram compared between snapshot A (even
+    * doc_id) and snapshot B (odd doc_id) by exact-integer total-variation
+    * distance (Profiler.distributionDrift). Closes the drift family:
+    * q131 tokens, q133 embeddings, q135 quality — the three monitors a
+    * recurring-crawl pipeline runs before trusting a new snapshot. */
+  def q135QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = q135Bucketed(spark, dir)
+    // snapshot split on the doc-id BLOCK, not doc_id parity: the fixture
+    // assigns source = src{doc_id % 20}, so a parity split would put each
+    // source wholly in one snapshot (drift undefined everywhere); block
+    // parity cycles every source through both snapshots
+    graft.ext.Profiler.distributionDrift(
+      bucketed.filter(expr("(doc_id div 20) % 2") === 0),
+      bucketed.filter(expr("(doc_id div 20) % 2") === 1),
+      "source", "decile")
+      .orderBy(col("source"))
+  }
+
+  /** The q135 bucketing: integer decile bucket quality_e4 DIV 1000 ∈
+    * [0, 10] — exact integer division on both engines. */
+  private def q135Bucketed(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir)
+      .select(col("doc_id"), col("source"),
+        fixedPoint(qualityScore(col("text")), 4).as("q_e4"))
+      .select(col("doc_id"), col("source"), expr("q_e4 div 1000").as("decile"))
+
+  /** q137: q135's quality drift served from the VERSIONED PROFILE STORE —
+    * each snapshot's decile histogram is committed as a Warehouse version
+    * (ProfileStore.snapshot), and the drift replays from the two stored
+    * versions alone (Warehouse.readAt time travel), with neither corpus
+    * snapshot re-scanned. Same oracle SQL as q135: the store is a serving
+    * path, not a different metric — at 100 TB the corpus scan happens
+    * once per snapshot, and every later "how far since version v" is a
+    * registry-scale join. */
+  def q137ProfileStoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = q135Bucketed(spark, dir)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q137_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val va = graft.ext.ProfileStore.snapshot(wh, "mon", "quality",
+      bucketed.filter(expr("(doc_id div 20) % 2") === 0), "source", "decile")
+    val vb = graft.ext.ProfileStore.snapshot(wh, "mon", "quality",
+      bucketed.filter(expr("(doc_id div 20) % 2") === 1), "source", "decile")
+    QueryUtil.withTempWarehouse(whDir) {
+      graft.ext.ProfileStore.drift(wh, "mon", "quality", va, vb, "source")
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_quality_drift" -> (q135QualityDrift _),
+    "q137_profile_store_drift" -> (q137ProfileStoreDrift _),
     "q16_token_stats" -> (q16TokenStats _),
     "q123_quality_model" -> (q123QualityModel _),
     "q92_bigram_lm" -> (q92BigramLm _),
@@ -195,7 +246,41 @@ object TextQueries {
       + (-0.8)*least(CASE WHEN n_tok>0 THEN CAST(n_chr AS DOUBLE)/(n_tok*20.0) ELSE 0.0 END, 1.0)
       + (-0.5)*(CASE WHEN n_na>0 THEN 1.0 ELSE 0.0 END))"""
 
+  // q135: the q17 quality chain bucketed to deciles, then the same
+  // exact-integer TV arithmetic as q131's oracle, per source between
+  // the even/odd snapshots (full outer on buckets, inner on slices).
+  // q137 serves the identical metric from the versioned profile store,
+  // so it shares this oracle verbatim.
+  private val q135DriftSql =
+    raw"""WITH t AS (SELECT doc_id, source, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
+           FROM documents),
+         q AS (SELECT doc_id, source,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT)
+               // 1000 AS decile
+           FROM t),
+         ha AS (SELECT source AS src, decile AS bk, count(*) AS n FROM q
+           WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+         hb AS (SELECT source AS src, decile AS bk, count(*) AS n FROM q
+           WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+         ta AS (SELECT src, CAST(sum(n) AS BIGINT) AS nta FROM ha GROUP BY 1),
+         tb AS (SELECT src, CAST(sum(n) AS BIGINT) AS ntb FROM hb GROUP BY 1),
+         j AS (SELECT coalesce(ha.src, hb.src) AS src, coalesce(ha.bk, hb.bk) AS bk,
+             coalesce(ha.n, 0) AS na, coalesce(hb.n, 0) AS nb
+           FROM ha FULL OUTER JOIN hb ON ha.src = hb.src AND ha.bk = hb.bk),
+         p AS (SELECT j.src, max(ta.nta) AS n_a, max(tb.ntb) AS n_b,
+             CAST(sum(abs(j.na*tb.ntb - j.nb*ta.nta)) AS BIGINT) AS s
+           FROM j JOIN ta ON ta.src = j.src JOIN tb ON tb.src = j.src
+           GROUP BY 1)
+         SELECT src AS source, n_a, n_b,
+           CAST(floor(CAST(s AS DOUBLE)*10000.0/(2.0*n_a*n_b) + 0.5) AS BIGINT) AS tv_e4
+         FROM p ORDER BY source"""
+
   val oracles: Map[String, String] = Map(
+    "q135_quality_drift" -> q135DriftSql,
+    "q137_profile_store_drift" -> q135DriftSql,
     "q123_quality_model" ->
       raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
            $punctCountSql AS n_punct, $stopCountSql AS n_stop,

@@ -88,6 +88,102 @@ class ExportProfileSpec extends SparkSpec {
     assert(coarse(("a", "c")) === 0L)
   }
 
+  test("distributionDrift: hand-computed TV, shared-lineage snapshots, one-sided slices dropped") {
+    // s1: A = {1:2, 2:1}, B = {1:1, 3:1} → TV = ½(|2/3−1/2| + 1/3 + 1/2) = ½
+    // s2: identical → 0; s3: only in A → dropped (drift undefined)
+    val rows = Seq(
+      ("s1", 0L, 1L), ("s1", 2L, 1L), ("s1", 4L, 2L),
+      ("s1", 1L, 1L), ("s1", 3L, 3L),
+      ("s2", 0L, 5L), ("s2", 1L, 5L),
+      ("s3", 0L, 9L)).toDF("src", "id", "bk")
+    // SHARED-lineage snapshots (filters of one frame) — the regression
+    // case: a join-based formulation hit ambiguous self-join resolution
+    // and returned zero rows
+    val got = Profiler.distributionDrift(
+      rows.filter(col("id") % 2 === 0), rows.filter(col("id") % 2 === 1),
+      "src", "bk")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("s1")._4 === 5000L)
+    assert(got("s2")._4 === 0L)
+    assert(!got.contains("s3"), "one-sided slices must drop, not divide by zero")
+    assert(got("s1")._2 === 3L && got("s1")._3 === 2L)
+  }
+
+  test("ProfileStore: drift from stored versions == direct distributionDrift; versions stay readable") {
+    val rows = Seq(
+      ("s1", 0L, 1L), ("s1", 2L, 1L), ("s1", 4L, 2L),
+      ("s1", 1L, 1L), ("s1", 3L, 3L),
+      ("s2", 0L, 5L), ("s2", 1L, 5L)).toDF("src", "id", "bk")
+    val snapA = rows.filter(col("id") % 2 === 0)
+    val snapB = rows.filter(col("id") % 2 === 1)
+    val whDir = Files.createTempDirectory("graft_pstore_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val va = ProfileStore.snapshot(wh, "mon", "p", snapA, "src", "bk")
+    val vb = ProfileStore.snapshot(wh, "mon", "p", snapB, "src", "bk")
+    assert(va < vb)
+    val direct = Profiler.distributionDrift(snapA, snapB, "src", "bk")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val stored = ProfileStore.drift(wh, "mon", "p", va, vb, "src")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stored === direct)
+    // a third snapshot does not disturb earlier pairs (time travel: every
+    // committed version stays independently readable)
+    val vc = ProfileStore.snapshot(wh, "mon", "p", snapA, "src", "bk")
+    val again = ProfileStore.drift(wh, "mon", "p", va, vb, "src")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === direct)
+    // identical snapshots drift to zero through the store too
+    val zero = ProfileStore.drift(wh, "mon", "p", va, vc, "src")
+      .as[(String, Long, Long, Long)].collect()
+    assert(zero.forall(_._4 === 0L))
+  }
+
+  test("streaming histogram == batch histogram; streamed snapshots reproduce q135's drift") {
+    import graft.functions.TextFunctions.{fixedPoint, qualityScore}
+    implicit val sqlCtx = spark.sqlContext
+    // the q135 bucketing over the fixture (deciles of the quality score)
+    val bucketed = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        (fixedPoint(qualityScore(col("text")), 4).cast("long")).as("q_e4"))
+      .select(col("doc_id"), col("source"), expr("q_e4 div 1000").as("decile"))
+      .as[(Long, String, Long)].collect().toSeq
+    def streamedHist(rows: Seq[(Long, String, Long)], name: String) = {
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val run = graft.streaming.StreamingProfile.histogramStream(
+          src.toDF().toDF("doc_id", "source", "decile"), "source", "decile")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft_sprof_$name").toString)
+        .start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        src.addData(h1: _*); run.processAllAvailable()
+        src.addData(h2: _*); run.processAllAvailable()
+      } finally run.stop()
+      spark.table(name)
+    }
+    val aRows = bucketed.filter(r => (r._1 / 20) % 2 == 0)
+    val bRows = bucketed.filter(r => (r._1 / 20) % 2 == 1)
+    val histA = streamedHist(aRows, "sprof_a")
+    val histB = streamedHist(bRows, "sprof_b")
+    // streamed state == the batch histogram (the ProfileStore.snapshot agg)
+    val batchA = aRows.toDF("doc_id", "source", "decile")
+      .groupBy(col("source").as("src"), col("decile").as("bk"))
+      .agg(count(lit(1)).as("n"))
+    assert(histA.exceptAll(batchA).isEmpty && batchA.exceptAll(histA).isEmpty)
+    // drift over the two streamed snapshots == the batch q135 rows
+    val counts = histA.select(col("src"), col("bk"), col("n").as("na"), lit(0L).as("nb"))
+      .unionByName(histB.select(col("src"), col("bk"), lit(0L).as("na"), col("n").as("nb")))
+      .groupBy(col("src"), col("bk"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+    val streamedDrift = Profiler.driftFromCounts(counts, "source")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchDrift = graft.queries.TextQueries.all("q135_quality_drift")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamedDrift === batchDrift)
+  }
+
   test("empty export with verifyCounts returns an empty manifest, no crash") {
     val out = Files.createTempDirectory("graft_exp0_").toString
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
