@@ -32,6 +32,35 @@ object CorpusQueries {
         k = K, b = B, shingleN = N, minJaccard = 0.5))
       .orderBy(col("cluster"), col("doc_id"))
 
+  /** q138: dedup-aware sampling weights — SOFT dedup: every doc is kept,
+    * weighted 1/cluster_size so each unique content contributes total
+    * mass 1 to training regardless of how often it was crawled (the
+    * duplicate-count downweighting a data-constrained run uses instead
+    * of q41's hard canonical-only cut). Near-dup clusters come from q41's
+    * machinery; docs in no cluster are their own singleton (weight 1).
+    * Scale shape: q41's pair+CC cost plus one cluster-scale size
+    * aggregate and a uniform-id left join of cluster labels onto the
+    * corpus id scan — NOT broadcast-hinted: dup-cluster membership can
+    * be a large corpus fraction at crawl scale, so the label side is
+    * only broadcast when AQE measures it small. */
+  def q138DedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val clusters = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+    val sized = clusters
+      .join(clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n")),
+        Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("n"))
+    docs.select(col("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("n"), lit(1L)).as("n_dups"))
+      .withColumn("weight_e4", expr("10000 div n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q42: benchmark decontamination — corpus docs sharing any word 4-gram
     * with the eval slice (doc_id ≡ 0 mod 97), with the leaked-gram count. */
   def q42Decontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -257,6 +286,7 @@ object CorpusQueries {
     "q58_passage_dup" -> (q58PassageDup _),
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
+    "q138_dedup_weights" -> (q138DedupWeights _),
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
@@ -439,6 +469,27 @@ object CorpusQueries {
            WHERE r.lab < e.d)
          SELECT min(lab) AS cluster, id AS doc_id, min(lab) = id AS is_canonical
          FROM reach GROUP BY id ORDER BY 1, 2""",
+    // q138: q41's recursive components + per-cluster sizes, left-joined
+    // onto the full corpus — singletons weight 10000 (1.0)
+    "q138_dedup_weights" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1),
+         j AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
+             coalesce(sz.n, 1) AS n_dups
+           FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+             LEFT JOIN sz ON sz.cluster = cl.cluster)
+         SELECT doc_id, cluster, CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(10000 // n_dups AS BIGINT) AS weight_e4
+         FROM j ORDER BY doc_id""",
     "q42_decontaminate" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,
