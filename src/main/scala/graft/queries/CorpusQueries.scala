@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
+import graft.ext.CorpusCuration
 import graft.operators.{Chunker, Clusters, Decontaminate, Dedup, Search}
 
 /** Corpus-assembly query surface — the operators a training-data pipeline
@@ -58,6 +59,71 @@ object CorpusQueries {
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         coalesce(col("n"), lit(1L)).as("n_dups"))
       .withColumn("weight_e4", expr("10000 div n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q106's split weights, shared by the leakage audit (q139) and the
+  // cluster-aware assignment (q140) so the three queries describe ONE
+  // split policy measured, broken, and fixed
+  private val TrainValTest = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+
+  /** q139: split-induced eval-leakage audit — near-dup pairs (q20's
+    * MinHash→LSH→Jaccard pipeline) whose two sides land in DIFFERENT
+    * q106 splits. A per-doc hash split distributes the members of a
+    * near-dup cluster independently, so ≈ 2p(1−p) of every cluster's
+    * pairs cross the train/eval boundary by construction — each crossing
+    * pair is a test answer sitting near-verbatim in train, contamination
+    * that external-benchmark decontamination (q42/q56/q107) never sees
+    * because the corpus leaked into ITSELF. This query is the
+    * measurement; q140 is the fix and drives it to zero.
+    *
+    * Scale shape: q20's pair cost plus two joins of the narrow
+    * (doc_id, split) projection against the PAIR frame (pairs ride the
+    * joins, never the corpus); the assignment itself is a row-local
+    * projection with no shuffle of its own. */
+  def q139SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = K, b = B, shingleN = N, minJaccard = 0.5)
+    val splits = CorpusCuration.assignSplits(
+      docs.select(col("doc_id")), "doc_id", TrainValTest)
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+        col("jaccard_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q140: cluster-aware split assignment — the q139 fix: the split hash
+    * is drawn from the near-dup CLUSTER label (q41's min-doc-id
+    * convention; unpaired docs are their own singleton label), so every
+    * member of a cluster lands in the SAME split and the cross-split
+    * near-dup leakage q139 measures is zero BY CONSTRUCTION — every
+    * verified pair is an edge inside one connected component
+    * (CorpusCurationSpec pins the invariant). Weights are q106's; split
+    * shares stay ≈ the weights because cluster labels hash like ids and
+    * clusters are small relative to the corpus.
+    *
+    * Scale shape: q41's pair+CC cost plus a uniform-id left join of the
+    * (size ≥ 2) cluster labels onto the corpus id scan — the label side
+    * deliberately NOT broadcast-hinted (dup membership can be a large
+    * corpus fraction at crawl scale; AQE broadcasts when measured
+    * small) — then the assignment is a row-local projection. */
+  def q140ClusterSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val clusters = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+    val labeled = docs.select(col("doc_id"), col("source"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    CorpusCuration.assignSplits(labeled, "cluster", TrainValTest)
+      .select(col("doc_id"), col("source"), col("cluster"), col("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -287,6 +353,8 @@ object CorpusQueries {
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
     "q138_dedup_weights" -> (q138DedupWeights _),
+    "q139_split_leakage" -> (q139SplitLeakage _),
+    "q140_cluster_splits" -> (q140ClusterSplits _),
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
@@ -490,6 +558,41 @@ object CorpusQueries {
          SELECT doc_id, cluster, CAST(n_dups AS BIGINT) AS n_dups,
            CAST(10000 // n_dups AS BIGINT) AS weight_e4
          FROM j ORDER BY doc_id""",
+    "q139_split_leakage" ->
+      raw"""WITH ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id, jaccard_e4 FROM pairs WHERE jaccard_e4 >= 5000),
+         sp AS (SELECT doc_id,
+             CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+                 % 10000 AS b FROM documents))
+         SELECT p2.a_id, p2.b_id, sa.split AS a_split, sb.split AS b_split,
+           p2.jaccard_e4
+         FROM p2 JOIN sp sa ON sa.doc_id = p2.a_id
+           JOIN sp sb ON sb.doc_id = p2.b_id
+         WHERE sa.split <> sb.split ORDER BY 1, 2""",
+    "q140_cluster_splits" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         j AS (SELECT d.doc_id, d.source,
+             coalesce(cl.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         hb AS (SELECT doc_id, source, cluster,
+             CAST(('0x'||substr(md5('split:'||CAST(cluster AS VARCHAR)),1,15)) AS BIGINT)
+               % 10000 AS b FROM j)
+         SELECT doc_id, source, cluster,
+           CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+         FROM hb ORDER BY doc_id""",
     "q42_decontaminate" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,

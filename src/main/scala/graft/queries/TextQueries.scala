@@ -44,6 +44,35 @@ object TextQueries {
         fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
       .orderBy(col("doc_id"))
 
+  /** q141: per-source quality calibration — keep each source's top 80% by
+    * the q17 composite score, ranked WITHIN the source, instead of one
+    * global cutoff. A global threshold silently deletes entire low-register
+    * sources (forums, OCR scans) while keeping all of a clean one;
+    * per-source rank calibration applies uniform selectivity pressure
+    * and preserves the mixture — the complement of q135, which MONITORS
+    * per-source quality distributions, where this ACTS on them. The cut
+    * is pure integer rank arithmetic, deterministic under ties and
+    * engine-portable: a doc survives iff 5·(rank−1) ≥ n_source, i.e. at
+    * least a fifth of its source scores strictly below it (rank() gives
+    * tied scores the same rank, so equal-quality docs share one fate).
+    *
+    * Scale shape: the score is a row-local projection; rank and source
+    * count ride ONE window partitioned by source (n_sources independent
+    * external sorts, the epochShuffle per-shard shape) — no join, no
+    * second corpus scan, nothing collected. */
+  def q141SourceQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsWide(spark, dir).select(
+      col("doc_id"), col("source"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+    val bySource = Window.partitionBy(col("source"))
+    scored
+      .withColumn("src_rank",
+        rank().over(bySource.orderBy(col("quality_e4"))).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .filter(lit(5L) * (col("src_rank") - 1L) >= col("n_src"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q18: language-ID confusion matrix — labeled lang × predicted lang. */
   def q18LangidConfusion(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
@@ -225,6 +254,7 @@ object TextQueries {
     "q93_blocklist" -> (q93Blocklist _),
     "q94_quality_gate" -> (q94QualityGate _),
     "q17_quality_scores" -> (q17QualityScores _),
+    "q141_source_quality_calibration" -> (q141SourceQualityCalibration _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
     "q52_token_commonness" -> (q52TokenCommonness _))
@@ -308,6 +338,21 @@ object TextQueries {
              + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
              + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
          FROM t ORDER BY doc_id""",
+    "q141_source_quality_calibration" ->
+      raw"""WITH t AS (SELECT doc_id, source, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
+           FROM documents),
+         s AS (SELECT doc_id, source,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM t),
+         r AS (SELECT doc_id, source, quality_e4,
+             CAST(rank() OVER (PARTITION BY source ORDER BY quality_e4) AS BIGINT) AS src_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+           FROM s)
+         SELECT doc_id, source, quality_e4, src_rank, n_src
+         FROM r WHERE 5*(src_rank-1) >= n_src ORDER BY doc_id""",
     "q18_langid_confusion" ->
       raw"""WITH s AS (SELECT lang,
            len(regexp_extract_all(text,'[^ -~]')) AS cjk,

@@ -95,6 +95,54 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster-aware splits (q140): zero cross-split near-dup leakage; " +
+    "doc-hash splits (q139) leak on the same corpus") {
+    val leaked = graft.queries.CorpusQueries.q139SplitLeakage(spark, sf)
+    val fixed = graft.queries.CorpusQueries.q140ClusterSplits(spark, sf)
+    // the fixture corpus DOES leak under per-doc hashing (the audit has
+    // signal), and cluster-aware assignment eliminates it by construction:
+    // every verified near-dup pair is an edge inside one component, and
+    // the whole component hashes as one unit
+    assert(leaked.count() > 0, "expected the doc-hash split to leak on the fixture")
+    val pairs = graft.operators.Dedup.nearDupPairs(
+      Tables(spark, sf, "documents"), "doc_id", "text",
+      k = 16, b = 4, shingleN = 5, minJaccard = 0.5)
+    val crossFixed = pairs
+      .join(fixed.select(col("doc_id").as("a_id"), col("split").as("a_split")), Seq("a_id"))
+      .join(fixed.select(col("doc_id").as("b_id"), col("split").as("b_split")), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+    assert(crossFixed.isEmpty, "cluster-aware assignment must never split a near-dup pair")
+    // still a partition of the corpus, with ~q106 proportions
+    val n = Tables(spark, sf, "documents").count()
+    assert(fixed.count() === n)
+    val train = fixed.filter(col("split") === "train").count()
+    assert(math.abs(train.toDouble / n - 0.9) < 0.05)
+  }
+
+  test("per-source quality calibration (q141): uniform selectivity, " +
+    "no source deleted, bottom-ranked docs cut") {
+    val kept = graft.queries.TextQueries.q141SourceQualityCalibration(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    val perSource = docs.groupBy("source").count()
+      .withColumnRenamed("count", "n_total")
+      .join(kept.groupBy("source").count().withColumnRenamed("count", "n_kept"),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .as[(String, Long, Long)].collect()
+    // every source survives with 60-80% of its docs (80% minus tie mass:
+    // rank() drops a whole tie group when it straddles the cut)
+    perSource.foreach { case (src, total, keptN) =>
+      assert(keptN > 0, s"source $src was deleted entirely")
+      assert(keptN <= math.ceil(total * 0.8).toLong + 1,
+        s"source $src kept $keptN of $total — more than the top 80%")
+      assert(keptN >= (total * 0.6).toLong,
+        s"source $src kept $keptN of $total — tie mass should not cut below 60%")
+    }
+    // the cut is bottom-ranked: every kept doc outranks at least a fifth
+    // of its source
+    assert(kept.filter(lit(5L) * (col("src_rank") - 1L) < col("n_src")).isEmpty)
+  }
+
   test("distribution match: scarcest stratum keeps all, kept mix ~uniform") {
     val docs = Tables(spark, sf, "documents")
     val targets = Seq("en" -> 2000, "de" -> 2000, "fr" -> 2000,
