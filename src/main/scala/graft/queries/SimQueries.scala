@@ -330,6 +330,57 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** q144: embedding-space label affinity matrix — signed squared cosine
+    * between every two labels' integer centroids: which classes sit close
+    * in embedding space (confusable, semantically redundant). Completes
+    * the source/label-relationship suite: q127 measures verbatim overlap
+    * (theta), q131 lexical register (token TV), this one semantic
+    * proximity — and it is the design input for q105's hard-negative
+    * mining (draw negatives from high-affinity pairs) and for merging
+    * redundant strata in mixture design. `aff_e4` = sign(dot)·⌊dot²·10⁴ /
+    * (‖a‖²·‖b‖²)⌋ stays in exact int64 (dot ≤ dim·q², so dot²·10⁴ <
+    * 2⁶³ at dim 64, q ≤ ~1e3): monotone in |cos| with cos's sign, zero
+    * IEEE anywhere.
+    *
+    * Scale shape: one corpus scan for centroids (dim-exploded map-side
+    * partial means), persisted at label-cardinality size so the a-side,
+    * b-side, and norm consumers never re-scan the corpus (q127's
+    * persist → eager-checkpoint → release idiom); the pair stage is the
+    * q131 idiom — equi-join the label·dim frames on the dimension, never
+    * a corpus-sized product — at labels²·dim rows, corpus-size
+    * independent. */
+  def q144LabelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "label")
+      .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n")), Seq("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = cents.select(col("label"), col("n"), posexplode(col("ce")).as(Seq("d", "v")))
+    val dots = ex.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("d"), col("v").as("va"))
+      .join(ex.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("d"), col("v").as("vb")), Seq("d"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("va") * col("vb")).as("dot"))
+    val norms = ex.groupBy(col("label")).agg(sum(col("v") * col("v")).as("n2"))
+    val out = dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("norm_a_sq"))),
+        Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("norm_b_sq"))),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"), col("norm_a_sq"), col("norm_b_sq"),
+        when(col("norm_a_sq") > 0 && col("norm_b_sq") > 0,
+          when(col("dot") < 0, -1L).otherwise(1L) *
+            expr("(dot * dot * 10000L) div (norm_a_sq * norm_b_sq)"))
+          .otherwise(0L).as("aff_e4"))
+      .orderBy(col("label_a"), col("label_b"))
+      .localCheckpoint(true)
+    cents.unpersist()
+    out
+  }
+
   /** q134: inverted-list occupancy report from the persisted ANN index —
     * per stored list: vector count, corpus share, and skew vs the
     * uniform ideal. The maintenance monitor of the store family
@@ -350,6 +401,7 @@ object SimQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_ann_index_stats" -> (q134AnnIndexStats _),
     "q133_embedding_drift" -> (q133EmbeddingDrift _),
+    "q144_label_affinity" -> (q144LabelAffinity _),
     "q128_ivfpq_index_topk" -> (q128IvfPqIndexTopK _),
     "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
     "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
@@ -677,6 +729,24 @@ object SimQueries {
              CAST(list_dot_product(bb.ce, bb.ce) AS BIGINT) END AS norm_b_sq
          FROM aa FULL OUTER JOIN bb ON aa.label = bb.label
          ORDER BY label""",
+    "q144_label_affinity" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d, CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c
+           FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+         cn AS (SELECT cent.label, nn.n, cent.ce FROM cent JOIN nn USING (label)),
+         p AS (SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+             CAST(list_dot_product(a.ce, b.ce) AS BIGINT) AS dot,
+             CAST(list_dot_product(a.ce, a.ce) AS BIGINT) AS norm_a_sq,
+             CAST(list_dot_product(b.ce, b.ce) AS BIGINT) AS norm_b_sq
+           FROM cn a JOIN cn b ON a.label < b.label)
+         SELECT label_a, label_b, n_a, n_b, dot, norm_a_sq, norm_b_sq,
+           CAST(CASE WHEN norm_a_sq > 0 AND norm_b_sq > 0 THEN
+             (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * ((dot*dot*10000) // (norm_a_sq*norm_b_sq))
+             ELSE 0 END AS BIGINT) AS aff_e4
+         FROM p ORDER BY label_a, label_b""",
     // q130 serves q80's IVF+SQ8 composition from the persisted store —
     // same result, same oracle derivation
     "q130_sq8_index_topk" -> oraclesMidQ80,

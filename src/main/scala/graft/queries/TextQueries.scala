@@ -107,6 +107,88 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q142: per-source n-gram diversity — type-token ratio and distinct-
+    * bigram ratio per source, the corpus-level self-repetition monitor
+    * (the aggregate complement of q67's per-doc repetition filter): a
+    * templated or boilerplate-heavy source shows high token volume with
+    * a collapsing distinct-bigram ratio long before any pair-level dedup
+    * fires, and a falling TTR flags machine-generated spam floods. The
+    * integer ratios (one `div` each, no IEEE) make the row engine-exact.
+    *
+    * Scale shape: two explode→aggregate passes (unigrams, bigrams), each
+    * a map-side-combinable count + a two-phase distinct on (source, gram)
+    * — the same shuffle class as q16/q52; the result is source-cardinality
+    * rows joined source-to-source. The tokenized projection is persisted
+    * so the corpus is scanned and tokenized ONCE across both passes
+    * (q127's persist → eager-checkpoint → release idiom; the result is
+    * source-cardinality rows, so the checkpoint is registry-sized). No
+    * pair stage, no corpus-sized window, nothing collected. */
+  def q142NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = docsWide(spark, dir).select(col("source"), wsTokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = t.select(col("source"), explode(col("ts")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uni"))
+    val big = t.select(col("source"), explode(wordBigrams(col("ts"))).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_big"), countDistinct(col("bg")).as("n_big_d"))
+    val out = uni.join(big, Seq("source"))
+      .select(col("source"), col("n_tok"), col("n_uni"), col("n_big"), col("n_big_d"),
+        when(col("n_tok") > 0, expr("n_uni * 10000L div n_tok")).otherwise(0L).as("ttr_e4"),
+        when(col("n_big") > 0, expr("n_big_d * 10000L div n_big")).otherwise(0L).as("big_div_e4"))
+      .orderBy(col("source"))
+      .localCheckpoint(true)
+    t.unpersist()
+    out
+  }
+
+  /** q143: token-budget corpus selection — keep the highest-quality docs
+    * (q17's composite score, ties broken by doc_id) until the cumulative
+    * token count reaches half the corpus: the data-constrained regime's
+    * core primitive ("we can afford B training tokens — which documents?"),
+    * the budgeted counterpart of q141's fixed-share cut. Selection rule is
+    * a total order, so the kept set is exactly a prefix — integer
+    * arithmetic end to end.
+    *
+    * Scale shape: the naive formulation is ONE global cumsum window — a
+    * single task holding the corpus. Instead the prefix decomposes: token
+    * sums per quality bucket (≤ 10001 rows — map-side combinable), the
+    * strictly-higher-bucket running total over that TINY frame, broadcast
+    * back; the only corpus-sized window partitions BY quality bucket
+    * (parallel, bucket-bounded state) for the within-bucket doc_id cumsum.
+    * cum_tok = hi_tok + within — identical to the global cumsum, with no
+    * global funnel. The regex-heavy score projection is persisted
+    * (narrow: three longs/row) so the corpus is scanned and scored
+    * exactly ONCE across the census and per-doc passes — q127's
+    * persist → eager-checkpoint → release idiom. */
+  def q143TokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsWide(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = scored.groupBy(col("quality_e4"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+    val wHi = Window.orderBy(col("quality_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hi = buckets.select(col("quality_e4"),
+      coalesce(sum(col("bucket_tok")).over(wHi), lit(0L)).as("hi_tok"))
+    val budget = buckets.agg(expr("sum(bucket_tok) div 2").as("budget"))
+    val wIn = Window.partitionBy(col("quality_e4")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = scored
+      .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      .join(broadcast(hi), Seq("quality_e4"))
+      .join(broadcast(budget), lit(true))
+      .withColumn("cum_tok", col("hi_tok") + col("cum_in"))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("quality_e4"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
   /** q92: bigram-LM fluency score — the conditional-probability upgrade of
     * q52's unigram proxy (CCNet-style perplexity filters rank docs by how
     * predictable each token is from its predecessor; rare CONTEXTS, not
@@ -255,6 +337,8 @@ object TextQueries {
     "q94_quality_gate" -> (q94QualityGate _),
     "q17_quality_scores" -> (q17QualityScores _),
     "q141_source_quality_calibration" -> (q141SourceQualityCalibration _),
+    "q142_ngram_diversity" -> (q142NgramDiversity _),
+    "q143_token_budget_select" -> (q143TokenBudgetSelect _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
     "q52_token_commonness" -> (q52TokenCommonness _))
@@ -353,6 +437,37 @@ object TextQueries {
            FROM s)
          SELECT doc_id, source, quality_e4, src_rank, n_src
          FROM r WHERE 5*(src_rank-1) >= n_src ORDER BY doc_id""",
+    "q142_ngram_diversity" ->
+      raw"""WITH t AS (SELECT source, CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END AS ts FROM documents),
+         u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_uni
+           FROM (SELECT source, unnest(ts) AS tok FROM t) GROUP BY 1),
+         b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_big,
+             CAST(count(DISTINCT bg) AS BIGINT) AS n_big_d
+           FROM (SELECT source,
+               unnest([ts[i+1] || ' ' || ts[i+2] for i in range(0, len(ts)-1)]) AS bg
+             FROM t) GROUP BY 1)
+         SELECT u.source, n_tok, n_uni, n_big, n_big_d,
+           CAST(CASE WHEN n_tok>0 THEN n_uni*10000 // n_tok ELSE 0 END AS BIGINT) AS ttr_e4,
+           CAST(CASE WHEN n_big>0 THEN n_big_d*10000 // n_big ELSE 0 END AS BIGINT) AS big_div_e4
+         FROM u JOIN b USING (source) ORDER BY source""",
+    "q143_token_budget_select" ->
+      raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
+           FROM documents),
+         s AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM t),
+         tot AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM s),
+         c AS (SELECT doc_id, quality_e4, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY quality_e4 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           FROM s)
+         SELECT doc_id, quality_e4, n_tok, cum_tok
+         FROM c, tot WHERE cum_tok <= budget ORDER BY doc_id""",
     "q18_langid_confusion" ->
       raw"""WITH s AS (SELECT lang,
            len(regexp_extract_all(text,'[^ -~]')) AS cjk,

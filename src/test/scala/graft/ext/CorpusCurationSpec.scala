@@ -143,6 +143,50 @@ class CorpusCurationSpec extends SparkSpec {
     assert(kept.filter(lit(5L) * (col("src_rank") - 1L) < col("n_src")).isEmpty)
   }
 
+  test("n-gram diversity (q142): bigram identity, ratio bounds, all sources") {
+    val got = graft.queries.TextQueries.q142NgramDiversity(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    // fixture precondition for the identity: every doc tokenizes non-empty
+    import graft.functions.TextFunctions.wsTokens
+    val perSrc = docs.select(col("source"), wsTokens(col("text")).as("ts"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(size(col("ts"))).as("min_tok"))
+    val j = got.join(perSrc, Seq("source"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Int)].collect()
+    assert(j.length === docs.select("source").distinct().count())
+    j.foreach { case (src, nTok, nUni, nBig, nBigD, ttr, bigDiv, nDocs, minTok) =>
+      assert(minTok >= 1, s"$src has an empty doc — identity precondition broken")
+      // each doc contributes exactly (tokens − 1) bigrams
+      assert(nBig === nTok - nDocs, s"$src: n_big $nBig ≠ n_tok $nTok − n_docs $nDocs")
+      assert(nUni <= nTok && nBigD <= nBig)
+      assert(ttr === nUni * 10000 / nTok)
+      assert(bigDiv === nBigD * 10000 / nBig)
+      assert(ttr >= 1 && ttr <= 10000 && bigDiv >= 1 && bigDiv <= 10000)
+    }
+  }
+
+  test("token-budget selection (q143): bucket decomposition ≡ global cumsum, " +
+    "budget respected, selection maximal") {
+    import graft.functions.TextFunctions.{fixedPoint, qualityScore, tokenCount}
+    val kept = graft.queries.TextQueries.q143TokenBudgetSelect(spark, sf)
+      .select(col("doc_id"), col("cum_tok")).as[(Long, Long)].collect().toMap
+    // the naive formulation: ONE global cumsum window over the total order
+    // (fixture-scale only — the query itself must never plan this)
+    val scored = Tables(spark, sf, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+      .as[(Long, Long, Long)].collect()
+    val budget = scored.map(_._2).sum / 2
+    var cum = 0L
+    val naive = scored.sortBy { case (id, _, q) => (-q, id) }.flatMap {
+      case (id, n, _) => cum += n; if (cum <= budget) Some(id -> cum) else None
+    }.toMap
+    assert(kept === naive, "bucket-decomposed prefix must equal the global cumsum")
+    assert(kept.nonEmpty && kept.size < scored.length)
+    assert(kept.values.max <= budget)
+  }
+
   test("distribution match: scarcest stratum keeps all, kept mix ~uniform") {
     val docs = Tables(spark, sf, "documents")
     val targets = Seq("en" -> 2000, "de" -> 2000, "fr" -> 2000,

@@ -532,4 +532,35 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("label affinity (q144): every pair matches the Scala brute force, " +
+    "bounds hold, all label pairs present") {
+    val got = graft.queries.SimQueries.q144LabelAffinity(spark, sf)
+      .select($"label_a", $"label_b", $"n_a", $"n_b", $"dot",
+        $"norm_a_sq", $"norm_b_sq", $"aff_e4")
+      .as[(Int, Int, Long, Long, Long, Long, Long, Long)].collect()
+    // brute force: quantize ×1000, integer floor-mean centroid per label,
+    // exact long dots, aff = sign(dot)·(dot²·10⁴ / (na²·nb²)) truncating
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    val byLabel = emb.groupBy(_._1).map { case (l, rows) =>
+      val qs = rows.map(_._2.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+      val dim = qs.head.length
+      val cent = (0 until dim).map(d =>
+        math.floor(qs.map(_(d)).sum.toDouble / qs.size + 0.5).toLong)
+      l -> (cent, qs.size.toLong)
+    }
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    val labels = byLabel.keys.toSeq.sorted
+    val want = (for {
+      a <- labels; b <- labels if a < b
+      (ca, na) = byLabel(a); (cb, nb) = byLabel(b)
+      d = dot(ca, cb); na2 = dot(ca, ca); nb2 = dot(cb, cb)
+      aff = if (na2 > 0 && nb2 > 0)
+        (if (d < 0) -1L else 1L) * (d * d * 10000L / (na2 * nb2)) else 0L
+    } yield (a, b, na, nb, d, na2, nb2, aff)).toSet
+    assert(got.length === labels.combinations(2).size)
+    assert(got.toSet === want)
+    assert(got.forall { case (_, _, _, _, _, _, _, aff) => math.abs(aff) <= 10000 })
+  }
 }
