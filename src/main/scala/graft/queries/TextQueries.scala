@@ -189,6 +189,60 @@ object TextQueries {
     out
   }
 
+  /** q145: temperature-budgeted mixture selection — q73's α=0.5
+    * temperature weights allocate a global token budget (half the corpus)
+    * ACROSS sources, then each source independently keeps its
+    * highest-quality docs (q17 score, doc_id tie-break) until its own
+    * allocation is spent: the full "design the mixture, then fill it with
+    * the best documents" pipeline step. Flat-share budgeting starves
+    * scarce sources; α=0.5 up-weights them (√-mass) exactly as
+    * multilingual mixture design does, and the per-source fill keeps the
+    * selection quality-maximal WITHIN each allocation. Integer end to end
+    * (the √ is q73's fixedPoint — one IEEE sqrt of an exact integer per
+    * source, engine-identical).
+    *
+    * Scale shape: q143's decomposition applied per source — the corpus
+    * window partitions by (source, quality bucket), never by source alone
+    * (a 30%-of-corpus source would otherwise funnel into one task); the
+    * running totals ride the sources×buckets census frame, weights and
+    * budgets are source-cardinality broadcasts; the regex-scored
+    * projection is persisted so the corpus is scanned once. */
+  def q145MixtureBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsWide(spark, dir).select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = scored.groupBy(col("source"), col("quality_e4"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+    val wHi = Window.partitionBy(col("source")).orderBy(col("quality_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hi = buckets.select(col("source"), col("quality_e4"),
+      coalesce(sum(col("bucket_tok")).over(wHi), lit(0L)).as("hi_tok"))
+    val mass = buckets.groupBy(col("source")).agg(sum(col("bucket_tok")).as("n_tokens"))
+    val w = mass.select(col("source"),
+      fixedPoint(sqrt(col("n_tokens").cast("double")), 4).as("w_e4"))
+    val glob = mass.agg(expr("sum(n_tokens) div 2").as("b"))
+    val wTot = w.agg(sum(col("w_e4")).as("wt"))
+    val sb = w.join(broadcast(glob), lit(true)).join(broadcast(wTot), lit(true))
+      .select(col("source"), expr("b * w_e4 div wt").as("src_budget"))
+    val wIn = Window.partitionBy(col("source"), col("quality_e4"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = scored
+      .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      .join(broadcast(hi), Seq("source", "quality_e4"))
+      .join(broadcast(sb), Seq("source"))
+      .withColumn("cum_tok", col("hi_tok") + col("cum_in"))
+      .filter(col("cum_tok") <= col("src_budget"))
+      .select(col("doc_id"), col("source"), col("quality_e4"), col("n_tok"),
+        col("cum_tok"), col("src_budget"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
   /** q92: bigram-LM fluency score — the conditional-probability upgrade of
     * q52's unigram proxy (CCNet-style perplexity filters rank docs by how
     * predictable each token is from its predecessor; rare CONTEXTS, not
@@ -339,6 +393,7 @@ object TextQueries {
     "q141_source_quality_calibration" -> (q141SourceQualityCalibration _),
     "q142_ngram_diversity" -> (q142NgramDiversity _),
     "q143_token_budget_select" -> (q143TokenBudgetSelect _),
+    "q145_mixture_budget_select" -> (q145MixtureBudgetSelect _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
     "q52_token_commonness" -> (q52TokenCommonness _))
@@ -468,6 +523,31 @@ object TextQueries {
            FROM s)
          SELECT doc_id, quality_e4, n_tok, cum_tok
          FROM c, tot WHERE cum_tok <= budget ORDER BY doc_id""",
+    "q145_mixture_budget_select" ->
+      raw"""WITH t AS (SELECT doc_id, source, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop, len(text) AS n_chr
+           FROM documents),
+         s AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM t),
+         m AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+         w AS (SELECT source,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))*10000 + 0.5) AS BIGINT) AS w_e4
+           FROM m),
+         g AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM m),
+         wt AS (SELECT CAST(sum(w_e4) AS BIGINT) AS wt FROM w),
+         sb AS (SELECT source, CAST(g.b * w_e4 // wt.wt AS BIGINT) AS src_budget
+           FROM w, g, wt),
+         c AS (SELECT doc_id, source, quality_e4, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY quality_e4 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           FROM s)
+         SELECT c.doc_id, c.source, c.quality_e4, c.n_tok, c.cum_tok, sb.src_budget
+         FROM c JOIN sb USING (source) WHERE cum_tok <= src_budget
+         ORDER BY doc_id""",
     "q18_langid_confusion" ->
       raw"""WITH s AS (SELECT lang,
            len(regexp_extract_all(text,'[^ -~]')) AS cjk,

@@ -187,6 +187,41 @@ class CorpusCurationSpec extends SparkSpec {
     assert(kept.values.max <= budget)
   }
 
+  test("mixture-budget selection (q145): per-source decomposition ≡ driver " +
+    "replay, budgets respected, scarce sources over-represented vs flat share") {
+    import graft.functions.TextFunctions.{fixedPoint, qualityScore, tokenCount}
+    val kept = graft.queries.TextQueries.q145MixtureBudgetSelect(spark, sf)
+      .select(col("doc_id"), col("cum_tok"), col("src_budget"))
+      .as[(Long, Long, Long)].collect()
+    val scored = Tables(spark, sf, "documents").select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+      .as[(Long, String, Long, Long)].collect()
+    // driver replay of the whole policy: √-mass weights, integer budget
+    // split, per-source (quality desc, doc_id) prefix
+    val mass = scored.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wE4 = mass.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 10000 + 0.5).toLong).toMap
+    val b = mass.values.sum / 2
+    val wt = wE4.values.sum
+    val budget = wE4.view.mapValues(w => b * w / wt).toMap
+    val want = scored.groupBy(_._2).flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy { case (id, _, _, q) => (-q, id) }.flatMap { case (id, _, n, _) =>
+        cum += n
+        if (cum <= budget(src)) Some((id, cum, budget(src))) else None
+      }
+    }.toSet
+    assert(kept.toSet === want)
+    // every source's kept mass is inside its allocation, and the √
+    // temperature provably flattens: the scarcest source keeps a LARGER
+    // share of its own tokens than the most massive source
+    kept.foreach { case (_, cum, sb) => assert(cum <= sb) }
+    val smallest = mass.minBy(_._2)._1; val biggest = mass.maxBy(_._2)._1
+    assert(budget(smallest) * mass(biggest) >= budget(biggest) * mass(smallest),
+      "√-temperature must give the scarce source at least the massive one's own-share")
+  }
+
   test("distribution match: scarcest stratum keeps all, kept mix ~uniform") {
     val docs = Tables(spark, sf, "documents")
     val targets = Seq("en" -> 2000, "de" -> 2000, "fr" -> 2000,
