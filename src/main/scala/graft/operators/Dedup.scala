@@ -645,4 +645,47 @@ object Dedup {
         when(size(iv) > 0, array_join(pieces, "")).otherwise(col(textCol)))
       .drop("positions", "__iv")
   }
+
+  /** Corpus-level boilerplate census — the top-N most WIDESPREAD n-char
+    * spans: for each cross-doc repeated gram group, how many distinct
+    * docs carry it, total occurrences, and the span's actual text via a
+    * deterministic exemplar (lowest doc id, then lowest position — unique
+    * per group, since one (doc, pos) determines one n-gram). The triage
+    * view over the q119/q67 exact-substring family: which site-wide
+    * header/footer/license block dominates the corpus, BEFORE deciding to
+    * strip ([[stripRepeatedSpans]]) — and the explicit owner of the
+    * duplicate mass the capped LSH path (q126) intentionally drops.
+    *
+    * Scale: the gram frame (one rolling hash per char) is the scan cost
+    * and is consumed ONCE by two cascaded map-side-combinable groupBys —
+    * (gh, doc) then gh — with the exemplar riding min/min_by instead of a
+    * distinct-expand or a join-back (doc ids are unique within a gh
+    * group, so min_by is deterministic). Ranking is TakeOrdered
+    * (per-partition heaps, driver merges topN rows) on portable integer
+    * keys (n_docs, n_occ, exemplar coords) — the hash itself never orders
+    * anything, so the DuckDB oracle's md5 grouping agrees exactly. Span
+    * text is fetched AFTER the cut: topN rows broadcast against the
+    * corpus, never the group set. */
+  def boilerplateCensus(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, topN: Int = 100, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "gram length must be >= 2")
+    require(minDocs >= 2, "a span repeated in one doc is just the doc")
+    val per = positionalGrams(df, idCol, textCol, n)
+      .groupBy(col("gh"), col(idCol))
+      .agg(count(lit(1)).as("occ"), min(col("pos")).as("mpos"))
+    val top = per.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"),
+        min(col(idCol)).as("ex_doc"),
+        min_by(col("mpos"), col(idCol)).as("ex_pos"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("ex_doc"), col("ex_pos").cast("long").as("ex_pos"),
+        col("n_docs"), col("n_occ"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("ex_doc"), col("ex_pos"))
+      .limit(topN)
+    broadcast(top)
+      .join(df.select(col(idCol).as("ex_doc"), col(textCol).as("__t")), Seq("ex_doc"))
+      .select(col("ex_doc"), col("ex_pos"), col("n_docs"), col("n_occ"),
+        expr(s"substring(__t, ex_pos, $n)").as("span"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("ex_doc"), col("ex_pos"))
+  }
 }

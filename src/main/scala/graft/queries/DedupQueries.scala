@@ -106,6 +106,17 @@ object DedupQueries {
       .filter(col("n_repeated") > 0)
       .orderBy(col("doc_id"))
 
+  /** q146: boilerplate span census — the top 100 most widespread 20-char
+    * spans (distinct-doc count, occurrences, exemplar text): the triage
+    * report over the q119 exact-substring family, and the explicit owner
+    * of the duplicate mass q126's bucket cap drops (COVERAGE.md's recall
+    * contract). Ranking keys are portable integers (n_docs, n_occ,
+    * exemplar coords) — the engine's rolling hash and the oracle's md5
+    * partition grams identically without ever ordering anything. */
+  def q146BoilerplateCensus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateCensus(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 20, topN = 100)
+
   /** q126: q111's chunk-level near-dup with the LSH bucket cap (24) — the
     * low-entropy-robust formulation. The sf1.0 scale probe (BENCH.md)
     * measured uncapped chunk candidates growing ~quadratically on this
@@ -133,7 +144,8 @@ object DedupQueries {
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
-    "q119_repeated_spans" -> (q119RepeatedSpans _))
+    "q119_repeated_spans" -> (q119RepeatedSpans _),
+    "q146_boilerplate_census" -> (q146BoilerplateCensus _))
 
   // ---- oracle SQL (generated to mirror the Scala parameters) ----
 
@@ -205,6 +217,26 @@ object DedupQueries {
            CAST(floor(1e4 * r.n_repeated / t.n_grams + 0.5) AS BIGINT) AS rep_frac_e4
          FROM t JOIN r USING (doc_id)
          ORDER BY t.doc_id""",
+    "q146_boilerplate_census" ->
+      raw"""WITH g0 AS (SELECT doc_id,
+             unnest(CASE WHEN len(text) >= 20 THEN
+               [{'pos': CAST(i AS BIGINT),
+                 'gh': CAST(('0x'||substr(md5(substr(text, CAST(i AS INT), 20)),1,15)) AS BIGINT)}
+                for i in range(1, len(text) - 20 + 2)]
+               ELSE [] END) AS u
+           FROM documents),
+         g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+         per AS (SELECT gh, doc_id, CAST(count(*) AS BIGINT) AS occ,
+             CAST(min(pos) AS BIGINT) AS mpos
+           FROM g GROUP BY 1, 2),
+         top AS (SELECT min(doc_id) AS ex_doc, arg_min(mpos, doc_id) AS ex_pos,
+             CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+           FROM per GROUP BY gh HAVING count(*) >= 2
+           ORDER BY n_docs DESC, n_occ DESC, ex_doc, ex_pos LIMIT 100)
+         SELECT t.ex_doc, t.ex_pos, t.n_docs, t.n_occ,
+           substr(d.text, CAST(t.ex_pos AS INT), 20) AS span
+         FROM top t JOIN documents d ON d.doc_id = t.ex_doc
+         ORDER BY n_docs DESC, n_occ DESC, ex_doc, ex_pos""",
     "q126_capped_chunk_near_dup" ->
       raw"""WITH ckt AS (SELECT doc_id,
              CASE WHEN len(trim(text))=0 THEN []

@@ -533,6 +533,37 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("boilerplate census: planted footer ranks first with exact counts " +
+    "and its own text; unique content never appears") {
+    val footer = "COPYRIGHT 2026 ACME CORPORATION ALL RIGHTS RESERVED" // 51 chars
+    val corpus = Seq(
+      (1L, s"unique article one body text here lorem ipsum $footer"),
+      (2L, s"different second article content entirely $footer"),
+      (3L, s"third piece of writing with other words $footer"),
+      (4L, "totally unrelated standalone document with nothing shared qqq zzz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateCensus(corpus, "doc_id", "text", n = 20, topN = 1000)
+      .select($"ex_doc", $"ex_pos", $"n_docs", $"n_occ", $"span")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // the shared suffix across docs 1–3 is " " + footer (each doc ends
+    // with it, preceded by doc-unique text): every repeated 20-gram is a
+    // window of it — 3 docs each, one occurrence per doc, exemplar in
+    // doc 1 at the doc-1 offset
+    assert(got.nonEmpty)
+    val shared = " " + footer
+    val start1 = corpus.where($"doc_id" === 1).select($"text")
+      .as[String].head().indexOfSlice(shared) + 1 // 1-based
+    got.foreach { case (exDoc, exPos, nDocs, nOcc, span) =>
+      assert(exDoc === 1L && nDocs === 3L && nOcc === 3L)
+      assert(shared.contains(span), s"span '$span' is not a footer slice")
+      assert(exPos >= start1 && exPos <= start1 + shared.length - 20)
+      assert(span.length === 20)
+    }
+    // exactly one group per shared-suffix 20-gram window
+    assert(got.length === shared.length - 20 + 1)
+    assert(!got.exists(_._5.contains("qqq")))
+  }
+
   test("label affinity (q144): every pair matches the Scala brute force, " +
     "bounds hold, all label pairs present") {
     val got = graft.queries.SimQueries.q144LabelAffinity(spark, sf)
