@@ -206,6 +206,60 @@ object CurationQueries {
   private def q136MergeDump(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_q136_merges_${new java.io.File(dir).getName}"
 
+  /** q147: tokenizer compression curve — corpus-wide fertility
+    * (pieces/word) and compression (chars/piece) at three vocab sizes,
+    * all served from ONE learned merge table: vocab truncation in BPE is
+    * merge-prefix truncation (deploying the first v merges IS the
+    * v-merge tokenizer), so the 100/200/400 points cost one learn and
+    * one encode scan, not three learns. The "choose the vocab size"
+    * design input: where the chars-per-piece curve flattens is where
+    * additional merges stop buying compression — measured on the real
+    * corpus before committing a vocabulary. Entirely integer arithmetic.
+    *
+    * Scale shape: one learn (the q118 learner), then a single corpus
+    * scan computing all three piece arrays row-locally (the encodes are
+    * non-cheap HOF chains, so CollapseProject leaves the shared arrays
+    * in place — the q124 lesson); the aggregate is three longs per vocab
+    * point. Oracle replays encode-given-frozen-merges per DISTINCT word
+    * per vocab (the q118/q136 seam), with `rank < v` truncating the same
+    * dump three ways. */
+  def q147CompressionCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val docs = Tables(spark, dir, "documents")
+    val (merges, nDocs) =
+      graft.operators.Bpe.learnMergesFastCounted(docs, "text", 400, minCount = 2L)
+    spark.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) => (i, a, b, nDocs) })
+      .toDF("rank", "a", "b", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(q147MergeDump(dir))
+    val vocabs = Seq(100, 200, 400)
+    val pieces = docs.select(
+      size(wsTokens(lower(col("text")))).cast("long").as("n_w") +:
+        vocabs.map(v =>
+          graft.operators.Bpe.bpeEncode(col("text"), merges.take(v)).as(s"p$v")): _*)
+    val counted = pieces.select(
+      col("n_w") +: vocabs.flatMap(v => Seq(
+        size(col(s"p$v")).cast("long").as(s"np$v"),
+        aggregate(col(s"p$v"), lit(0L),
+          (acc, p) => acc + length(p).cast("long")).as(s"nc$v"))): _*)
+    val totals = counted.agg(
+      sum(col("n_w")).as("n_words"),
+      vocabs.flatMap(v => Seq(
+        sum(col(s"np$v")).as(s"tp$v"), sum(col(s"nc$v")).as(s"tc$v"))): _*)
+    val rows = vocabs.map(v =>
+      totals.select(lit(v.toLong).as("vocab_merges"), col("n_words"),
+        col(s"tp$v").as("n_pieces"), col(s"tc$v").as("n_chars")))
+    rows.reduce(_.unionByName(_))
+      .select(col("vocab_merges"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("CASE WHEN n_words > 0 THEN n_pieces * 10000 div n_words ELSE 0 END")
+          .as("fert_e4"),
+        expr("CASE WHEN n_pieces > 0 THEN n_chars * 10000 div n_pieces ELSE 0 END")
+          .as("cpp_e4"))
+      .orderBy(col("vocab_merges"))
+  }
+
+  private def q147MergeDump(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q147_merges_${new java.io.File(dir).getName}"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sql_revenue_filter" -> (q35SqlRevenueFilter _),
     "q36_corpus_curation" -> (q36CorpusCuration _),
@@ -216,7 +270,8 @@ object CurationQueries {
     "q110_distribution_match" -> (q110DistributionMatch _),
     "q117_epoch_shuffle" -> (q117EpochShuffle _),
     "q118_bpe_vocab_usage" -> (q118BpeVocabUsage _),
-    "q136_tokenizer_fertility" -> (q136TokenizerFertility _))
+    "q136_tokenizer_fertility" -> (q136TokenizerFertility _),
+    "q147_compression_curve" -> (q147CompressionCurve _))
 
   // ---- oracle SQL ----
 
@@ -306,6 +361,38 @@ object CurationQueries {
            CAST(CASE WHEN n_pieces > 0 THEN (n_chars * 10000) // n_pieces
              ELSE 0 END AS BIGINT) AS cpp_e4
          FROM agg ORDER BY source""",
+    "q147_compression_curve" ->
+      raw"""WITH vv(v) AS (VALUES (100), (200), (400)),
+         magg AS (SELECT vv.v AS v, list(a || chr(2) || b ORDER BY rank) AS ms
+             FROM read_parquet('${System.getProperty("java.io.tmpdir")}/graft_q147_merges_*/*.parquet'), vv
+             WHERE n_docs = (SELECT count(*) FROM documents) AND rank < vv.v
+             GROUP BY vv.v),
+         toks AS (SELECT unnest(CASE WHEN len(trim(lower(text))) = 0 THEN []
+               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+             FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         enc AS (SELECT magg.v AS v, w, c, list_reduce(
+             list_prepend(array_to_string([w[i] for i in range(1, len(w)+1)], chr(1)), magg.ms),
+             (acc, x) -> list_reduce(
+                string_split(acc, chr(1)),
+                (a2, y) -> CASE
+                   WHEN string_split(a2, chr(1))[-1] = string_split(x, chr(2))[1]
+                        AND y = string_split(x, chr(2))[2]
+                   THEN array_to_string(list_append(string_split(a2, chr(1))[1:-2],
+                          string_split(x, chr(2))[1] || string_split(x, chr(2))[2]), chr(1))
+                   ELSE a2 || chr(1) || y END)) AS e
+           FROM wc, magg),
+         pw AS (SELECT v, c, len(string_split(e, chr(1))) AS np, len(w) AS nc FROM enc),
+         agg AS (SELECT v, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(c * np) AS BIGINT) AS n_pieces,
+             CAST(sum(c * nc) AS BIGINT) AS n_chars
+           FROM pw GROUP BY 1)
+         SELECT CAST(v AS BIGINT) AS vocab_merges, n_words, n_pieces, n_chars,
+           CAST(CASE WHEN n_words > 0 THEN (n_pieces * 10000) // n_words
+             ELSE 0 END AS BIGINT) AS fert_e4,
+           CAST(CASE WHEN n_pieces > 0 THEN (n_chars * 10000) // n_pieces
+             ELSE 0 END AS BIGINT) AS cpp_e4
+         FROM agg ORDER BY vocab_merges""",
     "q117_epoch_shuffle" ->
       raw"""WITH h AS (SELECT doc_id,
              CAST(('0x'||substr(md5('shuf:e1:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h

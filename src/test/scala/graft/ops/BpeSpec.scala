@@ -107,4 +107,29 @@ class BpeSpec extends SparkSpec {
     // training is deterministic end to end
     assert(Bpe.learnMerges(docs, "text", nMerges = 40) === merges)
   }
+
+  test("compression curve (q147): merge-prefix truncation, char invariance, " +
+    "monotone compression, v=200 row ≡ q136's corpus totals") {
+    // prefix property of the sequential greedy learner: the first v merges
+    // of a deeper run ARE the v-merge run — q147's whole premise
+    val docs = Tables(spark, sf, "documents")
+    val m400 = Bpe.learnMergesFast(docs, "text", nMerges = 400, minCount = 2L)
+    assert(m400.take(200) === Bpe.learnMergesFast(docs, "text", 200, minCount = 2L))
+    val curve = graft.queries.CurationQueries.q147CompressionCurve(spark, sf)
+      .select(col("vocab_merges"), col("n_words"), col("n_pieces"), col("n_chars"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(100L, 200L, 400L))
+    // pieces PARTITION each word's chars: n_chars identical at every vocab;
+    // more merges never increase the piece count
+    assert(curve.map(_._4).distinct.length === 1)
+    assert(curve.map(_._2).distinct.length === 1)
+    assert(curve.map(_._3).toSeq === curve.map(_._3).toSeq.sorted.reverse)
+    assert(curve.last._3 >= curve.last._2, "pieces can never go below words")
+    // cross-query pin: the v=200 point equals q136's per-source rows summed
+    val q136 = graft.queries.CurationQueries.q136TokenizerFertility(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_pieces")), sum(col("n_chars")))
+      .as[(Long, Long, Long)].head()
+    val v200 = curve.find(_._1 == 200L).get
+    assert((v200._2, v200._3, v200._4) === q136)
+  }
 }
