@@ -455,6 +455,35 @@ object Similarity {
         col("n_hits") / lit(k.toDouble), 4))
   }
 
+  /** IVF recall-vs-probes curve: mean recall@k of [[ivfTopK]] against the
+    * exact cosine ranking, one row per probe count — the "choose probes"
+    * tuning input (q147's compression curve for the ANN side): where the
+    * recall curve flattens, additional probes stop buying accuracy and
+    * only cost candidate scans. The exact top-k is computed ONCE and
+    * persisted across all probe points (it is the expensive side —
+    * |Q|·|corpus| scores); each IVF run reuses the same centroid frame.
+    * Counts are exact integers; one division at the end. */
+  def ivfRecallCurve(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                     k: Int, probes: Seq[Int],
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val exact = bruteForceTopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val out = probes.map { p =>
+      ivfTopK(queries, corpus, centroids, k, p, idCol, embCol)
+        .select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .join(broadcast(nq), lit(true))
+        .select(lit(p.toLong).as("probes"), col("n_queries"), col("n_hits"),
+          expr(s"n_hits * 10000L div (n_queries * ${k}L)").as("recall_e4"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    exact.unpersist()
+    out
+  }
+
   /** Squared L2 distance in the quantized space — EXACT integer from three
     * integer dot products: |a−b|² = a·a + b·b − 2·a·b. No per-dimension
     * float subtraction, so no summation-order sensitivity anywhere. */

@@ -51,6 +51,23 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q148: IVF recall-vs-probes curve — mean recall@5 of the q37 IVF
+    * search against the q22 exact ranking at probes ∈ {1, 2, 4}: the
+    * "choose probes" tuning input (q147's compression curve for the ANN
+    * side). Where the curve flattens, additional probes stop buying
+    * accuracy and only cost candidate scans — measured on the real
+    * corpus before fixing the serving configuration. */
+  def q148IvfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Similarity.ivfRecallCurve(queriesDf(spark, dir), emb, cents,
+      TopK, Seq(1, 2, 4))
+      .orderBy(col("probes"))
+    cents.unpersist()
+    out
+  }
+
   /** q120: q37's IVF search served from a PERSISTED index — build writes
     * centroids + inverted lists into a Warehouse, topK reads them back;
     * results must be row-identical to the ad-hoc path (same oracle SQL
@@ -421,6 +438,7 @@ object SimQueries {
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
     "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
+    "q148_ivf_recall_curve" -> (q148IvfRecallCurve _),
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
     "q122_semdedup_auto" -> (q122SemDedupAuto _),
@@ -860,7 +878,47 @@ object SimQueries {
     // q120 serves q37's search from the persisted index — same result,
     // same oracle derivation
     "q120_ann_index_topk" -> ivfTopKSql,
-    "q37_ivf_topk" -> ivfTopKSql)
+    "q37_ivf_topk" -> ivfTopKSql,
+    "q148_ivf_recall_curve" ->
+      raw"""WITH pv(p) AS (VALUES (1), (2), (4)),
+         e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         ca AS (SELECT vec_id, label FROM (
+             SELECT e.vec_id, cent.label,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent) WHERE r <= 1),
+         qa AS (SELECT p, q_id, label FROM (
+             SELECT pv.p AS p, e.vec_id AS q_id, cent.label,
+               row_number() OVER (PARTITION BY pv.p, e.vec_id ORDER BY
+                 list_dot_product(e.qe, cent.ce)/(sqrt(CAST(list_dot_product(e.qe,e.qe) AS DOUBLE))
+                   *sqrt(CAST(list_dot_product(cent.ce,cent.ce) AS DOUBLE))) DESC, cent.label) AS r
+             FROM e, cent, pv WHERE e.vec_id < 10) WHERE r <= p),
+         s AS (SELECT qa.p, qa.q_id, ca.vec_id, ${cosSql("qq.qe", "cc.qe")} AS cos_e4
+               FROM qa JOIN ca ON qa.label = ca.label AND qa.q_id <> ca.vec_id
+               JOIN e qq ON qq.vec_id = qa.q_id
+               JOIN e cc ON cc.vec_id = ca.vec_id),
+         rk AS (SELECT p, q_id, vec_id,
+               row_number() OVER (PARTITION BY p, q_id ORDER BY cos_e4 DESC, vec_id) AS rank
+             FROM s),
+         iv AS (SELECT p, q_id, vec_id FROM rk WHERE rank <= $TopK),
+         ex AS (SELECT q_id, vec_id FROM (
+             SELECT qq.vec_id AS q_id, cc.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                 ${cosSql("qq.qe", "cc.qe")} DESC, cc.vec_id) AS r
+             FROM e qq JOIN e cc ON cc.vec_id <> qq.vec_id
+             WHERE qq.vec_id < 10) WHERE r <= $TopK),
+         hits AS (SELECT p, CAST(count(*) AS BIGINT) AS n_hits
+             FROM iv JOIN ex USING (q_id, vec_id) GROUP BY 1),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id < 10)
+         SELECT CAST(pv.p AS BIGINT) AS probes, nq.n AS n_queries,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 10000 // (nq.n * $TopK) AS BIGINT) AS recall_e4
+         FROM pv LEFT JOIN hits ON pv.p = hits.p, nq ORDER BY probes""")
 
   // shared by q124 (ad-hoc) and q129 (served from the persisted sign-word
   // store): sign words rebuilt as exact power-of-two sums per 32-dim half

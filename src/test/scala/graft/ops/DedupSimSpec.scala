@@ -564,6 +564,23 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.exists(_._5.contains("qqq")))
   }
 
+  test("ivf recall curve: monotone in probes, exact at full probe width") {
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val cents = Similarity.ivfCentroids(emb, "label")
+    val nLabels = cents.count().toInt
+    val curve = Similarity.ivfRecallCurve(q, emb, cents, k = 5,
+      probes = Seq(1, 2, nLabels))
+      .select($"probes", $"n_queries", $"n_hits", $"recall_e4")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._2).forall(_ === 10L))
+    // more probes never lose recall
+    assert(curve.map(_._3).toSeq === curve.map(_._3).toSeq.sorted)
+    // probing every list IS the exact ranking (same scores, same
+    // tie-breaks), so recall@k must be perfect
+    assert(curve.last._3 === 50L && curve.last._4 === 10000L)
+  }
+
   test("label affinity (q144): every pair matches the Scala brute force, " +
     "bounds hold, all label pairs present") {
     val got = graft.queries.SimQueries.q144LabelAffinity(spark, sf)
