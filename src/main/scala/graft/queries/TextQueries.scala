@@ -243,6 +243,37 @@ object TextQueries {
     out
   }
 
+  /** q149: quality-filter agreement audit — per source, the 2×2
+    * contingency between the learned filter (q123's frozen model,
+    * keep ≡ logit > 0) and the heuristic composite (q17's score at the
+    * fixed 0.5 operating point): where the two keep decisions agree, the
+    * call is safe; a source with high model-only or heuristic-only mass
+    * is exactly where one of the filters is wrong for that register and
+    * a human should look before 100 TB of it is kept or dropped. The
+    * "which filter do I trust where" input that ties the two quality
+    * surfaces together. Integer counts, one division.
+    *
+    * Scale shape: both scores are row-local projections over ONE scan;
+    * the aggregate is five conditional sums per source — map-side
+    * combinable, source-cardinality output, no join, no window. */
+  def q149FilterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val t = docsWide(spark, dir).select(
+      col("source"),
+      graft.operators.QualityModel.keep(col("text")).as("mk"),
+      (fixedPoint(qualityScore(col("text")), 4) >= 5000L).as("hk"))
+    t.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mk") && col("hk"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("mk") && !col("hk"), 1L).otherwise(0L)).as("n_model_only"),
+        sum(when(!col("mk") && col("hk"), 1L).otherwise(0L)).as("n_heur_only"),
+        sum(when(!col("mk") && !col("hk"), 1L).otherwise(0L)).as("n_neither"))
+      .select(col("source"), col("n_docs"), col("n_both"), col("n_model_only"),
+        col("n_heur_only"), col("n_neither"),
+        expr("(n_both + n_neither) * 10000L div n_docs").as("agree_e4"))
+      .orderBy(col("source"))
+  }
+
   /** q92: bigram-LM fluency score — the conditional-probability upgrade of
     * q52's unigram proxy (CCNet-style perplexity filters rank docs by how
     * predictable each token is from its predecessor; rare CONTEXTS, not
@@ -394,6 +425,7 @@ object TextQueries {
     "q142_ngram_diversity" -> (q142NgramDiversity _),
     "q143_token_budget_select" -> (q143TokenBudgetSelect _),
     "q145_mixture_budget_select" -> (q145MixtureBudgetSelect _),
+    "q149_filter_agreement" -> (q149FilterAgreement _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
     "q52_token_commonness" -> (q52TokenCommonness _))
@@ -461,6 +493,28 @@ object TextQueries {
            CAST(floor($q123LogitSql*10000 + 0.5) AS BIGINT) AS logit_e4,
            $q123LogitSql > 0.0 AS keep
          FROM t ORDER BY doc_id""",
+    "q149_filter_agreement" ->
+      raw"""WITH t AS (SELECT source, $tokCountSql AS n_tok,
+           $punctCountSql AS n_punct, $stopCountSql AS n_stop,
+           len(regexp_extract_all(text,'[0-9]')) AS n_dig,
+           len(regexp_extract_all(text,'[^ -~]')) AS n_na,
+           len(text) AS n_chr
+           FROM documents),
+         k AS (SELECT source,
+             $q123LogitSql > 0.0 AS mk,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) >= 5000 AS hk
+           FROM t),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN mk AND hk THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN mk AND NOT hk THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+             CAST(sum(CASE WHEN NOT mk AND hk THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_only,
+             CAST(sum(CASE WHEN NOT mk AND NOT hk THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+           FROM k GROUP BY 1)
+         SELECT source, n_docs, n_both, n_model_only, n_heur_only, n_neither,
+           CAST((n_both + n_neither) * 10000 // n_docs AS BIGINT) AS agree_e4
+         FROM a ORDER BY source""",
     "q16_token_stats" ->
       raw"""SELECT lang, count(*) AS n_docs,
          CAST(sum($tokCountSql) AS BIGINT) AS n_tokens,

@@ -60,4 +60,34 @@ class QualityModelSpec extends SparkSpec {
       .as[Seq[Double]].collect()
     rows.foreach(_.foreach(f => assert(f >= 0.0 && f <= 1.0, s"feature $f out of range")))
   }
+
+  test("filter agreement (q149): cells partition each source, agree formula " +
+    "holds, cells ≡ a row-level replay of q123 keep × q17 threshold") {
+    import graft.functions.TextFunctions.{fixedPoint, qualityScore}
+    val got = graft.queries.TextQueries.q149FilterAgreement(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, b, mo, ho, ne, agree) =>
+      assert(b + mo + ho + ne === n, s"$src cells don't partition")
+      assert(agree === (b + ne) * 10000 / n)
+    }
+    // row-level replay from the two public scoring surfaces
+    val replay = graft.core.Tables(spark, sf, "documents").select(
+      col("source"), QualityModel.keep(col("text")).as("mk"),
+      (fixedPoint(qualityScore(col("text")), 4) >= 5000L).as("hk"))
+      .as[(String, Boolean, Boolean)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.length.toLong,
+          rs.count(r => r._2 && r._3).toLong,
+          rs.count(r => r._2 && !r._3).toLong,
+          rs.count(r => !r._2 && r._3).toLong,
+          rs.count(r => !r._2 && !r._3).toLong)
+      }.toMap
+    got.foreach { case (src, n, b, mo, ho, ne, _) =>
+      assert(replay(src) === ((n, b, mo, ho, ne)), s"$src cells diverge from replay")
+    }
+    // the audit has signal on the fixture: the filters genuinely disagree
+    // somewhere (otherwise the query proves nothing)
+    assert(got.map(r => r._4 + r._5).sum > 0, "no disagreement anywhere — fixture dead")
+  }
 }
