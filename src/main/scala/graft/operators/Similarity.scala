@@ -1000,4 +1000,56 @@ object Similarity {
       .select(col("q").as("q_id"), col("c").as("neighbor_id"),
         col("hamming"), col("cos_e4"), col("rank").cast("int").as("rank"))
   }
+
+  /** Hamming recall-vs-shortlist curve: mean recall@k of [[hammingTopK]]
+    * against the exact cosine ranking, one row per shortlist size — the
+    * "choose the shortlist" tuning input for the sign-bit family, closing
+    * the tuning-curve suite (vocab sizes for BPE, probes for IVF,
+    * shortlist for Hamming): where the curve flattens, a larger shortlist
+    * only costs rerank dot products.
+    *
+    * Plan: the Hamming-scored frame is computed ONCE and ranked at the
+    * LARGEST shortlist — a smaller shortlist is a prefix filter (srk ≤ s)
+    * of the same ranked frame, so every curve point shares one corpus
+    * scan and one shortlist window, and the rerank windows run over
+    * shortlist-sized survivors only. The exact top-k (the expensive
+    * |Q|·corpus side) is persisted across points. Value-identical per
+    * point to running [[hammingTopK]] at that shortlist (same windows,
+    * same tie-breaks). Counts exact integers; one division at the end. */
+  def hammingRecallCurve(queries: DataFrame, corpus: DataFrame, k: Int,
+                         shortlists: Seq[Int],
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(shortlists.nonEmpty, "shortlists must be non-empty")
+    val exact = bruteForceTopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(signWords(queries, "q", idCol, embCol))
+    val c = signWords(corpus, "c", idCol, embCol)
+    val scored = c.join(q, col("q") =!= col("c"))
+      .withColumn("hamming",
+        (bit_count(col("q_w0").bitwiseXOR(col("c_w0"))) +
+          bit_count(col("q_w1").bitwiseXOR(col("c_w1")))).cast("int"))
+    val slw = Window.partitionBy(col("q")).orderBy(col("hamming"), col("c"))
+    val ranked = scored.withColumn("srk", row_number().over(slw))
+      .filter(col("srk") <= shortlists.max)
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qcosine(col("q_qe"), col("c_qe")), 4))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val out = shortlists.map { s =>
+      val w = Window.partitionBy(col("q")).orderBy(col("cos_e4").desc, col("c"))
+      ranked.filter(col("srk") <= s)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("q").as("q_id"), col("c").as("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .join(broadcast(nq), lit(true))
+        .select(lit(s.toLong).as("shortlist"), col("n_queries"), col("n_hits"),
+          expr(s"n_hits * 10000L div (n_queries * ${k}L)").as("recall_e4"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    ranked.unpersist()
+    exact.unpersist()
+    out
+  }
 }

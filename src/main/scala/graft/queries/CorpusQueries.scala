@@ -62,6 +62,45 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q150: best-of-cluster canonical selection — for every near-dup
+    * cluster, keep the member with the HIGHEST quality score (q17's
+    * composite; ties to the lowest doc_id) instead of q41's arbitrary
+    * min-id canonical. When a page was crawled five times, the copies
+    * differ in truncation, boilerplate, and encoding damage — dedup
+    * should keep the cleanest capture, not the numerically smallest id;
+    * this is the selection policy step between q41 (who's duplicated)
+    * and q138 (how to weight them). Output is one decision row per
+    * multi-member cluster: the cluster label, the kept doc, the cluster
+    * size, and the kept doc's quality.
+    *
+    * Scale shape: q41's pair+CC cost, plus the cluster-member frame
+    * (duplicate-mass-sized, not corpus-sized) joining the corpus scan on
+    * the uniform doc_id key for text — NOT broadcast-hinted, dup
+    * membership can be a large corpus fraction at crawl scale (AQE
+    * broadcasts when measured small); the quality score is row-local on
+    * the joined rows only. Both the argmax and the size ride ONE window
+    * partitioned by cluster — cluster-bounded state, clusters are small
+    * by construction. */
+  def q150BestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val clusters = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+    val scored = clusters
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("r", row_number().over(
+        w.orderBy(col("quality_e4").desc, col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .filter(col("r") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col("n_dups"), col("quality_e4"))
+      .orderBy(col("cluster"))
+  }
+
   // q106's split weights, shared by the leakage audit (q139) and the
   // cluster-aware assignment (q140) so the three queries describe ONE
   // split policy measured, broken, and fixed
@@ -352,6 +391,7 @@ object CorpusQueries {
     "q58_passage_dup" -> (q58PassageDup _),
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
+    "q150_best_of_cluster" -> (q150BestOfCluster _),
     "q138_dedup_weights" -> (q138DedupWeights _),
     "q139_split_leakage" -> (q139SplitLeakage _),
     "q140_cluster_splits" -> (q140ClusterSplits _),
@@ -558,6 +598,35 @@ object CorpusQueries {
          SELECT doc_id, cluster, CAST(n_dups AS BIGINT) AS n_dups,
            CAST(10000 // n_dups AS BIGINT) AS weight_e4
          FROM j ORDER BY doc_id""",
+    // q150: q138's component CTEs + q17's exact quality expression; the
+    // argmax and the size ride one window per cluster, ties to min id.
+    "q150_best_of_cluster" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         qt AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+             ${TextQueries.punctCountSql} AS n_punct,
+             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+           FROM documents),
+         q AS (SELECT doc_id, CAST(floor((least(n_tok/100.0, 1.0)*0.4
+             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM qt),
+         m AS (SELECT cl.cluster, cl.doc_id, q.quality_e4,
+             row_number() OVER (PARTITION BY cl.cluster
+               ORDER BY q.quality_e4 DESC, cl.doc_id) AS r,
+             count(*) OVER (PARTITION BY cl.cluster) AS n
+           FROM cl JOIN q USING (doc_id))
+         SELECT cluster, doc_id AS keep_id, CAST(n AS BIGINT) AS n_dups,
+           quality_e4
+         FROM m WHERE r = 1 ORDER BY cluster""",
     "q139_split_leakage" ->
       raw"""WITH ${DedupQueries.nearDupPairsCtes},
          p2 AS (SELECT a_id, b_id, jaccard_e4 FROM pairs WHERE jaccard_e4 >= 5000),

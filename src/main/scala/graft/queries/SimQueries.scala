@@ -271,6 +271,20 @@ object SimQueries {
       TopK, shortlist = 20)
       .orderBy(col("q_id"), col("rank"))
 
+  /** q153: Hamming recall-vs-shortlist curve — mean recall@5 of the q124
+    * sign-bit search against the q22 exact ranking at shortlist ∈
+    * {5, 10, 20}: the "choose the shortlist" tuning input, closing the
+    * tuning-curve family (q147 vocab sizes, q148 IVF probes, q153
+    * Hamming shortlist). Where the curve flattens, a larger shortlist
+    * only costs rerank dot products. All points share ONE corpus scan
+    * and one shortlist window — a smaller shortlist is a prefix filter
+    * of the largest one's ranked frame. */
+  def q153HammingRecallCurve(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hammingRecallCurve(
+      queriesDf(spark, dir), Tables(spark, dir, "embeddings"),
+      TopK, Seq(5, 10, 20))
+      .orderBy(col("shortlist"))
+
   /** q128: q90's IVFADC stack served from a PERSISTED composed index —
     * buildIvfPq stores coarse centroids, codebooks, and each vector's
     * (codes, coarse list) rows hive-partitioned by list; topKIvfPq
@@ -424,6 +438,7 @@ object SimQueries {
     "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q124_hamming_topk" -> (q124HammingTopK _),
+    "q153_hamming_recall_curve" -> (q153HammingRecallCurve _),
     "q91_pq_rerank" -> (q91PqRerank _),
     "q97_semdedup" -> (q97SemDedup _),
     "q100_pca_projection" -> (q100PcaProjection _),
@@ -856,6 +871,41 @@ object SimQueries {
          SELECT vec_id, label, dist_sq, dist_sq > 2*mean_dist AS is_outlier
          FROM m ORDER BY vec_id""",
     "q124_hamming_topk" -> hammingTopKSql,
+    // q153: hammingTopKSql's word/shortlist chain with a shortlist-value
+    // lateral (same windows, same tie-breaks per point), hits counted
+    // against q22's exact chain.
+    "q153_hamming_recall_curve" ->
+      raw"""WITH sv(sl) AS (VALUES (5), (10), (20)),
+         e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         b AS (SELECT e.vec_id, e.qe, w.w0, w.w1 FROM e JOIN (
+             SELECT vec_id,
+               CAST(sum(CASE WHEN v > 0 AND d <= 32 THEN CAST(power(2, d-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN v > 0 AND d > 32 THEN CAST(power(2, d-33) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+             FROM (SELECT vec_id, generate_subscripts(qe,1) AS d, unnest(qe) AS v FROM e)
+             GROUP BY 1) w USING (vec_id)),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id, q.qe AS q_qe, c.qe AS c_qe,
+               bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+             FROM b q JOIN b c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+         slr AS (SELECT q_id, vec_id, q_qe, c_qe,
+               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS srk FROM s),
+         rx AS (SELECT sv.sl AS sl, q_id, vec_id, ${cosSql("q_qe", "c_qe")} AS cos_e4
+             FROM slr, sv WHERE srk <= sv.sl),
+         r AS (SELECT sl, q_id, vec_id,
+               row_number() OVER (PARTITION BY sl, q_id ORDER BY cos_e4 DESC, vec_id) AS rank FROM rx),
+         hm AS (SELECT sl, q_id, vec_id FROM r WHERE rank <= $TopK),
+         exq AS (SELECT q_id, vec_id FROM (
+             SELECT qq.vec_id AS q_id, cc.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                 ${cosSql("qq.qe", "cc.qe")} DESC, cc.vec_id) AS r
+             FROM e qq JOIN e cc ON cc.vec_id <> qq.vec_id
+             WHERE qq.vec_id < 10) WHERE r <= $TopK),
+         hits AS (SELECT sl, CAST(count(*) AS BIGINT) AS n_hits
+             FROM hm JOIN exq USING (q_id, vec_id) GROUP BY 1),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id < 10)
+         SELECT CAST(sv.sl AS BIGINT) AS shortlist, nq.n AS n_queries,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 10000 // (nq.n * $TopK) AS BIGINT) AS recall_e4
+         FROM sv LEFT JOIN hits ON sv.sl = hits.sl, nq ORDER BY shortlist""",
     "q22_cosine_topk" ->
       raw"""WITH q AS (SELECT vec_id AS q_id, $quantSql AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, $quantSql AS ce FROM embeddings),

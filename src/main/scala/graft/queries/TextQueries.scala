@@ -412,8 +412,96 @@ object TextQueries {
     }
   }
 
+  /** q151: per-document token surprisal — mean bits-per-token under the
+    * corpus unigram LM, with the log2 taken EXACTLY as the binary-digit
+    * count of an integer ratio: bits(token) = len(bin(N_total div cnt)),
+    * so a token carrying 1/1024 of the corpus mass scores 11 bits and the
+    * most common token scores ~1. The log-space complement of q52's mean-
+    * frequency commonness: q52 ranks by how MUCH of a doc is common
+    * tokens (linear in probability, dominated by stopwords), q151 by the
+    * information content of the whole doc (log-scale, where one hapax
+    * legomenon outweighs fifty "the"s) — the deterministic stand-in for
+    * the perplexity filters a curation pipeline runs (CCNet-style): low
+    * bits ≈ boilerplate, high bits ≈ novel or gibberish, both tails worth
+    * inspecting. `bin()` is engine-portable integer plumbing (Spark and
+    * DuckDB both print exact binary digits), so the score needs NO
+    * transcendental log — every value is integer-exact cross-engine.
+    *
+    * Scale shape: q52's exact plan class — one token explode into a
+    * map-side-combinable vocab count, bits computed ONCE per vocab entry
+    * (vocab-sized frame, not per occurrence), the occurrence stream joins
+    * the broadcast per-token bits and folds into one integer sum per doc.
+    * One corpus-sized shuffle (the per-doc aggregate); the division is a
+    * single integer DIV at the end. */
+  def q151TokenSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val occ = docsWide(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val bits = freq.join(broadcast(total), lit(true))
+      .select(col("token"),
+        length(bin(expr("total div cnt"))).cast("long").as("bits"))
+    occ.join(broadcast(bits), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits")).as("s"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s * 10000L div n_tokens").as("surprisal_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q152: bigram collocation lift — the top-50 adjacent word pairs that
+    * co-occur far more than their unigram frequencies predict: lift =
+    * P(ab) / (P(a)·P(b)), the exponentiated PMI. The phrase-mining /
+    * tokenizer-design input ("New York", "et al") and the template
+    * detector (a machine-generated corpus shows absurd lifts on its
+    * boilerplate transitions); multi-word entities found here are what a
+    * vocab learner (q117/q118) should keep whole. minCount 5 drops the
+    * noise floor where one co-occurrence of two hapaxes scores N².
+    * The lift is one pinned-order IEEE chain over exact integer counts
+    * (q123's determinism contract): both engines compute
+    * ((c_ab·N_uni)·N_uni) / ((N_big·c_a)·c_b) with identical
+    * association, so the doubles — and the e4 floor — are bit-identical.
+    *
+    * Scale shape: the tokenized projection is persisted and scanned twice
+    * (unigram + bigram explode, each a map-side-combinable count); the
+    * surviving ≥ minCount bigram frame (collocation-scale, not corpus-
+    * scale) joins the vocab counts twice on the word key; totals are
+    * one-row broadcasts; the cut is TakeOrdered on (lift, pair) — no
+    * corpus-sized window, nothing driver-side. Output is 50 rows. */
+  def q152CollocationLift(spark: SparkSession, dir: String): DataFrame = {
+    val t = docsWide(spark, dir).select(wsTokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = t.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = t.agg(
+      sum(size(col("ts")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("ts")) - 1, lit(0)).cast("long")).as("n_big"))
+    val big = t.select(explode(wordBigrams(col("ts"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c_ab"))
+    val out = big
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .join(broadcast(totals), lit(true))
+      .withColumn("lift_e4", floor(
+        (col("c_ab").cast("double") * col("n_uni").cast("double")
+          * col("n_uni").cast("double"))
+          / (col("n_big").cast("double") * col("c_a").cast("double")
+            * col("c_b").cast("double")) * 10000.0 + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("w1"), col("w2"))
+      .limit(50)
+      .localCheckpoint(true)
+    t.unpersist()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_quality_drift" -> (q135QualityDrift _),
+    "q151_token_surprisal" -> (q151TokenSurprisal _),
+    "q152_collocation_lift" -> (q152CollocationLift _),
     "q137_profile_store_drift" -> (q137ProfileStoreDrift _),
     "q16_token_stats" -> (q16TokenStats _),
     "q123_quality_model" -> (q123QualityModel _),
@@ -675,5 +763,44 @@ object TextQueries {
            FROM occ JOIN freq USING (token) GROUP BY 1)
          SELECT doc_id, n AS n_tokens,
            CAST(floor(s/(n*total)*10000 + 0.5) AS BIGINT) AS commonness_e4
-         FROM d, tot ORDER BY doc_id""")
+         FROM d, tot ORDER BY doc_id""",
+    // q151: bits(token) = binary digit count of the integer ratio
+    // total // cnt — bin() prints exact digits on both engines, so the
+    // "log2" needs no transcendental and the score is integer-exact.
+    "q151_token_surprisal" ->
+      raw"""WITH occ AS (SELECT doc_id, unnest(CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         bits AS (SELECT token,
+             CAST(len(bin(total // cnt)) AS BIGINT) AS bits FROM freq, tot),
+         d AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS s, count(*) AS n
+           FROM occ JOIN bits USING (token) GROUP BY 1)
+         SELECT doc_id, n AS n_tokens,
+           CAST(s * 10000 // n AS BIGINT) AS surprisal_e4
+         FROM d ORDER BY doc_id""",
+    // q152: the lift chain replays Spark's exact IEEE association —
+    // ((c_ab·N)·N) / ((N_big·c_a)·c_b), then ·10000, then +0.5 — so the
+    // doubles round identically and the floor is bit-exact.
+    "q152_collocation_lift" ->
+      raw"""WITH t AS (SELECT CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END AS ts FROM documents),
+         uni AS (SELECT tok, count(*) AS c
+           FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY 1),
+         tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_uni,
+             CAST(sum(greatest(len(ts)-1, 0)) AS BIGINT) AS n_big FROM t),
+         big AS (SELECT bg, count(*) AS c_ab FROM (
+             SELECT unnest(CASE WHEN len(ts) < 2 THEN []
+               ELSE [ts[i+1] || ' ' || ts[i+2] for i in range(0, len(ts)-1)] END) AS bg
+             FROM t) GROUP BY 1 HAVING count(*) >= 5),
+         sp AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             CAST(c_ab AS BIGINT) AS c_ab FROM big),
+         j AS (SELECT w1, w2, c_ab,
+             CAST(floor(
+               (CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+               / (CAST(n_big AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+               * 10000.0 + 0.5) AS BIGINT) AS lift_e4
+           FROM sp JOIN uni a ON a.tok = sp.w1 JOIN uni b ON b.tok = sp.w2, tot)
+         SELECT w1, w2, c_ab, lift_e4 FROM j
+         ORDER BY lift_e4 DESC, w1, w2 LIMIT 50""")
 }

@@ -278,4 +278,83 @@ class CorpusCurationSpec extends SparkSpec {
     // source a: 90@2 (rank 1, lower id wins tie), 90@3 (rank 2); b: 5
     assert(kept === Map(2L -> 1, 3L -> 2, 5L -> 1))
   }
+
+  test("best-of-cluster (q150): kept doc is the cluster's max-quality member, " +
+    "sizes exact, one row per multi-member cluster") {
+    val got = graft.queries.CorpusQueries.q150BestOfCluster(spark, sf)
+      .select($"cluster", $"keep_id", $"n_dups", $"quality_e4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // replay cluster membership from the same public operators and
+    // quality from the public scoring surface, then argmax driver-side
+    val docs = Tables(spark, sf, "documents")
+    val members = graft.operators.Clusters.dedupClusters(
+      graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = 16, b = 4, shingleN = 5, minJaccard = 0.5))
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect()
+    val qual = docs.select($"doc_id", graft.functions.TextFunctions.fixedPoint(
+        graft.functions.TextFunctions.qualityScore($"text"), 4).as("q"))
+      .as[(Long, Long)].collect().toMap
+    val byCluster = members.groupBy(_._2)
+    assert(got.length === byCluster.size)
+    got.foreach { case (cl, keep, n, q) =>
+      val mem = byCluster(cl).map(_._1)
+      assert(n === mem.size.toLong, s"cluster $cl size")
+      assert(mem.size >= 2, s"cluster $cl is a singleton — CC must not emit those")
+      val best = mem.map(id => (-qual(id), id)).min._2
+      assert(keep === best, s"cluster $cl kept $keep, expected argmax $best")
+      assert(q === qual(keep), s"cluster $cl quality mismatch")
+    }
+  }
+
+  test("token surprisal (q151): driver replay of the bin-length unigram LM") {
+    val got = graft.queries.TextQueries.q151TokenSurprisal(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(t: String): Seq[String] = {
+      val s = t.trim; if (s.isEmpty) Nil else s.split("\\s+").toSeq
+    }
+    val all = docs.flatMap { case (_, t) => toks(t) }
+    val cnt = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = all.length.toLong
+    val bits = cnt.map { case (k, c) =>
+      k -> java.lang.Long.toBinaryString(total / c).length.toLong
+    }
+    val exp = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) None
+      else Some((id, ts.size.toLong, ts.map(bits).sum * 10000L / ts.size))
+    }.toSet
+    assert(got.toSet === exp)
+    // the most informative doc must carry more bits/token than the least —
+    // the fixture has both boilerplate and varied text, so the score spreads
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
+  test("collocation lift (q152): driver replay of the pinned-order top-50") {
+    val got = graft.queries.TextQueries.q152CollocationLift(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.length === 50)
+    val docs = Tables(spark, sf, "documents")
+      .select($"text").as[String].collect()
+    def toks(t: String): Seq[String] = {
+      val s = t.trim; if (s.isEmpty) Nil else s.split("\\s+").toSeq
+    }
+    val tss = docs.map(toks)
+    val uni = tss.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nUni = tss.map(_.size.toLong).sum
+    val nBig = tss.map(ts => math.max(ts.size - 1, 0).toLong).sum
+    val big = tss.flatMap(ts => ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 5L)
+    val exp = big.map { case ((w1, w2), cab) =>
+      val lift = math.floor(
+        (cab.toDouble * nUni.toDouble * nUni.toDouble)
+          / (nBig.toDouble * uni(w1).toDouble * uni(w2).toDouble)
+          * 10000.0 + 0.5).toLong
+      (w1, w2, cab, lift)
+    }.toSeq.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }.take(50)
+    assert(got.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }.toSeq === exp)
+  }
 }

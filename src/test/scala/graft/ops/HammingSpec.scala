@@ -90,4 +90,32 @@ class HammingSpec extends SparkSpec {
     }.toSet
     assert(got === expected)
   }
+
+  test("hamming recall curve (q153): monotone in shortlist, per-point equals " +
+    "hammingTopK, exact at corpus width") {
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val k = 5
+    val curve = Similarity.hammingRecallCurve(q, emb, k, Seq(5, 20, n))
+      .select(col("shortlist"), col("n_queries"), col("n_hits"), col("recall_e4"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._2).forall(_ === 10L))
+    // a larger shortlist reranks a superset by the same exact cosine +
+    // tie-break, so hits never decrease
+    assert(curve.map(_._3).toSeq === curve.map(_._3).toSeq.sorted)
+    // a corpus-wide shortlist reranks every candidate — that IS the exact
+    // ranking (same scores, same tie-breaks), so recall@k is perfect
+    assert(curve.last._3 === 50L && curve.last._4 === 10000L)
+    // each curve point is value-identical to running hammingTopK there
+    val exact = Similarity.bruteForceTopK(q, emb, k)
+      .select(col("q_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    Seq(5, 20).foreach { s =>
+      val hits = Similarity.hammingTopK(q, emb, k, s)
+        .select(col("q_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().count(exact).toLong
+      assert(curve.find(_._1 === s.toLong).get._3 === hits,
+        s"curve point $s disagrees with hammingTopK")
+    }
+  }
 }
