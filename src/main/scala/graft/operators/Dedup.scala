@@ -688,4 +688,62 @@ object Dedup {
         expr(s"substring(__t, ex_pos, $n)").as("span"))
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("ex_doc"), col("ex_pos"))
   }
+
+  /** Empirical LSH banding S-curve: for a deterministic hash-sample of the
+    * corpus, compute the EXACT shingle Jaccard of every sampled pair and
+    * measure which pairs the (k, b) banding emits as candidates, binned by
+    * Jaccard — the measured counterpart of the theoretical
+    * 1−(1−j^r)^b candidacy curve, and the "choose k and b" tuning input
+    * for the near-dup family: the curve's knee shows where banding starts
+    * missing true near-dups (false negatives above minJaccard) and how
+    * much sub-threshold mass it wastes verify work on (false positives
+    * below). Purely empirical — no transcendental anywhere, so every cell
+    * is integer-exact cross-engine.
+    *
+    * Scale shape: the audit is BUDGET-BOUNDED by construction — docs enter
+    * iff their 60-bit id hash ≡ 0 (mod `sampleMod`), so the exact side is
+    * s²/2 pairs over a sample of s docs, never corpus-quadratic; at 100 TB
+    * pick sampleMod to hold s at a few thousand (the sample grows linearly
+    * with the corpus at fixed mod — the mod IS the budget knob). Pair
+    * enumeration is a BroadcastNestedLoopJoin over the id column ONLY
+    * (s-row broadcast); shingle sets join in by equi-join afterwards
+    * ([[jaccardFromSets]]'s size-gated strategy), so no wide row ever
+    * rides the NLJ. Banding candidacy reuses the production
+    * [[lshBands]]→[[lshCandidatePairs]] path on the sampled signatures.
+    * One signature scan feeds both sides (persisted). */
+  def bandingRecallCurve(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, b: Int, shingleN: Int, sampleMod: Int,
+                         binWidthE4: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(b >= 1 && k % b == 0, s"k=$k must be a multiple of b=$b")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(binWidthE4 >= 1 && 10000 % binWidthE4 == 0,
+      "binWidthE4 must divide 10000")
+    // 60-bit md5 of the id, the engine-portable deterministic sampler
+    // (same integer the shingle hashes use: '0x'||substr(md5(x),1,15))
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sampled = df.filter(pmod(idHash, lit(sampleMod.toLong)) === 0L)
+    val sig = signatureFrame(sampled, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = sig.select(col(idCol))
+    val universe = broadcast(ids.select(col(idCol).as("a_id")))
+      .join(ids.select(col(idCol).as("b_id")), col("a_id") < col("b_id"))
+    val scored = jaccardFromSets(sig, idCol, minJaccard = 0.0, universe)
+    val caught = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol)
+      .withColumn("__caught", lit(1L))
+    val nBins = 10000 / binWidthE4
+    val out = scored
+      .join(caught, Seq("a_id", "b_id"), "left_outer")
+      .select(least(expr(s"jaccard_e4 div $binWidthE4"), lit((nBins - 1).toLong))
+        .as("bin"), coalesce(col("__caught"), lit(0L)).as("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_caught"))
+      .select(col("bin"), (col("bin") * binWidthE4).as("lo_e4"),
+        col("n_pairs"), col("n_caught"),
+        expr("n_caught * 10000L div n_pairs").as("catch_e4"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
 }

@@ -28,6 +28,19 @@ object DedupQueries {
       candidatePairBudget = 0L)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q154: empirical LSH banding S-curve — exact shingle Jaccard of every
+    * pair among a 1-in-4 deterministic doc sample, binned by Jaccard
+    * decile, against the fraction the production (k=16, b=4) banding
+    * emits as candidates: the measured recall/false-positive profile of
+    * q20's candidate stage, completing the tuning-curve family (q147
+    * vocab sizes, q148 IVF probes, q153 Hamming shortlist). The mod-4
+    * id-hash sample holds the exact side at s²/2 pairs — at 100 TB the
+    * mod is the budget knob (see [[Dedup.bandingRecallCurve]]). */
+  def q154LshScurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandingRecallCurve(Tables(spark, dir, "documents"), "doc_id",
+      "text", k = K, b = B, shingleN = N, sampleMod = 4)
+      .orderBy(col("bin"))
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -141,6 +154,7 @@ object DedupQueries {
     "q111_chunk_near_dup" -> (q111ChunkNearDup _),
     "q126_capped_chunk_near_dup" -> (q126CappedChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
+    "q154_lsh_scurve" -> (q154LshScurve _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
@@ -265,6 +279,33 @@ object DedupQueries {
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
+    // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
+    // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
+    // back in), candidacy is the chain's own `cand`.
+    "q154_lsh_scurve" ->
+      raw"""WITH sample AS (SELECT doc_id, text FROM documents
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+         ${nearDupPairsCtesFrom("sample")},
+         ids AS (SELECT doc_id FROM sig),
+         uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         usc AS (SELECT u.a_id, u.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM uni u
+           JOIN sig sa ON sa.doc_id = u.a_id
+           JOIN sig sb ON sb.doc_id = u.b_id),
+         uj AS (SELECT a_id, b_id,
+             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
+           FROM usc),
+         fl AS (SELECT uj.jaccard_e4,
+             CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS caught
+           FROM uj LEFT JOIN cand c ON uj.a_id = c.a_id AND uj.b_id = c.b_id),
+         g AS (SELECT least(jaccard_e4 // 1000, 9) AS bin, caught FROM fl)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           CAST(sum(caught) * 10000 // count(*) AS BIGINT) AS catch_e4
+         FROM g GROUP BY g.bin ORDER BY bin""",
     "q99_incremental_near_dup" ->
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs

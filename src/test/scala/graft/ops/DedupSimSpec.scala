@@ -61,6 +61,49 @@ class DedupSimSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 <= 30 && p._2 <= 30)) // and fully dropped capped
   }
 
+  test("banding S-curve (q154): bins replay exact jaccard × the public " +
+    "candidate path; exact dup caught in the top bin; mod sampling subsets") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (3L, "the quick brown fox jumps over the lazy cat and then naps"),
+      (4L, "completely different content with zero overlap whatsoever xyzzy"),
+      (5L, "sorted merge joins shuffle rows across worker partitions daily"),
+      (6L, "vectorized parquet readers prune columns before the scan begins")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bandingRecallCurve(base, "doc_id", "text",
+      k = 16, b = 4, shingleN = 5, sampleMod = 1)
+      .select($"bin", $"lo_e4", $"n_pairs", $"n_caught", $"catch_e4")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._3).sum === 15L) // all 6·5/2 sample pairs audited
+    // replay from public components: exact jaccard (zero-overlap pairs are
+    // absent → 0), candidacy from the production bands→candidates path
+    val jac = Dedup.jaccardPairs(base, "doc_id", "text", shingleN = 5,
+      minJaccard = 0.0)
+      .select($"a_id", $"b_id", $"jaccard_e4").as[(Long, Long, Long)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val caught = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignature(base, "doc_id", "text", k = 16),
+        "doc_id", b = 4, r = 4), "doc_id")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val exp = (for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield {
+      val j = jac.getOrElse((a, b), 0L)
+      (math.min(j / 1000L, 9L), if (caught((a, b))) 1L else 0L)
+    }).groupBy(_._1).map { case (bin, v) =>
+      val c = v.map(_._2).sum
+      (bin, bin * 1000L, v.size.toLong, c, c * 10000L / v.size)
+    }.toSeq.sortBy(_._1)
+    assert(got === exp)
+    assert(jac((1L, 2L)) === 10000L && caught((1L, 2L))) // top bin, caught
+    assert(got.last._1 === 9L && got.last._5 === 10000L)
+    // the sampler is a real subset: mod 4 audits fewer pairs
+    val n4 = Dedup.bandingRecallCurve(base, "doc_id", "text",
+      k = 16, b = 4, shingleN = 5, sampleMod = 4)
+      .agg(coalesce(sum($"n_pairs"), lit(0L))).as[Long].head()
+    assert(n4 < 15L)
+  }
+
   test("LSH candidate budget refuses an over-budget corpus, naming maxBucketSize") {
     // 30 identical docs → one 30-member bucket per band → 4·30·29/2 = 1740
     // band pairs; a 100-pair budget must refuse BEFORE the pair join runs
