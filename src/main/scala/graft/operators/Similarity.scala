@@ -1052,4 +1052,69 @@ object Similarity {
     exact.unpersist()
     out
   }
+
+  /** k-NN density per vector: the cosine of each vector's k-th nearest
+    * neighbor WITHIN ITS IVF LIST (probes=1) — the local-density /
+    * redundancy score behind density-based corpus pruning (D4/SSL-
+    * prototypes style): a HIGH k-th-neighbor cosine means the vector sits
+    * in a dense clump (redundant — a candidate to downsample), a LOW one
+    * means it is locally novel (keep), and the per-point complement of
+    * q60's global centroid-distance outliers and q97's cluster-level
+    * semantic dedup. Vectors whose list has fewer than k+1 members report
+    * the cosine of their FARTHEST in-list neighbor instead (rank
+    * min(k, n_list−1)); list singletons report null — undefined density
+    * is surfaced, never invented.
+    *
+    * Scale shape: candidate pairs never leave a coarse list, so the pair
+    * stage is Σ|list|² — bounded by the centroid count, which is the
+    * caller's scale knob (more lists as the corpus grows, the standard
+    * IVF contract; [[kmeansCentroids]] learns them). GUARDED like
+    * [[semDedup]]: a census over the assignment refuses when the implied
+    * pair count exceeds `pairBudget`, naming the fix; opt out with
+    * `pairBudget <= 0`. The rank filter is rk ≤ k then rk = min(k,
+    * n_list−1), so per-vector window state is list-bounded and the
+    * sizes frame (list-cardinality) broadcasts. */
+  def knnDensity(df: DataFrame, centroids: DataFrame, k: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 pairBudget: Long = 50_000_000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, "k must be >= 1")
+    val lists = ivfAssign(df, centroids, probes = 1, idCol, embCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = lists.groupBy(col("label")).agg(count(lit(1)).as("n_list"))
+    if (pairBudget > 0) {
+      val census = sizes
+        .agg(coalesce(sum(col("n_list") * (col("n_list") - 1)), lit(0L)).cast("long"),
+          coalesce(max(col("n_list")), lit(0L)).cast("long")).head()
+      val nPairs = census.getLong(0) / 2
+      if (nPairs > pairBudget) {
+        lists.unpersist()
+        throw new IllegalArgumentException(
+          s"knnDensity: $nPairs within-list pairs exceed the budget " +
+            s"$pairBudget (largest list: ${census.getLong(1)} members). " +
+            "The pair stage is Σ|list|² — pass MORE centroids (the IVF " +
+            "contract: lists per corpus size; kmeansCentroids learns them) " +
+            "or opt in explicitly with pairBudget <= 0.")
+      }
+    }
+    val a = lists.select(col("label"), col(idCol).as("a_id"),
+      col("__qe").as("a_emb"), col("__n").as("a_n"))
+    val b = lists.select(col("label"), col(idCol).as("b_id"),
+      col("__qe").as("b_emb"), col("__n").as("b_n"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_e4").desc, col("b_id"))
+    val kth = a.join(b, Seq("label")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_e4", graft.functions.TextFunctions.fixedPoint(
+        qdot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .join(broadcast(sizes), Seq("label"))
+      .filter(col("rk") === least(lit(k.toLong), col("n_list") - 1))
+      .select(col("a_id").as(idCol), col("cos_e4").as("kth_cos_e4"))
+    val out = lists.select(col(idCol), col("label"))
+      .join(broadcast(sizes), Seq("label"))
+      .join(kth, Seq(idCol), "left_outer")
+      .select(col(idCol), col("label"), col("n_list"), col("kth_cos_e4"))
+      .localCheckpoint(true)
+    lists.unpersist()
+    out
+  }
 }

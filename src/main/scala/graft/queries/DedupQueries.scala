@@ -41,6 +41,37 @@ object DedupQueries {
       "text", k = K, b = B, shingleN = N, sampleMod = 4)
       .orderBy(col("bin"))
 
+  /** q156: near-dup source matrix — q20's verified pairs rolled up by
+    * UNORDERED source pair: how many near-dup pairs cross each (src, src)
+    * cell and their mean Jaccard. The near-dup complement of q127's
+    * verbatim-overlap matrix (theta over fingerprints): q127 answers
+    * "same text?", q156 answers "same text MODULO small edits?" — the
+    * mirror-site / syndicated-content / cross-crawl provenance signal
+    * that decides which source to drop when two feeds carry the same
+    * articles. Diagonal cells are within-source crawl duplication.
+    *
+    * Scale shape: q20's pair cost plus two narrow uniform-id joins of
+    * (doc_id, source) onto the pair frame (source side NOT broadcast-
+    * hinted — pair membership can be a large corpus fraction at crawl
+    * scale; AQE broadcasts when measured small) and a sources²-bounded
+    * aggregate. Mean is one integer DIV — engine-exact. */
+  def q156NearDupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = K, b = B, shingleN = N, minJaccard = 0.5, candidatePairBudget = 0L)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard_e4"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_e4")).as("s"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        expr("s div n_pairs").as("mean_jaccard_e4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -155,6 +186,7 @@ object DedupQueries {
     "q126_capped_chunk_near_dup" -> (q126CappedChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q154_lsh_scurve" -> (q154LshScurve _),
+    "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
@@ -279,6 +311,19 @@ object DedupQueries {
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
+    // q156: q20's pair CTEs ≥ 5000, sources joined on both ids, unordered
+    // (least, greatest) cell, integer-DIV mean.
+    "q156_near_dup_source_matrix" ->
+      raw"""WITH $nearDupPairsCtes,
+         p2 AS (SELECT a_id, b_id, jaccard_e4 FROM pairs WHERE jaccard_e4 >= 5000),
+         j AS (SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b, p2.jaccard_e4
+           FROM p2
+           JOIN documents da ON da.doc_id = p2.a_id
+           JOIN documents db ON db.doc_id = p2.b_id)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jaccard_e4) // count(*) AS BIGINT) AS mean_jaccard_e4
+         FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b""",
     // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.

@@ -51,6 +51,22 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q155: k-NN density per vector — the cosine of each vector's 5th
+    * nearest neighbor WITHIN its IVF list (q37's label-mean coarse
+    * structure, probes=1): the local-density / redundancy score behind
+    * density-based corpus pruning — high kth-neighbor cosine = dense
+    * clump (downsample candidate), low = locally novel (keep); the
+    * per-point complement of q60's global outliers and q97's
+    * cluster-level semantic dedup. Short lists fall back to their
+    * farthest in-list neighbor; singletons report null. Pair work never
+    * leaves a coarse list (Σ|list|², centroid count is the scale knob,
+    * guarded by [[Similarity.knnDensity]]'s pair budget). */
+  def q155KnnDensity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.knnDensity(emb, Similarity.ivfCentroids(emb, "label"), k = TopK)
+      .orderBy(col("vec_id"))
+  }
+
   /** q148: IVF recall-vs-probes curve — mean recall@5 of the q37 IVF
     * search against the q22 exact ranking at probes ∈ {1, 2, 4}: the
     * "choose probes" tuning input (q147's compression curve for the ANN
@@ -453,6 +469,7 @@ object SimQueries {
     "q24_embedding_near_dup" -> (q24EmbeddingNearDup _),
     "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
+    "q155_knn_density" -> (q155KnnDensity _),
     "q148_ivf_recall_curve" -> (q148IvfRecallCurve _),
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
@@ -929,6 +946,28 @@ object SimQueries {
     // same oracle derivation
     "q120_ann_index_topk" -> ivfTopKSql,
     "q37_ivf_topk" -> ivfTopKSql,
+    // q155: q148's label-mean centroid + assignment CTEs; within-list
+    // pairs ranked per anchor (cos desc, id), rank min(k, n_list-1)
+    // selected, singletons kept via LEFT JOIN (null density surfaced).
+    "q155_knn_density" ->
+      raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
+         cagg AS (SELECT label, d,
+             CAST(floor(sum(v)/count(*) + 0.5) AS BIGINT) AS c FROM pe GROUP BY 1, 2),
+         cent AS (SELECT label, list(c ORDER BY d) AS ce FROM cagg GROUP BY 1),
+         ca AS (${assignSql("cent")}),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_list FROM ca GROUP BY 1),
+         p AS (SELECT a.vec_id AS a_id, a.label AS label, b.vec_id AS b_id,
+             ${cosSql("a.qe", "b.qe")} AS cos_e4
+           FROM ca a JOIN ca b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         r AS (SELECT a_id, label, cos_e4,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos_e4 DESC, b_id) AS rk
+           FROM p),
+         kth AS (SELECT r.a_id, r.cos_e4 FROM r JOIN sz USING (label)
+           WHERE rk = least($TopK, n_list - 1))
+         SELECT ca.vec_id, ca.label, sz.n_list, kth.cos_e4 AS kth_cos_e4
+         FROM ca JOIN sz USING (label) LEFT JOIN kth ON kth.a_id = ca.vec_id
+         ORDER BY ca.vec_id""",
     "q148_ivf_recall_curve" ->
       raw"""WITH pv(p) AS (VALUES (1), (2), (4)),
          e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),

@@ -307,6 +307,28 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("near-dup source matrix (q156): cells replay the pair rollup, " +
+    "unordered, every pair in exactly one cell") {
+    val got = graft.queries.DedupQueries.q156NearDupSourceMatrix(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = 16, b = 4, shingleN = 5, minJaccard = 0.5, candidatePairBudget = 0L)
+      .select($"a_id", $"b_id", $"jaccard_e4").as[(Long, Long, Long)].collect()
+    val srcOf = docs.select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val exp = pairs.groupBy { case (a, b, _) =>
+      val (x, y) = (srcOf(a), srcOf(b)); if (x <= y) (x, y) else (y, x)
+    }.map { case ((x, y), v) =>
+      (x, y, v.length.toLong, v.map(_._3).sum / v.length)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got === exp)
+    assert(got.map(_._3).sum === pairs.length.toLong)
+    got.foreach { case (a, b, _, m) =>
+      assert(a <= b && m >= 5000L && m <= 10000L)
+    }
+  }
+
   test("token surprisal (q151): driver replay of the bin-length unigram LM") {
     val got = graft.queries.TextQueries.q151TokenSurprisal(spark, sf)
       .as[(Long, Long, Long)].collect()

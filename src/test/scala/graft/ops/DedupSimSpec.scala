@@ -304,6 +304,48 @@ class DedupSimSpec extends SparkSpec {
       f"exact re-rank of a superset shortlist cannot lose recall ($adc%.2f → $reranked%.2f)")
   }
 
+  test("knnDensity: kth in-list cosine, short-list fallback, singleton null, " +
+    "budget refusal names the fix") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(0.95f, 0.3f), 0),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.ivfCentroids(vecs, "label")
+    val got = Similarity.knnDensity(vecs, cent, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // vec 4 is alone in its list: density undefined → null
+    assert(got(4L) === ((1, 1L, None)))
+    // driver replay of the quantized within-list cosines for list 0
+    def q(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    val m = Map(1L -> q(Array(1.0f, 0.0f)), 2L -> q(Array(0.99f, 0.1f)),
+      3L -> q(Array(0.95f, 0.3f)))
+    def cos(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.floor(d / (na * nb) * 10000 + 0.5).toLong
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val ns = m.keys.filter(_ != id).toSeq
+        .map(o => (cos(m(id), m(o)), o)).sortBy(t => (-t._1, t._2))
+      // n_list = 3, k = 2 → the 2nd nearest (= the farthest of the two)
+      assert(got(id) === ((0, 3L, Some(ns(1)._1))), s"vec $id")
+    }
+    // 3 within-list pairs exceed a budget of 2 → refuse, naming the knobs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnDensity(vecs, cent, k = 1, pairBudget = 2L)
+    }
+    assert(e.getMessage.contains("pairBudget") &&
+      e.getMessage.contains("centroids"))
+  }
+
   test("semDedup: one keep per group, and it is the farthest-from-centroid member") {
     val emb = Tables(spark, sf, "embeddings")
     val out = Similarity.semDedup(emb, k = 8, iters = 2, tauE4 = 3500L)
