@@ -689,6 +689,54 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("ex_doc"), col("ex_pos"))
   }
 
+  /** Character-level near-dup pairs: LSH banding candidates re-verified by
+    * normalized Levenshtein similarity instead of shingle Jaccard —
+    * sim_e4 = (L − d)·10⁴ div L with L = max(len_a, len_b), pure integer
+    * over the exact DP distance, so the score is engine-portable. Edit
+    * similarity is the right verify when near-dups differ by CHARACTER
+    * noise (OCR damage, encoding mojibake, typo-level edits) that shreds
+    * 5-gram shingles: two captures 3% of characters apart keep edit-sim
+    * 0.97 while their shingle Jaccard can fall below any useful
+    * threshold. The complementary verify stage over the same candidate
+    * machinery — same bands, different distance.
+    *
+    * Scale shape: the DP costs O(len_a·len_b) PER PAIR — far heavier than
+    * the sorted-merge intersect — so the candidate stage is REQUIRED to be
+    * capped ([[lshCandidatePairs]]'s maxBucketSize, default 24: the q126
+    * production stance; over-cap mass belongs to q119/q67/q146). A free
+    * length-gap pre-filter runs before the DP: d ≥ |len_a − len_b|, so
+    * pairs whose length gap alone breaks the threshold never reach it —
+    * semantics-free (they'd fail the final filter anyway). Texts join the
+    * capped pair frame on uniform ids; nothing corpus-quadratic exists. */
+  def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, b: Int, shingleN: Int, minSimE4: Long,
+                          maxBucketSize: Int = 24): DataFrame = {
+    require(minSimE4 >= 0 && minSimE4 <= 10000, "minSimE4 in [0, 10000]")
+    val sig = signatureFrame(df, idCol, textCol, k, shingleN)
+    val cand = lshCandidatePairs(lshBands(sig, idCol, b, k / b), idCol,
+      maxBucketSize = Some(maxBucketSize))
+    val txt = df.select(col(idCol), col(textCol))
+    val paired = cand
+      .join(txt.select(col(idCol).as("a_id"), col(textCol).as("__ta")), Seq("a_id"))
+      .join(txt.select(col(idCol).as("b_id"), col(textCol).as("__tb")), Seq("b_id"))
+      .withColumn("__la", length(col("__ta")).cast("long"))
+      .withColumn("__lb", length(col("__tb")).cast("long"))
+      .withColumn("__l", greatest(col("__la"), col("__lb")))
+      // necessary condition at zero DP cost: d >= |la - lb|
+      .filter(col("__l") > 0 &&
+        (col("__l") - abs(col("__la") - col("__lb"))) * 10000L / col("__l") >= minSimE4)
+    // bounded DP: sim ≥ minSim ⟺ d ≤ L − ⌈minSim·L/10⁴⌉ (integer-floor
+    // algebra: (L−d)·10⁴ div L ≥ m ⟺ (L−d)·10⁴ ≥ m·L), so the threshold
+    // form early-exits at O(L·t) per pair and returns −1 over budget —
+    // result-identical to the unbounded DP + filter the oracle runs
+    paired
+      .withColumn("__d", expr(
+        s"levenshtein(__ta, __tb, CAST(__l - (($minSimE4 * __l + 9999) div 10000) AS INT))"))
+      .filter(col("__d") >= 0)
+      .withColumn("edit_sim_e4", expr("(__l - __d) * 10000L div __l"))
+      .select(col("a_id"), col("b_id"), col("edit_sim_e4"))
+  }
+
   /** Empirical LSH banding S-curve: for a deterministic hash-sample of the
     * corpus, compute the EXACT shingle Jaccard of every sampled pair and
     * measure which pairs the (k, b) banding emits as candidates, binned by

@@ -72,6 +72,18 @@ object DedupQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q157: edit-distance near-dup pairs — q20's LSH candidates (capped at
+    * q126's bucket 24, REQUIRED: the DP is O(len²) per pair) re-verified
+    * by normalized Levenshtein similarity ≥ 0.8 instead of shingle
+    * Jaccard: the verify for character-noise near-dups (OCR damage,
+    * mojibake, typo edits) that shred 5-gram shingles — same bands,
+    * complementary distance. Engine runs the bounded early-exit DP;
+    * the oracle's unbounded DP + filter is result-identical. */
+  def q157EditNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editSimilarityPairs(Tables(spark, dir, "documents"), "doc_id",
+      "text", k = K, b = B, shingleN = N, minSimE4 = 8000L)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -187,6 +199,7 @@ object DedupQueries {
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q154_lsh_scurve" -> (q154LshScurve _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
+    "q157_edit_near_dup" -> (q157EditNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
@@ -324,6 +337,22 @@ object DedupQueries {
          SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(jaccard_e4) // count(*) AS BIGINT) AS mean_jaccard_e4
          FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+    // q157: the capped-candidate CTE chain (bucket 24), texts joined on
+    // both ids, unbounded Levenshtein + the integer sim filter (the
+    // engine's bounded early-exit DP is result-identical by algebra).
+    "q157_edit_near_dup" ->
+      raw"""WITH ${nearDupPairsCtesFrom("documents", maxBucket = Some(24))},
+         t AS (SELECT c.a_id, c.b_id, da.text AS ta, db.text AS tb,
+             greatest(len(da.text), len(db.text)) AS l
+           FROM cand c
+           JOIN documents da ON da.doc_id = c.a_id
+           JOIN documents db ON db.doc_id = c.b_id
+           WHERE greatest(len(da.text), len(db.text)) > 0),
+         s AS (SELECT a_id, b_id,
+             CAST((l - levenshtein(ta, tb)) * 10000 // l AS BIGINT) AS edit_sim_e4
+           FROM t)
+         SELECT a_id, b_id, edit_sim_e4 FROM s
+         WHERE edit_sim_e4 >= 8000 ORDER BY a_id, b_id""",
     // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.

@@ -104,6 +104,45 @@ class DedupSimSpec extends SparkSpec {
     assert(n4 < 15L)
   }
 
+  test("editSimilarityPairs: bounded DP ≡ driver Levenshtein replay over " +
+    "capped candidates; char-noise dup found; unrelated never paired") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the misty morning " +
+        "park while the sleepy cat watches from the old wooden fence nearby"),
+      (2L, "the quick brown fox jumps ovre the lazy dog in the misty morning " +
+        "park while the sleepy cat watches from the old wooden fence nearby"),
+      (3L, "completely unrelated content about sorted merge join algorithms today"),
+      (4L, "the quick brown fox jumps over the lazy dog in the misty morning " +
+        "park while the sleepy cat watches from the old wooden fence nearby")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editSimilarityPairs(base, "doc_id", "text",
+      k = 16, b = 8, shingleN = 5, minSimE4 = 8000L)
+      .as[(Long, Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = base.as[(Long, String)].collect().toMap
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignature(base, "doc_id", "text", k = 16),
+        "doc_id", b = 8, r = 2), "doc_id", maxBucketSize = Some(24))
+      .as[(Long, Long)].collect()
+    val exp = cand.map { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      val l = math.max(ta.length, tb.length).toLong
+      (a, b, (l - lev(ta, tb)) * 10000L / l)
+    }.filter(_._3 >= 8000L).toSet
+    assert(got === exp)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // 3-char-noise dup kept
+    assert(got.contains((1L, 4L, 10000L)))            // exact dup at 10000
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated absent
+  }
+
   test("LSH candidate budget refuses an over-budget corpus, naming maxBucketSize") {
     // 30 identical docs → one 30-member bucket per band → 4·30·29/2 = 1740
     // band pairs; a 100-pair budget must refuse BEFORE the pair join runs
