@@ -62,6 +62,38 @@ object EventQueries {
     graft.streaming.Sessionize.batch(Tables(spark, dir, "events"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** q158: session-gap tuning curve — total sessions and mean session
+    * length (events per session) at gap ∈ {600, 1800, 3600} s, all from
+    * ONE lag-window scan: a session count at gap g is just the number of
+    * inter-event gaps exceeding g (plus one start per user), so every
+    * curve point is a conditional sum over the same gap frame — never a
+    * re-sessionization per point. The "choose the gap" input for q34's
+    * sessionizer (the tuning-curve pattern applied to the events domain:
+    * where the session count stops falling, a longer gap only merges
+    * genuinely distinct visits). The g=1800 point is q34's exact session
+    * count by construction — cross-query consistency pinned in the spec.
+    *
+    * Scale shape: one shuffle on user_id feeds the lag window; the three
+    * counts ride ONE partial-aggregated single-row aggregate; the
+    * 3-row output is an explode over that row. Integer end to end. */
+  def q158SessionGapCurve(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsus"), col("event_id"))
+    val gaps = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsus"))
+      .withColumn("prev", lag(col("tsus"), 1).over(byUser))
+    val gapSet = Seq(600L, 1800L, 3600L)
+    val aggs = gapSet.map(g => sum(when(col("prev").isNull ||
+        col("tsus") - col("prev") > g * 1000000L, 1L).otherwise(0L)).as(s"s$g")) :+
+      count(lit(1)).as("n")
+    gaps.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(gapSet.map(g => struct(lit(g).as("gap_s"),
+        col(s"s$g").as("n_sessions"), col("n").as("n_events"))): _*)).as("x"))
+      .select(col("x.gap_s"), col("x.n_sessions"), col("x.n_events"),
+        expr("x.n_events * 10000L div x.n_sessions").as("mean_len_e4"))
+      .orderBy(col("gap_s"))
+  }
+
   /** q48: as-of (point-in-time) join — every non-purchase event picks up
     * the same user's latest purchase at or before its timestamp (id, exact
     * epoch-μs, value). One shuffle on user_id via the union-tag window
@@ -174,6 +206,7 @@ object EventQueries {
     "q27_window_hourly" -> (q27WindowHourly _),
     "q28_comment_words" -> (q28CommentWords _),
     "q34_sessionize" -> (q34Sessionize _),
+    "q158_session_gap_curve" -> (q158SessionGapCurve _),
     "q48_asof_purchase" -> (q48AsofPurchase _),
     "q50_interval_join" -> (q50IntervalJoin _),
     "q51_hourly_anomalies" -> (q51HourlyAnomalies _))
@@ -210,6 +243,22 @@ object EventQueries {
          event_type, count(*) AS n,
          CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q158: one lag frame, three conditional sums, UNION ALL row per gap.
+    "q158_session_gap_curve" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         a AS (SELECT
+             CAST(sum(CASE WHEN prev IS NULL OR tsus - prev > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s600,
+             CAST(sum(CASE WHEN prev IS NULL OR tsus - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+             CAST(sum(CASE WHEN prev IS NULL OR tsus - prev > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s3600,
+             CAST(count(*) AS BIGINT) AS n FROM e),
+         g AS (SELECT CAST(600 AS BIGINT) AS gap_s, s600 AS n_sessions, n AS n_events FROM a
+           UNION ALL SELECT 1800, s1800, n FROM a
+           UNION ALL SELECT 3600, s3600, n FROM a)
+         SELECT gap_s, n_sessions, n_events,
+           CAST(n_events * 10000 // n_sessions AS BIGINT) AS mean_len_e4
+         FROM g ORDER BY gap_s""",
     "q34_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tsus,
            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

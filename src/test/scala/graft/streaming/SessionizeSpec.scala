@@ -25,6 +25,24 @@ class SessionizeSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
   }
 
+  test("session-gap curve (q158): monotone in gap, g=1800 equals the q34 " +
+    "session count, mean length replays") {
+    val got = graft.queries.EventQueries.q158SessionGapCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(600L, 1800L, 3600L))
+    // a longer gap can only merge sessions, never split them
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted.reverse)
+    val nEvents = Tables(spark, sf, "events").count()
+    got.foreach { case (_, ns, n, m) =>
+      assert(n === nEvents)
+      assert(m === n * 10000L / ns)
+      assert(ns >= 1L && ns <= n)
+    }
+    // cross-query consistency: the 1800 s point IS q34's session count
+    val q34Sessions = Sessionize.batch(Tables(spark, sf, "events")).count()
+    assert(got.find(_._1 === 1800L).get._2 === q34Sessions)
+  }
+
   test("streaming flatMapGroupsWithState equals batch on AvailableNow input") {
     val batchResult = Sessionize.batch(Tables(spark, sf, "events"))
       .select(col("user_id"), col("session_id"),
