@@ -101,6 +101,39 @@ object CorpusQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q159: duplication × quality contingency — per quality decile (q17's
+    * composite, floored to 10 buckets): how many docs, how many sit in a
+    * near-dup cluster, and the dup rate. The "do low-quality docs
+    * duplicate more?" audit that decides whether dedup and quality
+    * filtering are REDUNDANT passes (boilerplate is both low-quality and
+    * duplicated → one pass subsumes the other) or INDEPENDENT cuts (spam
+    * farms copy high-scoring text verbatim → run both): measured before
+    * spending two full corpus passes at 100 TB.
+    *
+    * Scale shape: q41's pair+CC cost for the member frame (duplicate-
+    * mass-sized); the corpus scan computes the decile row-locally and
+    * left-joins the member flag on the uniform doc_id key (member side
+    * NOT broadcast-hinted — dup membership can be a large corpus
+    * fraction; AQE decides); the contingency is a 10-row aggregate.
+    * Rate is one integer DIV. */
+  def q159DupQualityContingency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val members = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+      .select(col("doc_id")).withColumn("__dup", lit(1L))
+    docs
+      .select(col("doc_id"), fixedPoint(qualityScore(col("text")), 4).as("__q"))
+      .select(col("doc_id"), least(expr("__q div 1000"), lit(9L)).as("decile"))
+      .join(members, Seq("doc_id"), "left_outer")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        expr("n_dups * 10000L div n_docs").as("dup_rate_e4"))
+      .orderBy(col("decile"))
+  }
+
   // q106's split weights, shared by the leakage audit (q139) and the
   // cluster-aware assignment (q140) so the three queries describe ONE
   // split policy measured, broken, and fixed
@@ -392,6 +425,7 @@ object CorpusQueries {
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
     "q150_best_of_cluster" -> (q150BestOfCluster _),
+    "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
     "q139_split_leakage" -> (q139SplitLeakage _),
     "q140_cluster_splits" -> (q140ClusterSplits _),
@@ -598,6 +632,34 @@ object CorpusQueries {
          SELECT doc_id, cluster, CAST(n_dups AS BIGINT) AS n_dups,
            CAST(10000 // n_dups AS BIGINT) AS weight_e4
          FROM j ORDER BY doc_id""",
+    // q159: q150's CC-membership + quality CTEs; decile = least(q//1000, 9),
+    // member flag via LEFT JOIN, 10-row contingency, integer-DIV rate.
+    "q159_dup_quality_contingency" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT DISTINCT id AS doc_id FROM reach),
+         qt AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+             ${TextQueries.punctCountSql} AS n_punct,
+             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+           FROM documents),
+         q AS (SELECT doc_id, CAST(floor((least(n_tok/100.0, 1.0)*0.4
+             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM qt),
+         f AS (SELECT least(q.quality_e4 // 1000, 9) AS dec0,
+             CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+           FROM q LEFT JOIN cl USING (doc_id))
+         SELECT CAST(dec0 AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dup) AS BIGINT) AS n_dups,
+           CAST(sum(dup) * 10000 // count(*) AS BIGINT) AS dup_rate_e4
+         FROM f GROUP BY dec0 ORDER BY decile""",
     // q150: q138's component CTEs + q17's exact quality expression; the
     // argmax and the size ride one window per cluster, ties to min id.
     "q150_best_of_cluster" ->

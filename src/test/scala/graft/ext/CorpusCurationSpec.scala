@@ -329,6 +329,28 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("dup-quality contingency (q159): deciles partition the corpus, " +
+    "cells replay the public member + scoring surfaces") {
+    val got = graft.queries.CorpusQueries.q159DupQualityContingency(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val docs = Tables(spark, sf, "documents")
+    assert(got.map(_._2).sum === docs.count())
+    val members = graft.operators.Clusters.dedupClusters(
+      graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = 16, b = 4, shingleN = 5, minJaccard = 0.5))
+      .select($"doc_id").as[Long].collect().toSet
+    val qual = docs.select($"doc_id", graft.functions.TextFunctions.fixedPoint(
+        graft.functions.TextFunctions.qualityScore($"text"), 4).as("q"))
+      .as[(Long, Long)].collect()
+    val exp = qual.groupBy { case (_, q) => math.min(q / 1000L, 9L) }
+      .map { case (dec, v) =>
+        val d = v.count(t => members(t._1)).toLong
+        (dec, v.length.toLong, d, d * 10000L / v.length)
+      }.toSeq.sortBy(_._1)
+    assert(got === exp)
+    assert(got.map(_._3).sum === members.size.toLong)
+  }
+
   test("token surprisal (q151): driver replay of the bin-length unigram LM") {
     val got = graft.queries.TextQueries.q151TokenSurprisal(spark, sf)
       .as[(Long, Long, Long)].collect()
