@@ -271,4 +271,27 @@ object Clusters {
     connectedComponents(pairs, aCol, bCol)
       .select(col("cluster"), col("id").as("doc_id"),
         (col("id") === col("cluster")).as("is_canonical"))
+
+  /** Incremental clustering: merge NEW near-dup pairs into STORED cluster
+    * labels without re-reading history's pair sets. Each stored component
+    * enters the graph as STAR EDGES (label, member) — a spanning star
+    * preserves connectivity exactly, and because [[dedupClusters]] labels
+    * every component by its min member id, the star center IS that min,
+    * so the merged min-id labeling equals a full recompute over
+    * (historical pairs ∪ new pairs). New pairs can attach fresh docs to a
+    * stored component, merge two stored components, or form new ones —
+    * all three are just edges to the same CC pass.
+    *
+    * Scale shape: per-batch cost is CC over (stored components + new
+    * pairs) — O(affected graph), never O(history). Pairs with q99's
+    * incremental pair stage ([[graft.operators.Dedup.nearDupPairsIncremental]]):
+    * signatures come from storage, pairs touch the batch, and clustering
+    * folds them into the label store — the full per-batch dedup serving
+    * path. */
+  def dedupClustersIncremental(priorLabels: DataFrame, newPairs: DataFrame,
+                               aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val stars = priorLabels.filter(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as(aCol), col("doc_id").as(bCol))
+    dedupClusters(stars.unionByName(newPairs.select(col(aCol), col(bCol))), aCol, bCol)
+  }
 }

@@ -101,6 +101,34 @@ object CorpusQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q160: incremental clustering ≡ full recompute — the even-doc half is
+    * the STORED state (its pairs clustered once, labels kept; signatures
+    * kept), the odd half is the arriving batch: q99's incremental pair
+    * stage finds every pair touching a new doc, and
+    * [[Clusters.dedupClustersIncremental]] folds those pairs into the
+    * stored labels via star edges. The output is pinned to q41's ORACLE —
+    * the full-corpus CC — proving the per-batch path (O(batch + affected
+    * components), history pair sets never re-read) loses NOTHING vs
+    * re-clustering the world. The label-store counterpart of q99's
+    * pair-level equivalence. */
+  def q160IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val prior = Dedup.signDocuments(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val priorLabels = Clusters.dedupClusters(
+        Dedup.nearDupPairsFromSignatures(prior, "doc_id", minJaccard = 0.5,
+          b = B, candidatePairBudget = 0L))
+      val (newPairs, _) = Dedup.nearDupPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior,
+        k = K, b = B, shingleN = N, minJaccard = 0.5,
+        candidatePairBudget = 0L)
+      Clusters.dedupClustersIncremental(priorLabels, newPairs)
+        .orderBy(col("cluster"), col("doc_id"))
+    } finally prior.unpersist()
+  }
+
   /** q159: duplication × quality contingency — per quality decile (q17's
     * composite, floored to 10 buckets): how many docs, how many sit in a
     * near-dup cluster, and the dup rate. The "do low-quality docs
@@ -424,6 +452,7 @@ object CorpusQueries {
     "q58_passage_dup" -> (q58PassageDup _),
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
+    "q160_incremental_clusters" -> (q160IncrementalClusters _),
     "q150_best_of_cluster" -> (q150BestOfCluster _),
     "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
@@ -438,6 +467,20 @@ object CorpusQueries {
     "q46_pii_redact" -> (q46PiiRedact _))
 
   // ---- oracle SQL ----
+
+  // shared by q41 (direct) and q160 (incremental path, same contract)
+  private val q41ClustersSql: String =
+    raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+       p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+       edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                 UNION ALL SELECT b_id, a_id FROM p2),
+       reach(id, lab) AS (
+         SELECT DISTINCT s AS id, s AS lab FROM edges
+         UNION
+         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+         WHERE r.lab < e.d)
+       SELECT min(lab) AS cluster, id AS doc_id, min(lab) = id AS is_canonical
+       FROM reach GROUP BY id ORDER BY 1, 2"""
 
   private val tksSql =
     raw"CASE WHEN len(trim(text))=0 THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END"
@@ -599,18 +642,10 @@ object CorpusQueries {
            WHERE tf.doc_id <> 0 GROUP BY 1)
          SELECT doc_id, mlt_score FROM s
          ORDER BY mlt_score DESC, doc_id LIMIT 10""",
-    "q41_dedup_clusters" ->
-      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
-         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
-         edges AS (SELECT a_id AS s, b_id AS d FROM p2
-                   UNION ALL SELECT b_id, a_id FROM p2),
-         reach(id, lab) AS (
-           SELECT DISTINCT s AS id, s AS lab FROM edges
-           UNION
-           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
-           WHERE r.lab < e.d)
-         SELECT min(lab) AS cluster, id AS doc_id, min(lab) = id AS is_canonical
-         FROM reach GROUP BY id ORDER BY 1, 2""",
+    "q41_dedup_clusters" -> q41ClustersSql,
+    // q160: the incremental path is pinned to the FULL-corpus clustering
+    // oracle — per-batch star-edge CC must lose nothing vs recomputing.
+    "q160_incremental_clusters" -> q41ClustersSql,
     // q138: q41's recursive components + per-cluster sizes, left-joined
     // onto the full corpus — singletons weight 10000 (1.0)
     "q138_dedup_weights" ->

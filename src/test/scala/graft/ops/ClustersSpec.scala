@@ -17,6 +17,25 @@ class ClustersSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental clusters: attach, merge, and fresh components all equal " +
+    "the full recompute; labels stay min-id") {
+    val priorPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val prior = Clusters.dedupClusters(priorPairs)
+    // (3,4) attaches a new doc; (2,10) merges two stored components;
+    // (20,21) is an entirely new component
+    val newPairs = Seq((3L, 4L), (2L, 10L), (20L, 21L)).toDF("a_id", "b_id")
+    val inc = Clusters.dedupClustersIncremental(prior, newPairs)
+      .select($"cluster", $"doc_id", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = Clusters.dedupClusters(priorPairs.unionByName(newPairs))
+      .select($"cluster", $"doc_id", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(inc === full)
+    assert(inc.filter(_._1 == 1L).map(_._2) === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(inc.filter(_._1 == 20L).map(_._2) === Set(20L, 21L))
+    assert(inc.count(_._3) === 2) // one canonical per component
+  }
+
   test("a long chain needs multiple propagation rounds and still converges") {
     // path 0-1-2-...-12: diameter 12, min label must walk the whole chain
     val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
