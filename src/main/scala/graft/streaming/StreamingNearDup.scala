@@ -36,16 +36,25 @@ object StreamingNearDup {
 
   private def sigTable(name: String) = s"${name}_signatures"
   private def pairsTable(name: String) = s"${name}_pairs"
+  private def labelsTable(name: String) = s"${name}_labels"
+
+  private def emptyPairs(batch: DataFrame): DataFrame =
+    batch.sparkSession.range(0)
+      .select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("jaccard_e4"))
 
   /** Absorb one arriving batch. First batch: self-dedup + seed the store.
     * Later batches: incremental verify vs stored signatures. Empty
-    * batches are no-ops (AvailableNow reruns deliver them). */
+    * batches are no-ops (AvailableNow reruns deliver them). Returns THIS
+    * batch's new verified pairs (already materialized — checkpointed by
+    * the pair stage and written to the store) so callers can fold
+    * downstream stores without re-reading the pairs table. */
   def ingestBatch(wh: Warehouse, schema: String, name: String, batch: DataFrame,
                   idCol: String, textCol: String,
                   k: Int = 16, b: Int = 4, shingleN: Int = 5,
                   minJaccard: Double = 0.5,
-                  candidatePairBudget: Long = Dedup.DefaultCandidatePairBudget): Unit = {
-    if (batch.isEmpty) return
+                  candidatePairBudget: Long = Dedup.DefaultCandidatePairBudget): DataFrame = {
+    if (batch.isEmpty) return emptyPairs(batch)
     if (!wh.exists(schema, sigTable(name))) {
       import org.apache.spark.storage.StorageLevel
       val sig = Dedup.signDocuments(batch, idCol, textCol, k, shingleN)
@@ -55,6 +64,7 @@ object StreamingNearDup {
           minJaccard, candidatePairBudget = candidatePairBudget)
         wh.overwrite(schema, pairsTable(name), pairs)
         wh.overwrite(schema, sigTable(name), sig)
+        pairs
       } finally sig.unpersist()
     } else {
       import org.apache.spark.storage.StorageLevel
@@ -71,12 +81,44 @@ object StreamingNearDup {
         // versioned overwrite: the combined frame reads the prior version's
         // files while the new version dir is written, then the pointer flips
         wh.overwrite(schema, sigTable(name), combined)
+        pairs
       } finally newSig.unpersist()
     }
+  }
+
+  /** [[ingestBatch]] plus cluster-label maintenance: the batch's new
+    * pairs fold into the stored labels via
+    * [[graft.operators.Clusters.dedupClustersIncremental]] (stored
+    * components enter as star edges — history pair sets are never
+    * re-read), so after ANY batch split the labels table is
+    * row-identical to clustering the full accumulated pair set
+    * (q41's contract; StreamingNearDupSpec anchors it). The complete
+    * streaming dedup serving path: signatures, pairs, AND canonical
+    * labels all maintained at O(batch + affected components) per
+    * micro-batch. */
+  def ingestBatchWithLabels(wh: Warehouse, schema: String, name: String,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16, b: Int = 4, shingleN: Int = 5,
+                            minJaccard: Double = 0.5,
+                            candidatePairBudget: Long = Dedup.DefaultCandidatePairBudget): Unit = {
+    val newPairs = ingestBatch(wh, schema, name, batch, idCol, textCol,
+      k, b, shingleN, minJaccard, candidatePairBudget)
+    if (newPairs.isEmpty) return
+    val labels =
+      if (wh.exists(schema, labelsTable(name)))
+        graft.operators.Clusters.dedupClustersIncremental(
+          wh.read(schema, labelsTable(name)), newPairs)
+      else graft.operators.Clusters.dedupClusters(newPairs)
+    wh.overwrite(schema, labelsTable(name), labels)
   }
 
   /** The accumulated verified pairs (a_id < b_id). */
   def pairs(wh: Warehouse, schema: String, name: String): DataFrame =
     wh.read(schema, pairsTable(name))
       .select(col("a_id"), col("b_id"), col("jaccard_e4"))
+
+  /** The maintained cluster labels (cluster, doc_id, is_canonical). */
+  def labels(wh: Warehouse, schema: String, name: String): DataFrame =
+    wh.read(schema, labelsTable(name))
+      .select(col("cluster"), col("doc_id"), col("is_canonical"))
 }

@@ -46,6 +46,7 @@ class StreamingNearDupSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, _: Long) =>
           StreamingNearDup.ingestBatch(wh, "dd", "docs", b, "doc_id", "text")
+          ()
         }
         .start()
       q.awaitTermination()
@@ -67,5 +68,36 @@ class StreamingNearDupSpec extends SparkSpec {
     // the signature store signs every doc exactly once
     assert(wh.read("dd", "docs_signatures").select("doc_id").distinct().count()
       === docs.count())
+  }
+
+  test("stream-maintained labels equal the one-shot q41 clustering") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val srcDir = Files.createTempDirectory("graft_sndl_src_").toString
+    val ckpt = Files.createTempDirectory("graft_sndl_ck_").toString
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_sndl_wh_").toString)
+    // three batches so the label fold runs twice (seed + two increments)
+    docs.filter(col("doc_id") % 3 === 0)
+      .coalesce(1).write.parquet(s"$srcDir/batch1.parquet")
+    docs.filter(col("doc_id") % 3 === 1)
+      .coalesce(1).write.parquet(s"$srcDir/batch2.parquet")
+    docs.filter(col("doc_id") % 3 === 2)
+      .coalesce(1).write.parquet(s"$srcDir/batch3.parquet")
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        StreamingNearDup.ingestBatchWithLabels(wh, "dd", "docs", b, "doc_id", "text")
+      }
+      .start()
+    q.awaitTermination()
+    def labelSet(df: DataFrame) = df.select("cluster", "doc_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = labelSet(graft.operators.Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5,
+        candidatePairBudget = 0L)))
+    assert(labelSet(StreamingNearDup.labels(wh, "dd", "docs")) === full,
+      "streamed label store must equal the one-shot full-corpus clustering")
   }
 }
