@@ -477,6 +477,49 @@ object Dedup {
     * is set iff the sum over tokens of (±1 by token-hash bit j) is positive.
     * Entirely row-local (codegen'd SimHash60 over the token-hash array) —
     * no explode, no shuffle; docs with zero tokens get signature 0. */
+  /** Directional containment pairs: winnowing-fingerprint candidates
+    * scored by |A∩B| / |A| and |A∩B| / |B| — the asymmetric "is A mostly
+    * INSIDE B" signal symmetric Jaccard structurally misses: a 100-word
+    * quote embedded in a 10k-word page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0 on the quote side. The quote / syndicated-excerpt
+    * / partial-plagiarism detector, and the right cut for "drop the doc
+    * that is a subset of another" curation. Winnowing (not MinHash) is
+    * the correct candidate stage here — shared selected-min fingerprints
+    * survive asymmetric sizes, while MinHash banding is Jaccard-biased
+    * and misses subset pairs by construction.
+    *
+    * Scale shape: q38's exact plan — row-local fingerprints, stop-fp
+    * filter caps per-fingerprint fan-out at maxDocFreq², pair aggregate
+    * on uniform 60-bit keys; the per-doc fingerprint counts ride the
+    * SAME scoped frame (persisted, scanned twice, released), and the
+    * containment division is two integer DIVs on the pair frame. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, w: Int = 4, minShared: Long = 10L,
+                       maxDocFreq: Long = 30L, minContainE4: Long = 5000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fps = df.select(col(idCol), col(textCol))
+      .repartition(fanoutPartitions(df))
+      .select(col(idCol), explode(winnowingFingerprints(col(textCol), n, w)).as("fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    val scoped = fps.join(keep, Seq("fp")).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = scoped.groupBy(col(idCol)).agg(count(lit(1)).as("nf"))
+    val out = scoped.select(col("fp"), col(idCol).as("a_id"))
+      .join(scoped.select(col("fp"), col(idCol).as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col(idCol).as("a_id"), col("nf").as("nf_a")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("nf").as("nf_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared"),
+        expr("shared * 10000L div nf_a").as("cont_a_e4"),
+        expr("shared * 10000L div nf_b").as("cont_b_e4"))
+      .filter(greatest(col("cont_a_e4"), col("cont_b_e4")) >= minContainE4)
+      .localCheckpoint(true)
+    scoped.unpersist()
+    out
+  }
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), col(textCol))
       .repartition(fanoutPartitions(df)) // spread row-local work

@@ -84,6 +84,16 @@ object DedupQueries {
       "text", k = K, b = B, shingleN = N, minSimE4 = 8000L)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q161: directional containment pairs — q38's winnowing candidates
+    * scored by |A∩B|/|A| and |A∩B|/|B| instead of the symmetric shared
+    * count: a quote embedded in a long page has tiny Jaccard but
+    * containment ≈ 1 on the quote side. The subset/quote/partial-
+    * plagiarism detector; cut at max-side containment ≥ 0.6. */
+  def q161ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      minContainE4 = 6000L)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -203,6 +213,7 @@ object DedupQueries {
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
+    "q161_containment_pairs" -> (q161ContainmentPairs _),
     "q119_repeated_spans" -> (q119RepeatedSpans _),
     "q146_boilerplate_census" -> (q146BoilerplateCensus _))
 
@@ -385,6 +396,31 @@ object DedupQueries {
          SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 AND (a_id % 2 = 1 OR b_id % 2 = 1)
          ORDER BY 1, 2""",
+    // q161: q38's fingerprint CTEs + per-doc scoped counts + two integer
+    // DIVs; max-side containment >= 6000.
+    "q161_containment_pairs" ->
+      raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
+           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+           ELSE [text] END AS grams FROM documents),
+         hsx AS (SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+           FROM g),
+         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+             ELSE [list_min(hs)] END)) AS fp FROM hsx),
+         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
+         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM scoped GROUP BY 1),
+         sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+           FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 10),
+         j AS (SELECT sh.a_id, sh.b_id, sh.shared,
+             CAST(sh.shared * 10000 // sa.nf AS BIGINT) AS cont_a_e4,
+             CAST(sh.shared * 10000 // sb.nf AS BIGINT) AS cont_b_e4
+           FROM sh JOIN sz sa ON sa.doc_id = sh.a_id
+           JOIN sz sb ON sb.doc_id = sh.b_id)
+         SELECT a_id, b_id, shared, cont_a_e4, cont_b_e4 FROM j
+         WHERE greatest(cont_a_e4, cont_b_e4) >= 6000 ORDER BY a_id, b_id""",
     "q38_winnowing_pairs" ->
       raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
            THEN [substr(text, i, 5) for i in range(1, len(text)-3)]

@@ -143,6 +143,39 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated absent
   }
 
+  test("containmentPairs: embedded quote scores near-full on the quote side, " +
+    "shared counts agree with winnowingPairs, unrelated absent") {
+    import spark.implicits._
+    val quote = "the distributed query engine partitions every scan across " +
+      "worker nodes and merges sorted runs into one deterministic output " +
+      "stream for the caller to consume in order"
+    val base = Seq(
+      (1L, quote),
+      (2L, "INTRO SECTION about completely other matters first here. " + quote +
+        " TRAILING commentary that keeps going with unrelated filler text " +
+        "about gardens and weather patterns and cooking recipes at length"),
+      (3L, "nothing in common with the others: birds migrate south when " +
+        "winter approaches and return in early spring to nest again")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(base, "doc_id", "text", minContainE4 = 5000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (_, _, sh, ca, cb) =>
+      assert(sh > 0 && ca > 0 && ca <= 10000 && cb > 0 && cb <= 10000)
+    }
+    val p12 = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.nonEmpty, "embedded quote must pair with its host")
+    // quote side near-full containment (boundary windows only may differ);
+    // host side strictly lower — it has many fingerprints the quote lacks
+    assert(p12.get._4 >= 8000L, s"quote-side containment ${p12.get._4}")
+    assert(p12.get._5 < p12.get._4)
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // shared counts agree with the symmetric winnowing surface
+    val wp = Dedup.winnowingPairs(base, "doc_id", "text")
+      .select($"a_id", $"b_id", $"shared").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (a, b, sh, _, _) => assert(wp((a, b)) === sh) }
+  }
+
   test("LSH candidate budget refuses an over-budget corpus, naming maxBucketSize") {
     // 30 identical docs → one 30-member bucket per band → 4·30·29/2 = 1740
     // band pairs; a 100-pair budget must refuse BEFORE the pair join runs
