@@ -238,6 +238,35 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q162: decontamination aggressiveness curve — flagged-doc and
+    * matched-gram counts at n-gram size ∈ {3, 4, 6} against the q42 eval
+    * split: the "choose n" tuning input for the decontam family (q42
+    * runs n=4; smaller n flags more aggressively, larger n only verbatim
+    * stretches) — where the flagged count stops falling, a longer n only
+    * misses real contamination. Completes the tuning-curve suite into
+    * the decontamination domain.
+    *
+    * Scale shape: the (id, text) projection is persisted so the corpus
+    * parquet is scanned once; each curve point is the PROVEN q42
+    * pipeline at its n (row-local fused tokenize+gram+hash, broadcast
+    * eval-gram set, one map-side-combinable aggregate) collapsed to a
+    * single row — three independent broadcast-join passes over the
+    * cached projection, no pair stage, nothing driver-side. */
+  def q162DecontamCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val out = Seq(3, 4, 6).map { n =>
+      Decontaminate.contaminated(corpus, evalDocs, "doc_id", "text", n)
+        .agg(count(lit(1)).as("n_flagged"),
+          coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
+        .select(lit(n.toLong).as("n_gram"), col("n_flagged"), col("n_matched"))
+    }.reduce(_.unionByName(_)).orderBy(col("n_gram")).localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
   /** q43: Gopher-style repetition/shape stats + the composite keep flag. */
   def q43GopherStats(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
@@ -461,6 +490,7 @@ object CorpusQueries {
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
+    "q162_decontam_curve" -> (q162DecontamCurve _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
@@ -759,6 +789,31 @@ object CorpusQueries {
            CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
                 ELSE 'test' END AS split
          FROM hb ORDER BY doc_id""",
+    // q162: q42's gram/hash chain replicated per n over ONE tokenize CTE,
+    // each point collapsed to (n_gram, n_flagged, n_matched).
+    "q162_decontam_curve" -> {
+      def point(n: Int): String = {
+        val grams = raw"""CASE WHEN len(tks) >= $n
+           THEN list_distinct([array_to_string(tks[i+1:i+$n],' ') for i in range(0, len(tks)-${n - 1})])
+           ELSE [] END"""
+        raw"""SELECT CAST($n AS BIGINT) AS n_gram,
+           CAST(count(*) AS BIGINT) AS n_flagged,
+           CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_matched FROM (
+           SELECT cg.doc_id, count(*) AS cnt FROM
+             (SELECT doc_id, unnest(ghs) AS gh FROM
+               (SELECT doc_id, list_transform($grams,
+                  x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t)
+              WHERE doc_id % 97 <> 0) cg
+           JOIN (SELECT DISTINCT unnest(ghs) AS gh FROM
+               (SELECT doc_id, list_transform($grams,
+                  x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t)
+              WHERE doc_id % 97 = 0) eg USING (gh)
+           GROUP BY 1)"""
+      }
+      raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents)
+         ${point(3)} UNION ALL ${point(4)} UNION ALL ${point(6)}
+         ORDER BY n_gram"""
+    },
     "q42_decontaminate" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,

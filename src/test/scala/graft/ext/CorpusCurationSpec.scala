@@ -351,6 +351,28 @@ class CorpusCurationSpec extends SparkSpec {
     assert(got.map(_._3).sum === members.size.toLong)
   }
 
+  test("decontam curve (q162): monotone in n, the n=4 point equals q42's " +
+    "flagged set, cells replay the public pipeline") {
+    val got = graft.queries.CorpusQueries.q162DecontamCurve(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(3L, 4L, 6L))
+    // a longer n can only match fewer grams and flag fewer docs
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted.reverse)
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    Seq(3, 4, 6).foreach { n =>
+      val flagged = graft.operators.Decontaminate.contaminated(
+        docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+        "doc_id", "text", n)
+        .as[(Long, Long)].collect()
+      val row = got.find(_._1 === n.toLong).get
+      assert(row._2 === flagged.length.toLong, s"n=$n flagged")
+      assert(row._3 === flagged.map(_._2).sum, s"n=$n matched")
+    }
+    // the fixture has contamination signal at the default n
+    assert(got.find(_._1 === 4L).get._2 > 0)
+  }
+
   test("token surprisal (q151): driver replay of the bin-length unigram LM") {
     val got = graft.queries.TextQueries.q151TokenSurprisal(spark, sf)
       .as[(Long, Long, Long)].collect()
