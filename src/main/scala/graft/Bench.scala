@@ -97,14 +97,36 @@ object Bench {
     // steady-state number a long-lived session sees, insulated from a
     // transient GC pause or co-tenant I/O spike landing on one run
     // (run-to-run noise on this box is ±20%).
-    val queryResults = selected.map { case (name, fn) =>
+    // Calibration: the same fixed cheap query (q8 — sub-second, stable,
+    // shuffle-light) timed at sweep start, middle, and end. A dedicated
+    // box shows spread (max/min) ≈ 1; a co-tenant-contended box shows the
+    // contention directly IN the artifact, so an inflated sweep names
+    // itself instead of reading as an engine regression (round 8's
+    // committed artifact was ~1.9× the canonical numbers and the per-query
+    // "regressions" took an isolated re-measure to adjudicate).
+    // each point is min-of-3: a single sub-second run carries ±2× scheduler
+    // noise on this box, the min of three is stable — the point measures
+    // sustained co-tenant contention, not one stray pause
+    val calName = "q8_top10_orders"
+    def calibrate(): Double = SparkEntry.queries.get(calName)
+      .map { fn =>
+        val ts = (1 to 3).map(_ => timeOnce(calName, fn)).filter(_ >= 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }.getOrElse(-1.0)
+    val calStart = calibrate()
+    val half = selected.size / 2
+    val queryResults0 = selected.zipWithIndex.flatMap { case ((name, fn), i) =>
       val first = timeOnce(name, fn)
       val best = if (first > 1.0) {
         val second = timeOnce(name, fn)
         if (second >= 0) math.min(first, second) else first
       } else first
-      name -> best
+      val cal = if (i == half) Seq("__cal_mid" -> calibrate()) else Seq.empty
+      Seq(name -> best) ++ cal
     }
+    val calMid = queryResults0.collectFirst { case ("__cal_mid", v) => v }.getOrElse(-1.0)
+    val queryResults = queryResults0.filterNot(_._1 == "__cal_mid")
+    val calEnd = calibrate()
     // production-depth BPE training (not a Verify query — no SQL oracle
     // exists for an iterative learner): 1000 merges over the documents
     // table via the one-job in-memory learner; minCount=1 so the fixture
@@ -129,27 +151,46 @@ object Bench {
     // full-double-repr line at ~88 queries
     def r3(v: Double): String =
       if (v < 0) "-1.0" else (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     // failures record -1 per query; exclude the sentinel so a failed run
     // can't SUBTRACT from the total and make the round look faster
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also write the artifact to a file: the stdout tail gets truncated by
-    // capture buffers once per-query numbers reach ~88 entries, and a
-    // "parsed": null bench round is a lost signal
+    val cals = Seq(calStart, calMid, calEnd).filter(_ >= 0)
+    val calSpread =
+      if (cals.size >= 2 && cals.min > 0) cals.max / cals.min else -1.0
+    val calJson = s""""calibration":{"query":"$calName","start":${r3(calStart)},""" +
+      s""""mid":${r3(calMid)},"end":${r3(calEnd)},"spread":${r3(calSpread)}}"""
+    def mapJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // The canonical full artifact goes to target/bench.json — the stdout
+    // tail capture has truncated the full per-query map two rounds running
+    // (~73 and ~88 entries), so stdout carries a SHORT always-parseable
+    // JSON instead: totals + calibration + the 20 slowest queries (the
+    // rows perf review actually reads), with queries_full naming the file.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calJson,""" +
+        s""""queries":${mapJson(results)},"sf":"$sfDir"}"""
+    val compactJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calJson,""" +
+        s""""n_queries":${results.size},"queries_full":"target/bench.json",""" +
+        s""""queries":${mapJson(slowest)},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // BENCHQ lines: the full per-query map in 20-entry chunks, each a
+    // complete standalone JSON object ≤ ~500 chars — whatever suffix of
+    // stdout a tail capture keeps, every line it keeps is parseable
+    // (tools/bench_compare.py regex-scrapes them from a tail fragment).
+    results.grouped(20).foreach { chunk => println("BENCHQ " + mapJson(chunk)) }
+    println(compactJson)
     spark.stop()
-    // LAST stdout line, after spark.stop() so no straggler log can follow
-    // it: a tail-capture that truncates the per-query JSON map (observed
-    // at ~88 entries) still keeps the headline total. target/bench.json
-    // above stays the canonical full artifact.
+    // LAST stdout lines, after spark.stop() so no straggler log follows:
+    // the calibration verdict (spread > ~1.5 = the box was contended and
+    // the artifact says so itself) and the headline total.
+    println(s"BENCHCAL query=$calName start=${r3(calStart)} mid=${r3(calMid)} " +
+      s"end=${r3(calEnd)} spread=${r3(calSpread)}")
     println(s"TOTAL ${r3(total)} ${results.size} entries")
   }
 }
