@@ -1074,6 +1074,30 @@ object Similarity {
     * `pairBudget <= 0`. The rank filter is rk ≤ k then rk = min(k,
     * n_list−1), so per-vector window state is list-bounded and the
     * sizes frame (list-cardinality) broadcasts. */
+  /** [[knnDensity]] with the centroid count derived from the corpus —
+    * nLists = ⌈n / targetListSize⌉, [[kmeansCentroids]] learns them — the
+    * same scale rule as [[semDedupAuto]]: per-list pair work stays
+    * ~targetListSize²/2 no matter how large the corpus grows, so the
+    * operator's Σ|list|² stage scales LINEARLY with the corpus (n ·
+    * targetListSize pairs total) instead of quadratically under a fixed
+    * hand-picked centroid count. The count is one column-pruned scan; the
+    * derived nLists is a driver-side integer. The 100 TB-safe way to call
+    * the density scorer — a caller who fixes 10 lists forever pays
+    * (n/10)² per list as the corpus grows; this keeps each list at
+    * targetListSize regardless. */
+  def knnDensityAuto(df: DataFrame, targetListSize: Long, iters: Int, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     pairBudget: Long = 50_000_000L): DataFrame = {
+    require(targetListSize > 0, "knnDensityAuto: targetListSize must be positive")
+    val n = df.count()
+    val listsLong = math.max(1L, (n + targetListSize - 1) / targetListSize)
+    require(listsLong <= Int.MaxValue,
+      s"knnDensityAuto: derived nLists=$listsLong exceeds Int.MaxValue " +
+        s"($n rows / targetListSize=$targetListSize) — raise targetListSize")
+    knnDensity(df, kmeansCentroids(df, listsLong.toInt, iters, idCol, embCol),
+      k, idCol, embCol, pairBudget)
+  }
+
   def knnDensity(df: DataFrame, centroids: DataFrame, k: Int,
                  idCol: String = "vec_id", embCol: String = "embedding",
                  pairBudget: Long = 50_000_000L): DataFrame = {

@@ -67,6 +67,20 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q163: q155's density scorer through the 100 TB-safe entry point —
+    * `knnDensityAuto` derives nLists = ⌈n / targetListSize⌉ from the
+    * measured corpus and LEARNS the centroids (q39's deterministic
+    * k-means, 2 iterations) instead of trusting a hand-picked list count,
+    * so per-list pair work stays ~targetListSize²/2 as data grows — the
+    * q122 pattern applied to the density operator. targetListSize = 63
+    * makes the derived nLists equal 8 on the sf0.01 corpus (500 rows);
+    * at other scales the oracle derives the same count from its own
+    * count(*), so the check holds wherever the harness runs it. */
+  def q163KnnDensityAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnDensityAuto(Tables(spark, dir, "embeddings"),
+      targetListSize = 63L, iters = 2, k = TopK)
+      .orderBy(col("vec_id"))
+
   /** q148: IVF recall-vs-probes curve — mean recall@5 of the q37 IVF
     * search against the q22 exact ranking at probes ∈ {1, 2, 4}: the
     * "choose probes" tuning input (q147's compression curve for the ANN
@@ -470,6 +484,7 @@ object SimQueries {
     "q54_embedding_clusters" -> (q54EmbeddingClusters _),
     "q37_ivf_topk" -> (q37IvfTopK _),
     "q155_knn_density" -> (q155KnnDensity _),
+    "q163_knn_density_auto" -> (q163KnnDensityAuto _),
     "q148_ivf_recall_curve" -> (q148IvfRecallCurve _),
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
@@ -949,6 +964,30 @@ object SimQueries {
     // q155: q148's label-mean centroid + assignment CTEs; within-list
     // pairs ranked per anchor (cos desc, id), rank min(k, n_list-1)
     // selected, singletons kept via LEFT JOIN (null density surfaced).
+    // q163: the q122 k-means chain (derived seed count, 2 iterations) +
+    // q155's within-list kth-neighbor logic over the FINAL assignment
+    "q163_knn_density_auto" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
+                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id
+                         LIMIT (SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings))),
+         a1 AS (${assignSql("seeds")}),
+         c1 AS (${stepSql("a1", "seeds")}),
+         a2 AS (${assignSql("c1")}),
+         c2 AS (${stepSql("a2", "c1")}),
+         ca AS (${assignSql("c2")}),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_list FROM ca GROUP BY 1),
+         p AS (SELECT a.vec_id AS a_id, a.label AS label, b.vec_id AS b_id,
+             ${cosSql("a.qe", "b.qe")} AS cos_e4
+           FROM ca a JOIN ca b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         r AS (SELECT a_id, label, cos_e4,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos_e4 DESC, b_id) AS rk
+           FROM p),
+         kth AS (SELECT r.a_id, r.cos_e4 FROM r JOIN sz USING (label)
+           WHERE rk = least($TopK, n_list - 1))
+         SELECT ca.vec_id, ca.label, sz.n_list, kth.cos_e4 AS kth_cos_e4
+         FROM ca JOIN sz USING (label) LEFT JOIN kth ON kth.a_id = ca.vec_id
+         ORDER BY ca.vec_id""",
     "q155_knn_density" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

@@ -418,6 +418,38 @@ class DedupSimSpec extends SparkSpec {
       e.getMessage.contains("centroids"))
   }
 
+  test("knnDensityAuto: auto ≡ manual at the derived nLists, and auto-k keeps " +
+    "per-list pair work bounded where a fixed list count goes quadratic") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 4-dim vectors spread by a hash mix
+    def corpus(n: Int) = (0 until n).map { i =>
+      def h(s: Int) = (((i * 2654435761L + s * 40503L) % 997L) - 498L) / 498.0f
+      (i.toLong, Array(h(1), h(2), h(3), h(4)))
+    }.toDF("vec_id", "embedding")
+    val small = corpus(120)
+    // auto ≡ manual: n=120, targetListSize=30 → derived nLists = 4
+    val auto = Similarity.knnDensityAuto(small, targetListSize = 30L, iters = 2, k = 3)
+      .orderBy("vec_id").collect().toSeq
+    val manual = Similarity.knnDensity(small,
+      Similarity.kmeansCentroids(small, k = 4, iters = 2), k = 3)
+      .orderBy("vec_id").collect().toSeq
+    assert(auto === manual, "auto must equal manual at the derived list count")
+    // scale: 10× corpus. A caller frozen at 4 lists pays ~(n/4)² per list —
+    // over a 100k pair budget at n=1200 — while auto-k derives 40 lists and
+    // stays an order of magnitude under it (per-list work ~targetListSize²/2).
+    val big = corpus(1200)
+    val fixedK = intercept[IllegalArgumentException] {
+      Similarity.knnDensity(big,
+        Similarity.kmeansCentroids(big, k = 4, iters = 2), k = 3,
+        pairBudget = 100_000L)
+    }
+    assert(fixedK.getMessage.contains("pairBudget"))
+    val scaled = Similarity.knnDensityAuto(big, targetListSize = 30L, iters = 2,
+      k = 3, pairBudget = 100_000L)
+    assert(scaled.count() === 1200L,
+      "auto-k must serve the 10× corpus under the same pair budget")
+  }
+
   test("semDedup: one keep per group, and it is the farthest-from-centroid member") {
     val emb = Tables(spark, sf, "embeddings")
     val out = Similarity.semDedup(emb, k = 8, iters = 2, tauE4 = 3500L)
