@@ -562,7 +562,14 @@ object Dedup {
     * md5 and the results agree exactly. */
   private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame =
-    df.select(col(idCol),
+    df.select(col(idCol), col(textCol))
+      // spread the ~|text|× explode fan-out BEFORE it happens (the
+      // shingleRows discipline): a compact doc table arrives in a handful
+      // of parquet splits, which would serialize the rolling-hash explode
+      // on that many cores. Keyed by id so the per-doc consumers
+      // (positions collect, per-doc counts) are pre-clustered too.
+      .repartition(fanoutPartitions(df), col(idCol))
+      .select(col(idCol),
         posexplode(org.apache.spark.sql.graft.RollingHashExprs
           .rollingGramHashes(col(textCol), n)).as(Seq("p0", "gh")))
       .select(col(idCol), (col("p0") + 1).cast("int").as("pos"), col("gh"))
@@ -700,20 +707,27 @@ object Dedup {
     * duplicate mass the capped LSH path (q126) intentionally drops.
     *
     * Scale: the gram frame (one rolling hash per char) is the scan cost
-    * and is consumed ONCE by two cascaded map-side-combinable groupBys —
-    * (gh, doc) then gh — with the exemplar riding min/min_by instead of a
-    * distinct-expand or a join-back (doc ids are unique within a gh
-    * group, so min_by is deterministic). Ranking is TakeOrdered
-    * (per-partition heaps, driver merges topN rows) on portable integer
-    * keys (n_docs, n_occ, exemplar coords) — the hash itself never orders
-    * anything, so the DuckDB oracle's md5 grouping agrees exactly. Span
-    * text is fetched AFTER the cut: topN rows broadcast against the
-    * corpus, never the group set. */
+    * and crosses ONE exchange: grams repartition by `gh` once, and both
+    * cascaded groupBys — (gh, doc) then gh — run exchange-free on top
+    * (HashPartitioning(gh) satisfies both clusterings). Map-side combine
+    * bought almost nothing here — most grams appear once, so the (gh,
+    * doc) partial agg shipped ~the raw frame and the second groupBy then
+    * re-shuffled ~|distinct gh| ≈ corpus-sized rows again; pre-clustering
+    * by gh halves the bytes through the wire (measured 2.1× → ~1.3× vs
+    * the DuckDB single-hash-group oracle at sf1.0). The exemplar rides
+    * min/min_by instead of a distinct-expand or a join-back (doc ids are
+    * unique within a gh group, so min_by is deterministic). Ranking is
+    * TakeOrdered (per-partition heaps, driver merges topN rows) on
+    * portable integer keys (n_docs, n_occ, exemplar coords) — the hash
+    * itself never orders anything, so the DuckDB oracle's md5 grouping
+    * agrees exactly. Span text is fetched AFTER the cut: topN rows
+    * broadcast against the corpus, never the group set. */
   def boilerplateCensus(df: DataFrame, idCol: String, textCol: String,
                         n: Int, topN: Int = 100, minDocs: Int = 2): DataFrame = {
     require(n >= 2, "gram length must be >= 2")
     require(minDocs >= 2, "a span repeated in one doc is just the doc")
     val per = positionalGrams(df, idCol, textCol, n)
+      .repartition(col("gh"))
       .groupBy(col("gh"), col(idCol))
       .agg(count(lit(1)).as("occ"), min(col("pos")).as("mpos"))
     val top = per.groupBy(col("gh"))
