@@ -94,6 +94,92 @@ object AnnIndex {
       excludeSelf)
   }
 
+  /** Measured recall@k of the STORED index against the exact cosine
+    * ranking over `corpus` (the index's source-of-truth table): a
+    * deterministic id-hash sample of ~`nQueries` corpus vectors queries
+    * both sides, recall = |stored top-k ∩ exact top-k| / (|Q|·k). The
+    * number that decides whether the frozen centroids still fit the data
+    * — [[Similarity.centroidDrift]] and [[stats]] explain WHY recall
+    * moved; this is the signal itself, measured on the live store.
+    *
+    * Cost shape: the exact side is one corpus scan against the broadcast
+    * query sample (|Q|·n scores — |Q| is the budget knob); the stored
+    * side is the partition-pruned [[topK]]. Returns (recall_e4,
+    * n_queries). */
+  def storedRecall(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+                   k: Int, probes: Int = 2, nQueries: Int = 100,
+                   idCol: String = "vec_id", embCol: String = "embedding"): (Long, Long) = {
+    require(k >= 1, "k must be >= 1")
+    require(nQueries >= 1, "nQueries must be >= 1")
+    val n = corpus.count()
+    val stride = math.max(1L, n / nQueries)
+    val queries = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol), col(embCol))
+    val nq = queries.count()
+    if (nq == 0) return (10000L, 0L) // empty store: nothing can be missed
+    val exact = Similarity.bruteForceTopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = topK(wh, schema, name, queries, k, probes, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
+    (hits * 10000L / (nq * k), nq)
+  }
+
+  /** One row of ANN-maintenance evidence: what the gate measured and what
+    * it did. Persisted by [[graft.pipeline.Housekeeping.runAnnMaintenance]]
+    * so rebuild decisions are auditable after the fact. */
+  final case class RecallGateReport(
+      schema: String, name: String, nQueries: Long,
+      recallBeforeE4: Long, minRecallE4: Long, rebuilt: Boolean,
+      recallAfterE4: Long, nListsAfter: Long,
+      centroidsVersionBefore: Long, centroidsVersionAfter: Long)
+
+  /** The closed ANN lifecycle loop: measure the stored index's recall@k
+    * against the exact ranking, and if it has drifted below
+    * `minRecallE4`, RE-LEARN the coarse quantizer from the current corpus
+    * (deterministic k-means, nLists = ⌈n / targetListSize⌉ — the
+    * [[Similarity.knnDensityAuto]] scale rule, so list sizes stay bounded
+    * as the corpus grows) and swap the rebuilt index in atomically via
+    * the Warehouse version pointer ([[build]]'s overwrite bumps
+    * `_current`; readers of the old version are undisturbed, `readAt`
+    * still serves it). A healthy index is measured and left alone — the
+    * no-drift run costs one recall probe, no writes.
+    *
+    * This is the piece the monitors feed: appends under the
+    * append-equals-rebuild invariant never corrupt the index, they only
+    * let the data walk away from the frozen centroids; recall is the
+    * one signal that says WHEN re-freezing pays. */
+  def recallGate(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
+                 k: Int, probes: Int = 2, minRecallE4: Long = 9000L,
+                 targetListSize: Long = 10000L, kmeansIters: Int = 5,
+                 nQueries: Int = 100, idCol: String = "vec_id",
+                 embCol: String = "embedding"): RecallGateReport = {
+    require(minRecallE4 >= 0 && minRecallE4 <= 10000, "minRecallE4 in [0, 10000]")
+    require(targetListSize > 0, "targetListSize must be positive")
+    val vBefore = wh.currentVersion(schema, centroidsTable(name))
+    val (before, nq) = storedRecall(wh, schema, name, corpus, k, probes, nQueries,
+      idCol, embCol)
+    if (before >= minRecallE4)
+      return RecallGateReport(schema, name, nq, before, minRecallE4,
+        rebuilt = false, recallAfterE4 = before,
+        nListsAfter = wh.read(schema, centroidsTable(name)).count(),
+        centroidsVersionBefore = vBefore, centroidsVersionAfter = vBefore)
+    val n = corpus.count()
+    val listsLong = math.max(1L, (n + targetListSize - 1) / targetListSize)
+    require(listsLong <= Int.MaxValue,
+      s"recallGate: derived nLists=$listsLong exceeds Int.MaxValue — raise targetListSize")
+    val cents = Similarity.kmeansCentroids(corpus, listsLong.toInt, kmeansIters,
+      idCol, embCol)
+    build(wh, schema, name, corpus, cents, idCol, embCol)
+    val (after, _) = storedRecall(wh, schema, name, corpus, k, probes, nQueries,
+      idCol, embCol)
+    RecallGateReport(schema, name, nq, before, minRecallE4, rebuilt = true,
+      recallAfterE4 = after, nListsAfter = listsLong,
+      centroidsVersionBefore = vBefore,
+      centroidsVersionAfter = wh.currentVersion(schema, centroidsTable(name)))
+  }
+
   /** Inverted-list occupancy report from the STORED index — the
     * maintenance monitor a serving deployment runs after appends: list
     * sizes, share of the corpus, and skew vs the uniform ideal

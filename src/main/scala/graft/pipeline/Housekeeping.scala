@@ -97,6 +97,48 @@ object Housekeeping {
   case class MartSpec(schema: String, table: String,
                       bucketKeys: Seq[String], nBuckets: Int)
 
+  /** One serving ANN index under maintenance: where it lives, its
+    * source-of-truth corpus table, and the gate's operating point. */
+  case class AnnGateSpec(schema: String, name: String,
+                         corpusSchema: String, corpusTable: String,
+                         k: Int, probes: Int = 2, minRecallE4: Long = 9000L,
+                         targetListSize: Long = 10000L, kmeansIters: Int = 5,
+                         nQueries: Int = 100,
+                         idCol: String = "vec_id", embCol: String = "embedding")
+
+  /** Where [[runAnnMaintenance]] appends its per-index gate reports. */
+  val AnnGateLogSchema = "maintenance"
+  val AnnGateLogTable = "ann_gate_log"
+
+  /** ANN-store lifecycle maintenance — the job that closes the loop the
+    * monitors open (AnnIndex.stats occupancy, Similarity.centroidDrift,
+    * ivfRecallCurve): for each configured index, measure the STORED
+    * index's recall@k against the exact ranking over its corpus table,
+    * and when drifted appends have pushed it below the threshold,
+    * re-learn the coarse quantizer and swap the rebuild in via the
+    * Warehouse version pointer ([[graft.operators.AnnIndex.recallGate]]).
+    * Healthy indexes are probed and left alone. Every decision — measured
+    * recall before/after, whether a rebuild ran, the version swap — is
+    * appended to `maintenance.ann_gate_log`, so "why did serving recall
+    * change overnight" is a table scan, not an archaeology dig. Same
+    * per-item isolation contract as the other housekeeping graphs. */
+  def runAnnMaintenance(spark: SparkSession, wh: Warehouse,
+                        gates: Seq[AnnGateSpec]): Workflow.RunResult = {
+    val idFor = gates.map(g => s"anngate_${g.schema}_${g.name}" -> g)
+    requireUniqueIds(idFor.map(_._1), gates.map(g => s"${g.schema}.${g.name}"))
+    val byId = idFor.toMap
+    Workflow.run(fanOutGraph(idFor.map(_._1)) { id =>
+      val g = byId(id)
+      val report = graft.operators.AnnIndex.recallGate(
+        wh, g.schema, g.name, wh.read(g.corpusSchema, g.corpusTable),
+        g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,
+        g.nQueries, g.idCol, g.embCol)
+      import spark.implicits._
+      wh.append(AnnGateLogSchema, AnnGateLogTable,
+        Seq(report).toDF()); ()
+    })
+  }
+
   /** Post-close mart refresh: republish each configured mart from the
     * versioned warehouse's current version, with the same per-item
     * isolation contract as the other housekeeping graphs. Write once

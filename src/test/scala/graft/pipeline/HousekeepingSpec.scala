@@ -68,6 +68,91 @@ class HousekeepingSpec extends SparkSpec {
     assert(wh.read("s", "a").count() === 3)
   }
 
+  test("ANN maintenance: drifted appends degrade measured recall, the gate " +
+    "rebuilds and swaps via the version pointer, recall recovers; a healthy " +
+    "index is probed and left alone") {
+    import graft.operators.{AnnIndex, Similarity}
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_ann_gate_").toString)
+    // Initial corpus A: 4 tight subclusters on axes e0..e3, 20 members
+    // each (exact duplicates — ranking ties break on id identically on
+    // both sides). Ids 0..3 are one representative per subcluster, so the
+    // k-means seeds (lowest ids) hit every cluster.
+    def aVec(j: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(j) = 1.0f; v
+    }
+    val a = (0 until 4).flatMap { j =>
+      (0 until 20).map { m =>
+        val id = if (m == 0) j.toLong else 1000L + j * 100 + m
+        (id, aVec(j))
+      }
+    }
+    // Drift batch B: 2 NEW subclusters on axes e4/e5 the frozen centroids
+    // know nothing about, 40 members each. Each member carries (a) a tiny
+    // bump on dim (m mod 4) — the ONLY component the stale centroids see,
+    // so one subcluster's members scatter deterministically across all
+    // four stale lists — and (b) a spread on e6 (0.3 + 0.01·m, also
+    // stale-invisible) that defines the TRUE neighbor order, cutting
+    // across the bump classes: a member's exact top-5 are its spread
+    // neighbors m±1, m±2 — almost never its stale-list mates (m±4k).
+    // Probes=1 against the stale lists therefore misses nearly every
+    // true B neighbor while A queries stay perfect. Ids 4..7 reserve the
+    // next seed slots so the REBUILT k-means (8 lists) seeds land inside
+    // the drifted mass.
+    def bVec(j: Int, m: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(4 + j) = 0.99f
+      v(m % 4) = 0.02f
+      v(6) = 0.3f + 0.01f * m
+      v
+    }
+    val b = (0 until 2).flatMap { j =>
+      (0 until 40).map { m =>
+        val id = if (m < 2) (4 + 2 * j + m).toLong else 2000L + j * 100 + m
+        (id, bVec(j, m))
+      }
+    }
+    val aDf = a.toDF("vec_id", "embedding")
+    wh.overwrite("data", "vecs", aDf)
+    AnnIndex.build(wh, "ann", "serving", aDf,
+      Similarity.kmeansCentroids(aDf, k = 4, iters = 5))
+    val gate = Housekeeping.AnnGateSpec("ann", "serving", "data", "vecs",
+      k = 5, probes = 1, minRecallE4 = 9000L, targetListSize = 20L,
+      kmeansIters = 5, nQueries = 1000)
+    // healthy run: recall is high, nothing is rebuilt, no version bump
+    val v0 = wh.currentVersion("ann", "serving_centroids")
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log1 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+    assert(log1.count() === 1)
+    val healthy = log1.head()
+    assert(!healthy.getAs[Boolean]("rebuilt"))
+    assert(healthy.getAs[Long]("recallBeforeE4") >= 9000L)
+    assert(wh.currentVersion("ann", "serving_centroids") === v0)
+    // drift: append B to the corpus AND the store (append-equals-rebuild
+    // keeps the store correct — the data just walked away from the
+    // frozen centroids)
+    val bDf = b.toDF("vec_id", "embedding")
+    wh.append("data", "vecs", bDf)
+    AnnIndex.append(wh, "ann", "serving", bDf)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log2 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .orderBy(col("centroidsVersionAfter").desc).head()
+    assert(log2.getAs[Boolean]("rebuilt"), s"drifted index must rebuild: $log2")
+    assert(log2.getAs[Long]("recallBeforeE4") < 9000L,
+      s"drift must degrade measured recall: $log2")
+    assert(log2.getAs[Long]("recallAfterE4") >= 9000L,
+      s"rebuild must recover recall: $log2")
+    assert(log2.getAs[Long]("centroidsVersionAfter") >
+      log2.getAs[Long]("centroidsVersionBefore"))
+    assert(log2.getAs[Long]("nListsAfter") === 8L) // ceil(160/20)
+    // the swap is the version pointer: the rebuilt lists serve the union
+    assert(wh.read("ann", "serving_lists").count() === 160L)
+    // a third run over the rebuilt index is healthy again — the loop closes
+    val r3 = AnnIndex.recallGate(wh, "ann", "serving",
+      wh.read("data", "vecs"), k = 5, probes = 1, minRecallE4 = 9000L,
+      targetListSize = 20L, nQueries = 1000)
+    assert(!r3.rebuilt && r3.recallBeforeE4 >= 9000L, s"$r3")
+  }
+
   test("completion report renders per-source and total rows") {
     val tasks = Seq(
       ("src_a", "staging", "t1", "success"), ("src_a", "staging", "t2", "failed"),
