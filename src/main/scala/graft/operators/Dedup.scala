@@ -460,9 +460,7 @@ object Dedup {
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 5, w: Int = 4, minShared: Long = 10L,
                      maxDocFreq: Long = 30L): DataFrame = {
-    val fps = df.select(col(idCol), col(textCol))
-      .repartition(fanoutPartitions(df))
-      .select(col(idCol), explode(winnowingFingerprints(col(textCol), n, w)).as("fp"))
+    val fps = winnowingFingerprintRows(df, idCol, textCol, n, w)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val scoped = fps.join(keep, Seq("fp"))
@@ -493,13 +491,38 @@ object Dedup {
     * on uniform 60-bit keys; the per-doc fingerprint counts ride the
     * SAME scoped frame (persisted, scanned twice, released), and the
     * containment division is two integer DIVs on the pair frame. */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 5, w: Int = 4, minShared: Long = 10L,
-                       maxDocFreq: Long = 30L, minContainE4: Long = 5000L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val fps = df.select(col(idCol), col(textCol))
+  /** The per-doc winnowing fingerprint rows (idCol, fp) — the expensive
+    * row-local stage of the q38/q161 family, exposed as a seam so a
+    * STREAMING ingest can extract each document's fingerprints exactly
+    * once and persist them ([[graft.streaming.StreamingWinnow]]): a
+    * doc's fingerprints are a pure function of its text, so the store is
+    * append-only and any accumulated union is identical to a one-shot
+    * extraction. The stop-fingerprint doc-freq filter deliberately does
+    * NOT happen here — df is a CORPUS-level property that changes as docs
+    * arrive, so it must apply at query time over the accumulated store
+    * (a fingerprint common in batch 3 retroactively mutes batch-1 rows). */
+  def winnowingFingerprintRows(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 5, w: Int = 4): DataFrame =
+    df.select(col(idCol), col(textCol))
       .repartition(fanoutPartitions(df))
       .select(col(idCol), explode(winnowingFingerprints(col(textCol), n, w)).as("fp"))
+
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, w: Int = 4, minShared: Long = 10L,
+                       maxDocFreq: Long = 30L, minContainE4: Long = 5000L): DataFrame =
+    containmentPairsFromFingerprints(
+      winnowingFingerprintRows(df, idCol, textCol, n, w), idCol,
+      minShared, maxDocFreq, minContainE4)
+
+  /** [[containmentPairs]] from an ALREADY-EXTRACTED fingerprint frame
+    * (idCol, fp) — e.g. read back from [[graft.streaming.StreamingWinnow]]'s
+    * store. Same stop-filter, pair aggregate, and containment cuts; text
+    * is never touched. */
+  def containmentPairsFromFingerprints(fps: DataFrame, idCol: String,
+                                       minShared: Long = 10L,
+                                       maxDocFreq: Long = 30L,
+                                       minContainE4: Long = 5000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val scoped = fps.join(keep, Seq("fp")).persist(StorageLevel.MEMORY_AND_DISK)

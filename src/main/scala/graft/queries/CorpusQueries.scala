@@ -129,6 +129,30 @@ object CorpusQueries {
     } finally prior.unpersist()
   }
 
+  /** q164: q41's clusters over a 1-in-2 deterministic id-hash sample —
+    * the committed sf1.0 hash-pass for the connected-components family.
+    * The full-corpus recursive-CTE oracle behind q41/q138/q140/q150/q159/
+    * q160 is DuckDB-infeasible at sf1.0 (killed at 3400 s in the r8
+    * probe), so their large-scale correctness rested on tri-scale hashes
+    * + scale-independent specs; this query closes that gap with the q154
+    * sampleMod trick: BOTH engine and oracle restrict the corpus to docs
+    * whose 60-bit md5 id-hash ≡ 0 (mod 2) BEFORE pair-finding, so the
+    * sampled pair graph is cluster-closed by construction (CC over a
+    * vertex-induced subgraph is well-defined on both sides) and the
+    * oracle's recursion runs over ~1/4 of the edges. Same pair chain,
+    * same CC, same canonical rule as q41 — at 100 TB the mod is the
+    * audit's budget knob. */
+  def q164SampledClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val idHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs.filter(pmod(idHash, lit(2L)) === 0L),
+        "doc_id", "text", k = K, b = B, shingleN = N, minJaccard = 0.5,
+        candidatePairBudget = 0L))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   /** q159: duplication × quality contingency — per quality decile (q17's
     * composite, floored to 10 buckets): how many docs, how many sit in a
     * near-dup cluster, and the dup rate. The "do low-quality docs
@@ -482,6 +506,7 @@ object CorpusQueries {
     "q59_mixture_plan" -> (q59MixturePlan _),
     "q41_dedup_clusters" -> (q41DedupClusters _),
     "q160_incremental_clusters" -> (q160IncrementalClusters _),
+    "q164_sampled_clusters" -> (q164SampledClusters _),
     "q150_best_of_cluster" -> (q150BestOfCluster _),
     "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
@@ -498,9 +523,12 @@ object CorpusQueries {
 
   // ---- oracle SQL ----
 
-  // shared by q41 (direct) and q160 (incremental path, same contract)
-  private val q41ClustersSql: String =
-    raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+  // the pairs→components→canonical oracle tail, parameterized by the doc
+  // CTE chain so the full corpus (q41/q160) and the mod-2 id-hash sample
+  // (q164 — the scale surrogate DuckDB can finish at sf1.0) share one
+  // derivation
+  private def clustersSqlOver(ctes: String): String =
+    raw"""WITH RECURSIVE $ctes,
        p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
        edges AS (SELECT a_id AS s, b_id AS d FROM p2
                  UNION ALL SELECT b_id, a_id FROM p2),
@@ -511,6 +539,10 @@ object CorpusQueries {
          WHERE r.lab < e.d)
        SELECT min(lab) AS cluster, id AS doc_id, min(lab) = id AS is_canonical
        FROM reach GROUP BY id ORDER BY 1, 2"""
+
+  // shared by q41 (direct) and q160 (incremental path, same contract)
+  private val q41ClustersSql: String =
+    clustersSqlOver(DedupQueries.nearDupPairsCtes)
 
   private val tksSql =
     raw"CASE WHEN len(trim(text))=0 THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END"
@@ -673,6 +705,12 @@ object CorpusQueries {
          SELECT doc_id, mlt_score FROM s
          ORDER BY mlt_score DESC, doc_id LIMIT 10""",
     "q41_dedup_clusters" -> q41ClustersSql,
+    // q164: the same derivation over the mod-2 id-hash sample — the CC
+    // family's sf1.0-feasible oracle (see the query scaladoc)
+    "q164_sampled_clusters" -> clustersSqlOver(
+      raw"""sample AS (SELECT doc_id, text FROM documents
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0),
+         ${DedupQueries.nearDupPairsCtesFrom("sample")}"""),
     // q160: the incremental path is pinned to the FULL-corpus clustering
     // oracle — per-batch star-edge CC must lose nothing vs recomputing.
     "q160_incremental_clusters" -> q41ClustersSql,

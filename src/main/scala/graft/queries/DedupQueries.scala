@@ -94,6 +94,31 @@ object DedupQueries {
       minContainE4 = 6000L)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q166: q161's containment search served from a PERSISTED winnowing
+    * fingerprint store — the corpus streams in as two batches (even ids,
+    * then odd), each batch fingerprinted ONCE and appended
+    * ([[graft.streaming.StreamingWinnow]]); the containment query runs
+    * over the accumulated store without re-reading any text. Results
+    * must be row-identical to the ad-hoc path (same oracle SQL as q161),
+    * proving the store/serve round-trip loses nothing — including the
+    * retroactive stop-fingerprint effect, since the doc-frequency cut
+    * applies at query time over the union (the q120/q128/q129/q130
+    * store-parity pattern, extended to the winnowing family). */
+  def q166ContainmentStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q166_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.streaming.StreamingWinnow.ingestBatch(wh, "dedup", "wn",
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.streaming.StreamingWinnow.ingestBatch(wh, "dedup", "wn",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    QueryUtil.withTempWarehouse(whDir) {
+      graft.streaming.StreamingWinnow.containmentPairs(wh, "dedup", "wn",
+        "doc_id", minContainE4 = 6000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  }
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -214,6 +239,7 @@ object DedupQueries {
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
     "q161_containment_pairs" -> (q161ContainmentPairs _),
+    "q166_containment_store" -> (q166ContainmentStore _),
     "q119_repeated_spans" -> (q119RepeatedSpans _),
     "q146_boilerplate_census" -> (q146BoilerplateCensus _))
 
@@ -267,6 +293,33 @@ object DedupQueries {
   }
 
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
+
+  /** q38's fingerprint CTEs + per-doc scoped counts + two integer DIVs;
+    * max-side containment >= 6000. Shared by q161 (ad-hoc) and q166 (the
+    * persisted-store serve — same result by contract). */
+  private lazy val containmentOracleSql: String =
+    raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
+           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+           ELSE [text] END AS grams FROM documents),
+         hsx AS (SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+           FROM g),
+         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+             ELSE [list_min(hs)] END)) AS fp FROM hsx),
+         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
+         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM scoped GROUP BY 1),
+         sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+           FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 10),
+         j AS (SELECT sh.a_id, sh.b_id, sh.shared,
+             CAST(sh.shared * 10000 // sa.nf AS BIGINT) AS cont_a_e4,
+             CAST(sh.shared * 10000 // sb.nf AS BIGINT) AS cont_b_e4
+           FROM sh JOIN sz sa ON sa.doc_id = sh.a_id
+           JOIN sz sb ON sb.doc_id = sh.b_id)
+         SELECT a_id, b_id, shared, cont_a_e4, cont_b_e4 FROM j
+         WHERE greatest(cont_a_e4, cont_b_e4) >= 6000 ORDER BY a_id, b_id"""
 
   val oracles: Map[String, String] = Map(
     "q119_repeated_spans" ->
@@ -398,29 +451,10 @@ object DedupQueries {
          ORDER BY 1, 2""",
     // q161: q38's fingerprint CTEs + per-doc scoped counts + two integer
     // DIVs; max-side containment >= 6000.
-    "q161_containment_pairs" ->
-      raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
-           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
-           ELSE [text] END AS grams FROM documents),
-         hsx AS (SELECT doc_id,
-             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
-           FROM g),
-         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
-             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
-             ELSE [list_min(hs)] END)) AS fp FROM hsx),
-         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
-         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
-         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM scoped GROUP BY 1),
-         sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
-           FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 10),
-         j AS (SELECT sh.a_id, sh.b_id, sh.shared,
-             CAST(sh.shared * 10000 // sa.nf AS BIGINT) AS cont_a_e4,
-             CAST(sh.shared * 10000 // sb.nf AS BIGINT) AS cont_b_e4
-           FROM sh JOIN sz sa ON sa.doc_id = sh.a_id
-           JOIN sz sb ON sb.doc_id = sh.b_id)
-         SELECT a_id, b_id, shared, cont_a_e4, cont_b_e4 FROM j
-         WHERE greatest(cont_a_e4, cont_b_e4) >= 6000 ORDER BY a_id, b_id""",
+    "q161_containment_pairs" -> containmentOracleSql,
+    // q166 serves q161's search from the persisted fingerprint store —
+    // same result, same oracle derivation
+    "q166_containment_store" -> containmentOracleSql,
     "q38_winnowing_pairs" ->
       raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
            THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
