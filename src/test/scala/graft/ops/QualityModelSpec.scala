@@ -61,6 +61,32 @@ class QualityModelSpec extends SparkSpec {
     rows.foreach(_.foreach(f => assert(f >= 0.0 && f <= 1.0, s"feature $f out of range")))
   }
 
+  test("trainHardSigmoid: partitioning-invariant weights, a fit that beats " +
+    "the keep-all base rate, and scoring consistent with the learned model") {
+    import graft.functions.TextFunctions.{fixedPoint, qualityScore}
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
+    val tw = QualityModel.trainHardSigmoid(docs, "text", label)
+    // determinism: the fit must not depend on physical partitioning —
+    // every training quantity is a sum of exact integers
+    val tw7 = QualityModel.trainHardSigmoid(docs.repartition(7), "text", label)
+    assert(tw === tw7, "weights must be partitioning-invariant")
+    // the fit discriminates: agreement with the label beats predicting
+    // the majority class everywhere (keep-all would score the base rate)
+    val scored = docs.select(
+      (QualityModel.trainedScoreE8(col("text"), tw) > 0L).as("keep"),
+      label.as("y")).as[(Boolean, Boolean)].collect()
+    val n = scored.length
+    val agree = scored.count(r => r._1 == r._2).toDouble / n
+    val base = math.max(scored.count(_._2), n - scored.count(_._2)).toDouble / n
+    assert(agree > base,
+      f"learned fit ($agree%.3f) must beat the majority base rate ($base%.3f)")
+    // non-degenerate: both decisions occur
+    assert(scored.exists(_._1) && scored.exists(!_._1),
+      "fit must not collapse to a constant decision")
+  }
+
   test("filter agreement (q149): cells partition each source, agree formula " +
     "holds, cells ≡ a row-level replay of q123 keep × q17 threshold") {
     import graft.functions.TextFunctions.{fixedPoint, qualityScore}
