@@ -108,23 +108,9 @@ object AnnIndex {
     * n_queries). */
   def storedRecall(wh: Warehouse, schema: String, name: String, corpus: DataFrame,
                    k: Int, probes: Int = 2, nQueries: Int = 100,
-                   idCol: String = "vec_id", embCol: String = "embedding"): (Long, Long) = {
-    require(k >= 1, "k must be >= 1")
-    require(nQueries >= 1, "nQueries must be >= 1")
-    val n = corpus.count()
-    val stride = math.max(1L, n / nQueries)
-    val queries = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol), col(embCol))
-    val nq = queries.count()
-    if (nq == 0) return (10000L, 0L) // empty store: nothing can be missed
-    val exact = Similarity.bruteForceTopK(queries, corpus, k, idCol, embCol)
-      .select(col("q_id"), col("neighbor_id"))
-    val approx = topK(wh, schema, name, queries, k, probes, idCol, embCol)
-      .select(col("q_id"), col("neighbor_id"))
-    val hits = approx.join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
-    (hits * 10000L / (nq * k), nq)
-  }
+                   idCol: String = "vec_id", embCol: String = "embedding"): (Long, Long) =
+    measuredRecall(corpus, k, nQueries, idCol, embCol,
+      qs => topK(wh, schema, name, qs, k, probes, idCol, embCol))
 
   /** One row of ANN-maintenance evidence: what the gate measured and what
     * it did. Persisted by [[graft.pipeline.Housekeeping.runAnnMaintenance]]
@@ -178,6 +164,82 @@ object AnnIndex {
       recallAfterE4 = after, nListsAfter = listsLong,
       centroidsVersionBefore = vBefore,
       centroidsVersionAfter = wh.currentVersion(schema, centroidsTable(name)))
+  }
+
+  /** [[storedRecall]] for the composed IVF-PQ store: the stored side is
+    * [[topKIvfPq]] (partition-pruned ADC), the exact side the same
+    * brute-force cosine — so the number folds BOTH loss sources a served
+    * IVFADC query pays (coarse-list misses AND code-quantization
+    * distortion) into one serving-recall figure. */
+  def storedRecallIvfPq(wh: Warehouse, schema: String, name: String,
+                        corpus: DataFrame, k: Int, probes: Int = 2,
+                        m: Int = 4, dim: Int = 64, nQueries: Int = 100,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding"): (Long, Long) =
+    measuredRecall(corpus, k, nQueries, idCol, embCol,
+      qs => topKIvfPq(wh, schema, name, qs, k, probes, m, dim, idCol, embCol))
+
+  /** [[recallGate]] for the composed IVF-PQ store: below-threshold recall
+    * re-learns BOTH frozen models from the current corpus — the coarse
+    * quantizer (k-means at nLists = ⌈n / targetListSize⌉) and the m
+    * per-subspace codebooks — and swaps via [[buildIvfPq]]'s versioned
+    * overwrites. Appends can drift a composed store two ways (data walks
+    * away from the coarse lists, or from the codebook cells); the gate
+    * doesn't need to know which: measured serving recall is the one
+    * signal, and the rebuild re-freezes both. */
+  def recallGateIvfPq(wh: Warehouse, schema: String, name: String,
+                      corpus: DataFrame, k: Int, probes: Int = 2,
+                      m: Int = 4, dim: Int = 64, pqK: Int = 8,
+                      minRecallE4: Long = 9000L, targetListSize: Long = 10000L,
+                      kmeansIters: Int = 5, pqIters: Int = 2,
+                      nQueries: Int = 100, idCol: String = "vec_id",
+                      embCol: String = "embedding"): RecallGateReport = {
+    require(minRecallE4 >= 0 && minRecallE4 <= 10000, "minRecallE4 in [0, 10000]")
+    require(targetListSize > 0, "targetListSize must be positive")
+    val vBefore = wh.currentVersion(schema, centroidsTable(name))
+    val (before, nq) = storedRecallIvfPq(wh, schema, name, corpus, k, probes,
+      m, dim, nQueries, idCol, embCol)
+    if (before >= minRecallE4)
+      return RecallGateReport(schema, name, nq, before, minRecallE4,
+        rebuilt = false, recallAfterE4 = before,
+        nListsAfter = wh.read(schema, centroidsTable(name)).count(),
+        centroidsVersionBefore = vBefore, centroidsVersionAfter = vBefore)
+    val n = corpus.count()
+    val listsLong = math.max(1L, (n + targetListSize - 1) / targetListSize)
+    require(listsLong <= Int.MaxValue,
+      s"recallGateIvfPq: derived nLists=$listsLong exceeds Int.MaxValue — raise targetListSize")
+    val coarse = Similarity.kmeansCentroids(corpus, listsLong.toInt, kmeansIters,
+      idCol, embCol)
+    val books = Similarity.pqCodebooks(corpus, m, pqK, dim, pqIters, idCol, embCol)
+    buildIvfPq(wh, schema, name, corpus, coarse, books, m, dim, idCol, embCol)
+    val (after, _) = storedRecallIvfPq(wh, schema, name, corpus, k, probes,
+      m, dim, nQueries, idCol, embCol)
+    RecallGateReport(schema, name, nq, before, minRecallE4, rebuilt = true,
+      recallAfterE4 = after, nListsAfter = listsLong,
+      centroidsVersionBefore = vBefore,
+      centroidsVersionAfter = wh.currentVersion(schema, centroidsTable(name)))
+  }
+
+  /** Shared recall measurement: deterministic id-hash query sample, exact
+    * side one brute-force corpus scan, approx side supplied by the store
+    * kind. Returns (recall_e4, n_queries). */
+  private def measuredRecall(corpus: DataFrame, k: Int, nQueries: Int,
+                             idCol: String, embCol: String,
+                             serve: DataFrame => DataFrame): (Long, Long) = {
+    require(k >= 1, "k must be >= 1")
+    require(nQueries >= 1, "nQueries must be >= 1")
+    val n = corpus.count()
+    val stride = math.max(1L, n / nQueries)
+    val queries = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol), col(embCol))
+    val nq = queries.count()
+    if (nq == 0) return (10000L, 0L) // empty store: nothing can be missed
+    val exact = Similarity.bruteForceTopK(queries, corpus, k, idCol, embCol)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = serve(queries).select(col("q_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
+    (hits * 10000L / (nq * k), nq)
   }
 
   /** Inverted-list occupancy report from the STORED index — the

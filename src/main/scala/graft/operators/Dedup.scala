@@ -459,8 +459,17 @@ object Dedup {
     * pair join on uniform 60-bit keys. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 5, w: Int = 4, minShared: Long = 10L,
-                     maxDocFreq: Long = 30L): DataFrame = {
-    val fps = winnowingFingerprintRows(df, idCol, textCol, n, w)
+                     maxDocFreq: Long = 30L): DataFrame =
+    winnowingPairsFromFingerprints(
+      winnowingFingerprintRows(df, idCol, textCol, n, w), idCol,
+      minShared, maxDocFreq)
+
+  /** [[winnowingPairs]] from an ALREADY-EXTRACTED fingerprint frame
+    * (idCol, fp) — the [[graft.streaming.StreamingWinnow]] serving seam:
+    * stop-filter, pair aggregate, shared cut; text never touched. */
+  def winnowingPairsFromFingerprints(fps: DataFrame, idCol: String,
+                                     minShared: Long = 10L,
+                                     maxDocFreq: Long = 30L): DataFrame = {
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val scoped = fps.join(keep, Seq("fp"))

@@ -98,13 +98,22 @@ object Housekeeping {
                       bucketKeys: Seq[String], nBuckets: Int)
 
   /** One serving ANN index under maintenance: where it lives, its
-    * source-of-truth corpus table, and the gate's operating point. */
+    * source-of-truth corpus table, and the gate's operating point.
+    * `kind` picks the store: "ivf" (centroids + quantized lists) or
+    * "ivfpq" (composed coarse + per-subspace codebooks — m/dim/pqK/
+    * pqIters apply to it alone). */
   case class AnnGateSpec(schema: String, name: String,
                          corpusSchema: String, corpusTable: String,
                          k: Int, probes: Int = 2, minRecallE4: Long = 9000L,
                          targetListSize: Long = 10000L, kmeansIters: Int = 5,
                          nQueries: Int = 100,
-                         idCol: String = "vec_id", embCol: String = "embedding")
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         kind: String = "ivf",
+                         m: Int = 4, dim: Int = 64, pqK: Int = 8,
+                         pqIters: Int = 2) {
+    require(kind == "ivf" || kind == "ivfpq",
+      s"unknown ANN index kind '$kind' (ivf | ivfpq)")
+  }
 
   /** Where [[runAnnMaintenance]] appends its per-index gate reports. */
   val AnnGateLogSchema = "maintenance"
@@ -129,10 +138,17 @@ object Housekeeping {
     val byId = idFor.toMap
     Workflow.run(fanOutGraph(idFor.map(_._1)) { id =>
       val g = byId(id)
-      val report = graft.operators.AnnIndex.recallGate(
-        wh, g.schema, g.name, wh.read(g.corpusSchema, g.corpusTable),
-        g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,
-        g.nQueries, g.idCol, g.embCol)
+      val corpus = wh.read(g.corpusSchema, g.corpusTable)
+      val report = g.kind match {
+        case "ivfpq" => graft.operators.AnnIndex.recallGateIvfPq(
+          wh, g.schema, g.name, corpus, g.k, g.probes, g.m, g.dim, g.pqK,
+          g.minRecallE4, g.targetListSize, g.kmeansIters, g.pqIters,
+          g.nQueries, g.idCol, g.embCol)
+        case _ => graft.operators.AnnIndex.recallGate(
+          wh, g.schema, g.name, corpus,
+          g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,
+          g.nQueries, g.idCol, g.embCol)
+      }
       import spark.implicits._
       wh.append(AnnGateLogSchema, AnnGateLogTable,
         Seq(report).toDF()); ()

@@ -119,6 +119,26 @@ object DedupQueries {
     }
   }
 
+  /** q167: q38's winnowing search served from the SAME persisted
+    * fingerprint store as q166 — built once (two streamed batches),
+    * queried through both surfaces: symmetric shared-count pairs here,
+    * directional containment there. Results row-identical to the ad-hoc
+    * q38 (same oracle SQL) — one store, both query shapes, text read
+    * zero times at serve. */
+  def q167WinnowingStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q167_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    graft.streaming.StreamingWinnow.ingestBatch(wh, "dedup", "wn",
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.streaming.StreamingWinnow.ingestBatch(wh, "dedup", "wn",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    QueryUtil.withTempWarehouse(whDir) {
+      graft.streaming.StreamingWinnow.winnowingPairs(wh, "dedup", "wn", "doc_id")
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  }
+
   /** q21: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded 4×15 bits. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -240,6 +260,7 @@ object DedupQueries {
     "q38_winnowing_pairs" -> (q38WinnowingPairs _),
     "q161_containment_pairs" -> (q161ContainmentPairs _),
     "q166_containment_store" -> (q166ContainmentStore _),
+    "q167_winnowing_store" -> (q167WinnowingStore _),
     "q119_repeated_spans" -> (q119RepeatedSpans _),
     "q146_boilerplate_census" -> (q146BoilerplateCensus _))
 
@@ -293,6 +314,25 @@ object DedupQueries {
   }
 
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
+
+  /** q38's winnowing derivation: fingerprint CTEs + stop-filter + shared
+    * count >= 10. Shared by q38 (ad-hoc) and q167 (the persisted-store
+    * serve — same result by contract). */
+  private lazy val winnowingOracleSql: String =
+    raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
+           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
+           ELSE [text] END AS grams FROM documents),
+         hsx AS (SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
+           FROM g),
+         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
+             ELSE [list_min(hs)] END)) AS fp FROM hsx),
+         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
+         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2"""
 
   /** q38's fingerprint CTEs + per-doc scoped counts + two integer DIVs;
     * max-side containment >= 6000. Shared by q161 (ad-hoc) and q166 (the
@@ -455,21 +495,10 @@ object DedupQueries {
     // q166 serves q161's search from the persisted fingerprint store —
     // same result, same oracle derivation
     "q166_containment_store" -> containmentOracleSql,
-    "q38_winnowing_pairs" ->
-      raw"""WITH g AS (SELECT doc_id, CASE WHEN len(text) >= 5
-           THEN [substr(text, i, 5) for i in range(1, len(text)-3)]
-           ELSE [text] END AS grams FROM documents),
-         hsx AS (SELECT doc_id,
-             list_transform(grams, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs
-           FROM g),
-         fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) >= 4
-             THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-3)]
-             ELSE [list_min(hs)] END)) AS fp FROM hsx),
-         keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 30),
-         scoped AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
-         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2""",
+    "q38_winnowing_pairs" -> winnowingOracleSql,
+    // q167 serves q38's search from the persisted fingerprint store —
+    // same result, same oracle derivation (one store, both surfaces)
+    "q167_winnowing_store" -> winnowingOracleSql,
     "q21_simhash_pairs" ->
       raw"""WITH toks AS (SELECT doc_id,
            list_distinct(CASE WHEN len(trim(text)) = 0 THEN []

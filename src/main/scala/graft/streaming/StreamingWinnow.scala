@@ -64,4 +64,13 @@ object StreamingWinnow {
                        minContainE4: Long = 5000L): DataFrame =
     Dedup.containmentPairsFromFingerprints(
       fingerprints(wh, schema, name), idCol, minShared, maxDocFreq, minContainE4)
+
+  /** Symmetric winnowing pairs served from the store — identical results
+    * to [[Dedup.winnowingPairs]] over the same accumulated corpus (q38's
+    * oracle pins the round-trip): one store, both query surfaces. */
+  def winnowingPairs(wh: Warehouse, schema: String, name: String,
+                     idCol: String, minShared: Long = 10L,
+                     maxDocFreq: Long = 30L): DataFrame =
+    Dedup.winnowingPairsFromFingerprints(
+      fingerprints(wh, schema, name), idCol, minShared, maxDocFreq)
 }

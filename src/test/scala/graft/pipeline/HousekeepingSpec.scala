@@ -153,6 +153,70 @@ class HousekeepingSpec extends SparkSpec {
     assert(!r3.rebuilt && r3.recallBeforeE4 >= 9000L, s"$r3")
   }
 
+  test("ANN maintenance (IVF-PQ): the composed store's gate measures both " +
+    "loss sources, rebuilds both frozen models, and the loop closes") {
+    import graft.operators.{AnnIndex, Similarity}
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_pq_gate_").toString)
+    // same drift geometry as the IVF test: A on e0..e3 (identical members
+    // per subcluster), B on e4/e5 with a stale-visible bump (m mod 4) and
+    // a stale-invisible spread on e6 that orders true neighbors across
+    // bump classes. An ε floor on every dim keeps every 2-dim PQ
+    // subvector nonzero (per-subspace cosine needs a nonzero norm).
+    def aVec(j: Int): Array[Float] = {
+      val v = Array.fill(8)(0.001f); v(j) = 1.0f; v
+    }
+    val a = (0 until 4).flatMap { j =>
+      (0 until 20).map { m =>
+        val id = if (m == 0) j.toLong else 1000L + j * 100 + m
+        (id, aVec(j))
+      }
+    }
+    def bVec(j: Int, m: Int): Array[Float] = {
+      val v = Array.fill(8)(0.001f)
+      v(4 + j) = 0.99f
+      v(m % 4) = 0.02f
+      v(6) = 0.3f + 0.01f * m
+      v
+    }
+    val b = (0 until 2).flatMap { j =>
+      (0 until 40).map { m =>
+        val id = if (m < 2) (4 + 2 * j + m).toLong else 2000L + j * 100 + m
+        (id, bVec(j, m))
+      }
+    }
+    val aDf = a.toDF("vec_id", "embedding")
+    wh.overwrite("data", "vecs", aDf)
+    AnnIndex.buildIvfPq(wh, "ann", "pqserving", aDf,
+      Similarity.kmeansCentroids(aDf, k = 4, iters = 5),
+      Similarity.pqCodebooks(aDf, m = 4, k = 8, dim = 8), m = 4, dim = 8)
+    val gate = Housekeeping.AnnGateSpec("ann", "pqserving", "data", "vecs",
+      k = 5, probes = 1, minRecallE4 = 9000L, targetListSize = 20L,
+      kmeansIters = 5, nQueries = 1000, kind = "ivfpq", m = 4, dim = 8,
+      pqK = 8, pqIters = 2)
+    val v0 = wh.currentVersion("ann", "pqserving_centroids")
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val healthy = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .head()
+    info(s"healthy: $healthy")
+    assert(!healthy.getAs[Boolean]("rebuilt"))
+    assert(healthy.getAs[Long]("recallBeforeE4") >= 9000L,
+      s"healthy composed store must serve high recall: $healthy")
+    assert(wh.currentVersion("ann", "pqserving_centroids") === v0)
+    val bDf = b.toDF("vec_id", "embedding")
+    wh.append("data", "vecs", bDf)
+    AnnIndex.appendIvfPq(wh, "ann", "pqserving", bDf, m = 4, dim = 8)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log2 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .orderBy(col("centroidsVersionAfter").desc).head()
+    info(s"after drift: $log2")
+    assert(log2.getAs[Boolean]("rebuilt"), s"drifted composed store must rebuild: $log2")
+    assert(log2.getAs[Long]("recallBeforeE4") < 9000L, s"$log2")
+    assert(log2.getAs[Long]("recallAfterE4") > log2.getAs[Long]("recallBeforeE4"),
+      s"rebuilding both frozen models must recover recall: $log2")
+    assert(log2.getAs[Long]("centroidsVersionAfter") >
+      log2.getAs[Long]("centroidsVersionBefore"))
+  }
+
   test("completion report renders per-source and total rows") {
     val tasks = Seq(
       ("src_a", "staging", "t1", "success"), ("src_a", "staging", "t2", "failed"),
