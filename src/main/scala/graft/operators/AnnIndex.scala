@@ -220,6 +220,58 @@ object AnnIndex {
       centroidsVersionAfter = wh.currentVersion(schema, centroidsTable(name)))
   }
 
+  /** [[storedRecall]] for the composed IVF+SQ8 store — the served
+    * recall through [[topKSq8]] (pruned lists of byte codes,
+    * reconstruct-and-score), folding coarse-list misses and scalar-
+    * quantization distortion into one figure. */
+  def storedRecallSq8(wh: Warehouse, schema: String, name: String,
+                      corpus: DataFrame, k: Int, probes: Int = 2,
+                      nQueries: Int = 100, idCol: String = "vec_id",
+                      embCol: String = "embedding"): (Long, Long) =
+    measuredRecall(corpus, k, nQueries, idCol, embCol,
+      qs => topKSq8(wh, schema, name, qs, k, probes, idCol, embCol))
+
+  /** [[recallGate]] for the IVF+SQ8 store: its frozen model is the
+    * (centroids, per-dim bounds) PAIR — appended data can walk away from
+    * either (new regions miss the lists; values outside the frozen
+    * bounds clamp and score wrong) — so a below-threshold rebuild
+    * re-learns both from the current corpus and swaps via
+    * [[buildSq8]]'s versioned overwrites. With this, every store kind
+    * that freezes model state has a closed lifecycle loop: IVF
+    * (centroids), IVF-PQ (centroids + codebooks), IVF-SQ8 (centroids +
+    * bounds); the sign-word store has no frozen state to drift. */
+  def recallGateSq8(wh: Warehouse, schema: String, name: String,
+                    corpus: DataFrame, k: Int, probes: Int = 2,
+                    minRecallE4: Long = 9000L, targetListSize: Long = 10000L,
+                    kmeansIters: Int = 5, nQueries: Int = 100,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): RecallGateReport = {
+    require(minRecallE4 >= 0 && minRecallE4 <= 10000, "minRecallE4 in [0, 10000]")
+    require(targetListSize > 0, "targetListSize must be positive")
+    val vBefore = wh.currentVersion(schema, centroidsTable(name))
+    val (before, nq) = storedRecallSq8(wh, schema, name, corpus, k, probes,
+      nQueries, idCol, embCol)
+    if (before >= minRecallE4)
+      return RecallGateReport(schema, name, nq, before, minRecallE4,
+        rebuilt = false, recallAfterE4 = before,
+        nListsAfter = wh.read(schema, centroidsTable(name)).count(),
+        centroidsVersionBefore = vBefore, centroidsVersionAfter = vBefore)
+    val n = corpus.count()
+    val listsLong = math.max(1L, (n + targetListSize - 1) / targetListSize)
+    require(listsLong <= Int.MaxValue,
+      s"recallGateSq8: derived nLists=$listsLong exceeds Int.MaxValue — raise targetListSize")
+    val cents = Similarity.kmeansCentroids(corpus, listsLong.toInt, kmeansIters,
+      idCol, embCol)
+    buildSq8(wh, schema, name, corpus, cents, Similarity.sq8Bounds(corpus, embCol),
+      idCol, embCol)
+    val (after, _) = storedRecallSq8(wh, schema, name, corpus, k, probes,
+      nQueries, idCol, embCol)
+    RecallGateReport(schema, name, nq, before, minRecallE4, rebuilt = true,
+      recallAfterE4 = after, nListsAfter = listsLong,
+      centroidsVersionBefore = vBefore,
+      centroidsVersionAfter = wh.currentVersion(schema, centroidsTable(name)))
+  }
+
   /** Shared recall measurement: deterministic id-hash query sample, exact
     * side one brute-force corpus scan, approx side supplied by the store
     * kind. Returns (recall_e4, n_queries). */

@@ -99,9 +99,10 @@ object Housekeeping {
 
   /** One serving ANN index under maintenance: where it lives, its
     * source-of-truth corpus table, and the gate's operating point.
-    * `kind` picks the store: "ivf" (centroids + quantized lists) or
+    * `kind` picks the store: "ivf" (centroids + quantized lists),
     * "ivfpq" (composed coarse + per-subspace codebooks — m/dim/pqK/
-    * pqIters apply to it alone). */
+    * pqIters apply to it alone), or "ivfsq8" (coarse + frozen per-dim
+    * bounds + byte codes). */
   case class AnnGateSpec(schema: String, name: String,
                          corpusSchema: String, corpusTable: String,
                          k: Int, probes: Int = 2, minRecallE4: Long = 9000L,
@@ -111,8 +112,8 @@ object Housekeeping {
                          kind: String = "ivf",
                          m: Int = 4, dim: Int = 64, pqK: Int = 8,
                          pqIters: Int = 2) {
-    require(kind == "ivf" || kind == "ivfpq",
-      s"unknown ANN index kind '$kind' (ivf | ivfpq)")
+    require(kind == "ivf" || kind == "ivfpq" || kind == "ivfsq8",
+      s"unknown ANN index kind '$kind' (ivf | ivfpq | ivfsq8)")
   }
 
   /** Where [[runAnnMaintenance]] appends its per-index gate reports. */
@@ -144,6 +145,9 @@ object Housekeeping {
           wh, g.schema, g.name, corpus, g.k, g.probes, g.m, g.dim, g.pqK,
           g.minRecallE4, g.targetListSize, g.kmeansIters, g.pqIters,
           g.nQueries, g.idCol, g.embCol)
+        case "ivfsq8" => graft.operators.AnnIndex.recallGateSq8(
+          wh, g.schema, g.name, corpus, g.k, g.probes, g.minRecallE4,
+          g.targetListSize, g.kmeansIters, g.nQueries, g.idCol, g.embCol)
         case _ => graft.operators.AnnIndex.recallGate(
           wh, g.schema, g.name, corpus,
           g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,

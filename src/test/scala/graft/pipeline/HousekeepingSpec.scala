@@ -217,6 +217,64 @@ class HousekeepingSpec extends SparkSpec {
       log2.getAs[Long]("centroidsVersionBefore"))
   }
 
+  test("ANN maintenance (IVF-SQ8): drifted appends trip the gate, the rebuild " +
+    "re-freezes centroids AND bounds, recall recovers") {
+    import graft.operators.{AnnIndex, Similarity}
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_sq8_gate_").toString)
+    // the IVF test's geometry verbatim (SQ8's per-dim byte grid is fine
+    // enough that quantization noise doesn't disturb these rankings —
+    // unlike PQ's code collapse, so the IVF test's hard thresholds hold)
+    def aVec(j: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(j) = 1.0f; v
+    }
+    val a = (0 until 4).flatMap { j =>
+      (0 until 20).map { m =>
+        val id = if (m == 0) j.toLong else 1000L + j * 100 + m
+        (id, aVec(j))
+      }
+    }
+    def bVec(j: Int, m: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(4 + j) = 0.99f
+      v(m % 4) = 0.02f
+      v(6) = 0.3f + 0.01f * m
+      v
+    }
+    val b = (0 until 2).flatMap { j =>
+      (0 until 40).map { m =>
+        val id = if (m < 2) (4 + 2 * j + m).toLong else 2000L + j * 100 + m
+        (id, bVec(j, m))
+      }
+    }
+    val aDf = a.toDF("vec_id", "embedding")
+    wh.overwrite("data", "vecs", aDf)
+    AnnIndex.buildSq8(wh, "ann", "sq8serving", aDf,
+      Similarity.kmeansCentroids(aDf, k = 4, iters = 5),
+      Similarity.sq8Bounds(aDf))
+    val gate = Housekeeping.AnnGateSpec("ann", "sq8serving", "data", "vecs",
+      k = 5, probes = 1, minRecallE4 = 9000L, targetListSize = 20L,
+      kmeansIters = 5, nQueries = 1000, kind = "ivfsq8")
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val healthy = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .head()
+    assert(!healthy.getAs[Boolean]("rebuilt") &&
+      healthy.getAs[Long]("recallBeforeE4") >= 9000L, s"$healthy")
+    // drift: B's e4..e7 mass sits entirely OUTSIDE the frozen bounds'
+    // active dims — both the lists and the byte grid are stale
+    val bDf = b.toDF("vec_id", "embedding")
+    wh.append("data", "vecs", bDf)
+    AnnIndex.appendSq8(wh, "ann", "sq8serving", bDf)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log2 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .orderBy(col("centroidsVersionAfter").desc).head()
+    assert(log2.getAs[Boolean]("rebuilt"), s"$log2")
+    assert(log2.getAs[Long]("recallBeforeE4") < 9000L, s"$log2")
+    assert(log2.getAs[Long]("recallAfterE4") >= 9000L,
+      s"re-freezing centroids AND bounds must recover recall: $log2")
+    assert(log2.getAs[Long]("centroidsVersionAfter") >
+      log2.getAs[Long]("centroidsVersionBefore"))
+  }
+
   test("completion report renders per-source and total rows") {
     val tasks = Seq(
       ("src_a", "staging", "t1", "success"), ("src_a", "staging", "t2", "failed"),
