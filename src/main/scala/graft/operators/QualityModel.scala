@@ -145,7 +145,19 @@ object QualityModel {
     * round is one map-side-combinable aggregate. */
   def trainHardSigmoid(df: org.apache.spark.sql.DataFrame, textCol: String,
                        label: Column, iters: Int = 16,
-                       lr: Long = 16L): TrainedWeights = {
+                       lr: Long = 16L): TrainedWeights =
+    trainHardSigmoidTrajectory(df, textCol, label, iters, lr).last
+
+  /** The full weight TRAJECTORY of the fit — element t is the model after
+    * t+1 iterations. GD iterations form a chain (the t-iteration model IS
+    * the prefix of the T-iteration run, exactly like BPE's merge-prefix
+    * property), so a training curve at several depths costs ONE training
+    * run, not one per point — q168 reads agreement at 4/8/16 iterations
+    * from a single 16-round fit. */
+  def trainHardSigmoidTrajectory(df: org.apache.spark.sql.DataFrame,
+                                 textCol: String, label: Column,
+                                 iters: Int = 16,
+                                 lr: Long = 16L): Seq[TrainedWeights] = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, "iters must be >= 1")
     require(lr >= 1, "lr must be >= 1")
@@ -166,6 +178,7 @@ object QualityModel {
     try {
       var bias = 0L
       var w = Array.fill(nf)(0L)
+      val out = Seq.newBuilder[TrainedWeights]
       for (_ <- 1 to iters) {
         val zE8 = w.zipWithIndex.foldLeft(lit(bias) * lit(10000L): Column) {
           case (acc, (wi, i)) => acc + lit(wi) * col(s"f$i")
@@ -178,8 +191,9 @@ object QualityModel {
           cur - math.floor(g * lr / (n * 10000.0) + 0.5).toLong
         w = Array.tabulate(nf)(i => step(w(i), row.getLong(i)))
         bias = step(bias, row.getLong(nf))
+        out += TrainedWeights(bias, w.toSeq, mu.toSeq)
       }
-      TrainedWeights(bias, w.toSeq, mu.toSeq)
+      out.result()
     } finally feats.unpersist()
   }
 }

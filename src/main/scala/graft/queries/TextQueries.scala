@@ -390,6 +390,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q168: the training curve for q165's fit — documents kept and
+    * label agreement at 4, 8, and 16 GD iterations, ALL from ONE
+    * training run: GD iterations form a chain, so the t-iteration model
+    * is a prefix of the 16-iteration trajectory (the q147 merge-prefix
+    * property applied to training) — one fit, three curve points, and
+    * one scoring scan computing all three models' decisions as parallel
+    * columns. The "when does training stop buying agreement" input that
+    * decides the iteration budget before fitting at 100 TB. The oracle
+    * reads the SAME three points from its unrolled 16-CTE chain (w4, w8,
+    * w16 are intermediate CTEs of q165's derivation — nothing re-trains). */
+  def q168TrainingCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModel
+    val docs = docsWide(spark, dir)
+    val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
+    val traj = QualityModel.trainHardSigmoidTrajectory(docs, "text", label,
+      iters = 16, lr = 16L)
+    val points = Seq(4, 8, 16)
+    val scored = docs.select(
+      label.cast("long").as("y") +:
+        points.map(p => (QualityModel.trainedScoreE8(col("text"), traj(p - 1)) > 0L)
+          .cast("long").as(s"k$p")): _*)
+    val agg = scored.agg(
+      count(lit(1)).as("n"),
+      points.flatMap(p => Seq(
+        sum(col(s"k$p")).as(s"nk$p"),
+        sum(when(col(s"k$p") === col("y"), 1L).otherwise(0L)).as(s"na$p"))): _*)
+    points.map { p =>
+      agg.select(lit(p.toLong).as("iters"), col(s"nk$p").as("n_keep"),
+        expr(s"na$p * 10000L div n").as("agree_e4"))
+    }.reduce(_.unionByName(_)).orderBy(col("iters"))
+  }
+
   /** q135: quality-distribution drift per source — each source's
     * quality-score decile histogram compared between snapshot A (even
     * doc_id) and snapshot B (odd doc_id) by exact-integer total-variation
@@ -533,6 +565,7 @@ object TextQueries {
     "q16_token_stats" -> (q16TokenStats _),
     "q123_quality_model" -> (q123QualityModel _),
     "q165_quality_train" -> (q165QualityTrain _),
+    "q168_training_curve" -> (q168TrainingCurve _),
     "q92_bigram_lm" -> (q92BigramLm _),
     "q93_blocklist" -> (q93Blocklist _),
     "q94_quality_gate" -> (q94QualityGate _),
@@ -601,7 +634,14 @@ object TextQueries {
   // floor-quantized weight-update CTE; MATERIALIZED hints keep the chain
   // from inline-exploding (the q100 discipline). Every number is an
   // integer exactly representable in a double, so the engines agree.
-  private val q165TrainSql: String = {
+  private def q165TrainSql: String = q165Derived._1
+  private def q168CurveSql: String = q165Derived._2
+
+  /** One CTE chain (features → means → centered frame → 16 unrolled GD
+    * iterations), two final selects: q165 scores every doc under w16;
+    * q168 reads the training curve off the INTERMEDIATE weight CTEs
+    * (w4/w8/w16 — the chain's own prefixes, nothing re-trains). */
+  private lazy val q165Derived: (String, String) = {
     val iters = 16
     val zSql = "(w.b*10000 + w.w0*f.f0 + w.w1*f.f1 + w.w2*f.f2 + " +
       "w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5)"
@@ -623,7 +663,7 @@ object TextQueries {
     }.mkString(",\n")
     val scoreSql = s"(w.b*10000 + w.w0*f.f0 + w.w1*f.f1 + w.w2*f.f2 + " +
       s"w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5)"
-    raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
+    val withChain = raw"""WITH t AS (SELECT doc_id, $tokCountSql AS n_tok,
            $punctCountSql AS n_punct, $stopCountSql AS n_stop,
            len(regexp_extract_all(text,'[0-9]')) AS n_dig,
            len(regexp_extract_all(text,'[^ -~]')) AS n_na,
@@ -651,14 +691,26 @@ object TextQueries {
            CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
            CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
            CAST(0 AS BIGINT) AS w5),
-         $iterCtes
+         $iterCtes"""
+    val trainSql = raw"""$withChain
          SELECT f.doc_id, CAST($scoreSql AS BIGINT) AS score_e8,
            $scoreSql > 0 AS keep
          FROM f, w$iters w ORDER BY f.doc_id"""
+    val curvePoint = (p: Int) =>
+      raw"""SELECT CAST($p AS BIGINT) AS iters,
+           CAST(sum(CASE WHEN $scoreSql > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN (CASE WHEN $scoreSql > 0 THEN 1 ELSE 0 END) = f.y
+             THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS agree_e4
+         FROM f, w$p w"""
+    val curveSql = raw"""$withChain,
+         curve AS (${Seq(4, 8, 16).map(curvePoint).mkString("\nUNION ALL\n")})
+         SELECT iters, n_keep, agree_e4 FROM curve ORDER BY iters"""
+    (trainSql, curveSql)
   }
 
   val oracles: Map[String, String] = Map(
     "q165_quality_train" -> q165TrainSql,
+    "q168_training_curve" -> q168CurveSql,
     "q135_quality_drift" -> q135DriftSql,
     "q137_profile_store_drift" -> q135DriftSql,
     "q123_quality_model" ->
