@@ -289,9 +289,17 @@ object AnnIndex {
     if (nq == 0) return (10000L, 0L) // empty store: nothing can be missed
     val exact = Similarity.bruteForceTopK(queries, corpus, k, idCol, embCol)
       .select(col("q_id"), col("neighbor_id"))
+      .persist()
+    // denominator = the exact side's ACTUAL row count, not nq*k: a corpus
+    // with n <= k vectors yields fewer than k true neighbors per query,
+    // and dividing by the unattainable nq*k would make a perfect index
+    // fail the gate (and rebuild) forever
+    val attainable = exact.count()
+    if (attainable == 0) { exact.unpersist(); return (10000L, nq) }
     val approx = serve(queries).select(col("q_id"), col("neighbor_id"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
-    (hits * 10000L / (nq * k), nq)
+    exact.unpersist()
+    (hits * 10000L / attainable, nq)
   }
 
   /** Inverted-list occupancy report from the STORED index — the

@@ -416,10 +416,15 @@ object TextQueries {
       points.flatMap(p => Seq(
         sum(col(s"k$p")).as(s"nk$p"),
         sum(when(col(s"k$p") === col("y"), 1L).otherwise(0L)).as(s"na$p"))): _*)
+    // collect the 1-row aggregate ONCE and build the 3-row curve locally —
+    // a union of selects over the uncached agg would re-run the full
+    // scoring scan per curve point
+    val row = agg.head()
+    val n = row.getAs[Long]("n")
+    import spark.implicits._
     points.map { p =>
-      agg.select(lit(p.toLong).as("iters"), col(s"nk$p").as("n_keep"),
-        expr(s"na$p * 10000L div n").as("agree_e4"))
-    }.reduce(_.unionByName(_)).orderBy(col("iters"))
+      (p.toLong, row.getAs[Long](s"nk$p"), row.getAs[Long](s"na$p") * 10000L / n)
+    }.toDF("iters", "n_keep", "agree_e4").orderBy(col("iters"))
   }
 
   /** q135: quality-distribution drift per source — each source's

@@ -15,13 +15,22 @@ def load_queries(path):
         d = json.load(f)
     if "queries" in d:  # a Bench-written file
         return d["queries"]
-    if d.get("parsed"):
-        return d["parsed"].get("queries", d["parsed"])
-    # scrape "name":sec pairs out of the tail fragment
-    return {
+    # scrape "name":sec pairs out of the tail fragment (BENCHQ lines carry
+    # the FULL per-query map in 20-query chunks; the compact stdout JSON
+    # only keeps the 20 slowest)
+    scraped = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"(q[^"]+|x_[^"]+)":(-?\d+\.?\d*)', d.get("tail", ""))
     }
+    if d.get("parsed"):
+        parsed = d["parsed"].get("queries", d["parsed"])
+        if isinstance(parsed, dict):
+            # the compact line is truncated by design; merge the scraped
+            # BENCHQ pairs so cross-round comparisons keep every query
+            if d["parsed"].get("n_queries", 0) > len(parsed):
+                return {**parsed, **scraped}
+            return parsed
+    return scraped
 
 
 def main():
