@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Warehouse
+
+/** Persistent benchmark-fingerprint store for decontamination — the
+  * lifecycle layer [[Decontaminate]] lacked (reference behavior:
+  * AirFlow-ETL's recurring jobs re-derive every input every run;
+  * dags/elt_pipeline.py re-reads all sources — here the benchmark side is
+  * derived once and replayed from storage, the pattern every other graft
+  * family already has: signatures → StreamingNearDup, fingerprints →
+  * StreamingWinnow, sketches → SketchStore).
+  *
+  * Why the EVAL side is the stored side: benchmarks are MB-scale and
+  * nearly frozen; the corpus is the 100 TB side and keeps arriving. So
+  * the store holds the benchmark word-n-gram hashes (registered once per
+  * benchmark, appended when a NEW benchmark lands — registration never
+  * re-reads old benchmarks), and every arriving corpus batch is checked
+  * by ONE row-local gram explode + a broadcast join against the store.
+  * Per-batch verdicts append; because a doc's verdict is a pure function
+  * of (its text, the frozen gram set), batch verdicts PARTITION the
+  * one-shot answer — streaming the corpus in any split yields
+  * row-identical results to the one-shot [[Decontaminate.contaminated]]
+  * (q169 pins this with q42's own oracle SQL; contrast StreamingWinnow,
+  * where the corpus-level doc-frequency cut forces query-time work).
+  *
+  * Gram rows carry their n-gram size, so one store serves every n a
+  * benchmark was registered at (the q162 aggressiveness curve replays
+  * from the store without touching benchmark text).
+  *
+  * At-least-once caveat: re-registering the same (benchId, n) would
+  * double its gram rows — harmless for [[contaminated]] (distinct gh at
+  * serve) but it inflates [[attribution]] hit counts; drive registration
+  * from an exactly-once control plane or guard on [[registered]]. */
+object DecontamStore {
+
+  private def gramsTable(name: String) = s"${name}_eval_grams"
+  private def verdictsTable(name: String) = s"${name}_verdicts"
+
+  /** Register one benchmark at n-gram size `n`: extract its distinct
+    * per-doc gram hashes ONCE (the only time this benchmark's text is
+    * read) and append them as (bench_id, n_gram, e_id, gh). */
+  def registerBenchmark(wh: Warehouse, schema: String, name: String,
+                        benchId: String, evalDocs: DataFrame,
+                        idCol: String, textCol: String, n: Int): Unit = {
+    val gramHashes =
+      org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)
+    val rows = evalDocs.select(
+      lit(benchId).as("bench_id"), lit(n.toLong).as("n_gram"),
+      col(idCol).as("e_id"), explode(gramHashes).as("gh"))
+    if (wh.exists(schema, gramsTable(name)))
+      wh.append(schema, gramsTable(name), rows)
+    else wh.overwrite(schema, gramsTable(name), rows)
+  }
+
+  /** The benchmark ids registered at each n-gram size. */
+  def registered(wh: Warehouse, schema: String, name: String): DataFrame =
+    wh.read(schema, gramsTable(name))
+      .groupBy(col("bench_id"), col("n_gram"))
+      .agg(countDistinct(col("e_id")).as("n_eval_docs"),
+        count(lit(1)).as("n_grams"))
+
+  /** The stored gram rows at size `n` — benchmark-scale by construction. */
+  def evalGrams(wh: Warehouse, schema: String, name: String, n: Int): DataFrame =
+    wh.read(schema, gramsTable(name)).filter(col("n_gram") === n.toLong)
+
+  /** q42-identical contamination check served from the store: (idCol,
+    * n_eval_grams) per corpus doc sharing ≥ 1 registered n-gram. The
+    * corpus-side explode is the one heavy stage (row-local fan-out of
+    * 8-byte gram hashes); the stored gram set broadcasts — one corpus
+    * scan at any scale, benchmark text read zero times. */
+  def contaminated(wh: Warehouse, schema: String, name: String,
+                   corpus: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val gramHashes =
+      org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)
+    val store = evalGrams(wh, schema, name, n).select(col("gh")).distinct()
+    corpus
+      .select(col(idCol), explode(gramHashes).as("gh"))
+      .join(broadcast(store), "gh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_grams"))
+  }
+
+  /** Check one ARRIVING corpus batch and append its verdicts — the
+    * streaming serve path (file stream → foreachBatch(checkBatch)). The
+    * verdict table accumulates (idCol, n_eval_grams) for contaminated
+    * docs only; its union over any batch split equals the one-shot check
+    * because each verdict depends only on the doc and the frozen store.
+    * Per-batch cost is O(batch text): no stage ever re-reads prior
+    * batches or benchmark text. Empty batches are no-ops. */
+  def checkBatch(wh: Warehouse, schema: String, name: String,
+                 batch: DataFrame, idCol: String, textCol: String,
+                 n: Int): Unit = {
+    if (batch.isEmpty) return
+    val v = contaminated(wh, schema, name, batch, idCol, textCol, n)
+    if (wh.exists(schema, verdictsTable(name)))
+      wh.append(schema, verdictsTable(name), v)
+    else wh.overwrite(schema, verdictsTable(name), v)
+  }
+
+  /** The accumulated contamination verdicts. */
+  def verdicts(wh: Warehouse, schema: String, name: String): DataFrame =
+    wh.read(schema, verdictsTable(name))
+
+  /** Leakage attribution BY EVAL DOC: for each registered benchmark item,
+    * how many corpus docs share ≥ 1 of its n-grams and the total
+    * (corpus doc, gram) hit count — the "which benchmark is burned"
+    * report that decides retiring an eval set, not just cleaning the
+    * corpus. Same single-corpus-scan shape as [[contaminated]]; the join
+    * output is bounded by the actual leak volume and the rollup key is
+    * benchmark-scale. */
+  def attribution(wh: Warehouse, schema: String, name: String,
+                  corpus: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val gramHashes =
+      org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)
+    val store = evalGrams(wh, schema, name, n).select(col("e_id"), col("gh"))
+    corpus
+      .select(col(idCol), explode(gramHashes).as("gh"))
+      .join(broadcast(store), "gh")
+      .groupBy(col("e_id"))
+      .agg(countDistinct(col(idCol)).as("n_corpus_docs"),
+        count(lit(1)).as("n_shared_grams"))
+  }
+}

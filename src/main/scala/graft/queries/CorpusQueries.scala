@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.ext.CorpusCuration
-import graft.operators.{Chunker, Clusters, Decontaminate, Dedup, Search}
+import graft.operators.{Chunker, Clusters, Decontaminate, DecontamStore, Dedup, Search}
 
 /** Corpus-assembly query surface — the operators a training-data pipeline
   * runs AFTER pair-finding: near-dup clustering + canonical selection,
@@ -260,6 +260,56 @@ object CorpusQueries {
       docs.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", n = 4)
       .orderBy(col("doc_id"))
+  }
+
+  /** q169: q42's decontamination served from the PERSISTED benchmark
+    * gram store, end to end through the streaming lifecycle: the eval
+    * split is registered as two separate benchmarks (each read once,
+    * appended — registration never re-reads the other), then the corpus
+    * arrives as two batches through [[DecontamStore.checkBatch]] and the
+    * accumulated verdict table is the answer. Row-identical to the
+    * one-shot q42 (same oracle SQL): verdicts are a pure per-doc function
+    * of the frozen gram set, so per-batch verdicts PARTITION the one-shot
+    * result — the q120/q128/q166 store-parity pattern closing the
+    * decontam family's lifecycle. At 100 TB the benchmark text is read
+    * once ever; each arriving corpus batch costs one row-local explode +
+    * a broadcast join. */
+  def q169DecontamStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q169_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_even",
+      evalDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_odd",
+      evalDocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    DecontamStore.checkBatch(wh, "guard", "dc",
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+    DecontamStore.checkBatch(wh, "guard", "dc",
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    QueryUtil.withTempWarehouse(whDir) {
+      DecontamStore.verdicts(wh, "guard", "dc").orderBy(col("doc_id"))
+    }
+  }
+
+  /** q170: leakage attribution BY EVAL DOC from the same store — for each
+    * benchmark item, how many corpus docs share ≥ 1 of its 4-grams and
+    * the total shared-gram hit count: the "which benchmark is burned"
+    * audit (a benchmark whose items each leak into thousands of corpus
+    * docs is retired, not decontaminated around). One corpus scan, store
+    * broadcast with e_id attribution kept; rollup key is benchmark-scale. */
+  def q170DecontamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q170_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench",
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4)
+    QueryUtil.withTempWarehouse(whDir) {
+      DecontamStore.attribution(wh, "guard", "dc",
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", n = 4)
+        .orderBy(col("e_id"))
+    }
   }
 
   /** q162: decontamination aggressiveness curve — flagged-doc and
@@ -515,6 +565,8 @@ object CorpusQueries {
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
+    "q169_decontam_store" -> (q169DecontamStore _),
+    "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q162_decontam_curve" -> (q162DecontamCurve _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
@@ -551,6 +603,16 @@ object CorpusQueries {
     raw"""CASE WHEN len(tks) >= 4
          THEN list_distinct([array_to_string(tks[i+1:i+4],' ') for i in range(0, len(tks)-3)])
          ELSE [] END"""
+
+  // q42's derivation, shared verbatim by q169 (store-served parity pin)
+  private val q42Sql =
+    raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+       g AS (SELECT doc_id, list_transform($gramsSql,
+           x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t),
+       eg AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 97 = 0),
+       cg AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 <> 0)
+       SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+       FROM cg JOIN eg USING (gh) GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
     "q98_epoch_mixture" ->
@@ -852,13 +914,18 @@ object CorpusQueries {
          ${point(3)} UNION ALL ${point(4)} UNION ALL ${point(6)}
          ORDER BY n_gram"""
     },
-    "q42_decontaminate" ->
+    "q42_decontaminate" -> q42Sql,
+    // the store-served + streamed-batch path must equal the one-shot check
+    // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
+    "q169_decontam_store" -> q42Sql,
+    "q170_decontam_attribution" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,
              x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t),
-         eg AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 97 = 0),
+         eg AS (SELECT doc_id AS e_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 = 0),
          cg AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 <> 0)
-         SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+         SELECT e_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
          FROM cg JOIN eg USING (gh) GROUP BY 1 ORDER BY 1""",
     "q43_gopher_stats" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
