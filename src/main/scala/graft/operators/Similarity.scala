@@ -338,6 +338,40 @@ object Similarity {
       zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
       (c, b) => b("l") * 255 + c * (b("h") - b("l")))
 
+  /** Per-dimension SQ8 quantization-distortion audit — the "is 8-bit
+    * scalar quantization safe for THIS corpus" input the ANN lifecycle's
+    * other monitors don't measure: occupancy ([[AnnIndex.stats]]) and
+    * drift ([[centroidDrift]]) watch the coarse layer, recall curves cost
+    * a full exact side; this reads the code layer directly in one scan.
+    * Per dim d: count, sum, sum-of-squares, and max of the reconstruction
+    * error in the ×255 integer domain (err = v_q·255 − v̂·255 ∈
+    * [0, hi_d−lo_d) — floor codes never overshoot), plus mean_err_e4. A
+    * dimension whose max_err dwarfs the others has a heavy-tailed value
+    * distribution that one (lo, hi) pair can't quantize — the signal to
+    * switch that corpus to PQ (codebooks bend around tails) or clip
+    * outliers before encoding.
+    *
+    * All-integer and engine-exact: the only divide is SQ8's own
+    * double-divide-then-floor (oracle-exact per [[sq8CodesQ]]'s argument);
+    * err ≤ hi−lo ≈ 4e3, err² ≤ 1.6e7, summed over corpus·dim ≪ 2^53.
+    * Shape: bounds (one posexplode + dim-key groupBy) then one more
+    * corpus scan with the same narrow explode — both stages uniform keys,
+    * dim-bounded output. */
+  def sq8Distortion(corpus: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val bounds = sq8Bounds(corpus, embCol)
+    val qe = quantize(col(embCol))
+    val rec = sq8Decode(sq8CodesQ(qe, col("lo"), col("hi")), col("lo"), col("hi"))
+    val errs = corpus.join(broadcast(bounds), lit(true))
+      .select(posexplode(zip_with(qe, rec, (v, r) => v * 255 - r))
+        .as(Seq("d", "err")))
+    errs.groupBy(col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("err")).as("sum_err"),
+        sum(col("err") * col("err")).as("sum_sq_err"),
+        max(col("err")).as("max_err"))
+      .withColumn("mean_err_e4", expr("sum_err * 10000L div n_vectors"))
+  }
+
   /** SQ8 approximate top-k: rank by exact integer cosine over the DECODED
     * reconstructions (ranking raw code dots would be wrong — the per-dim
     * `lo` shift changes the ranking; reconstruction-space cosine is what

@@ -41,6 +41,18 @@ object DedupQueries {
       "text", k = K, b = B, shingleN = N, sampleMod = 4)
       .orderBy(col("bin"))
 
+  /** q171: LSH banding auto-tune — the CLOSED-FORM complement of q154:
+    * per target Jaccard threshold τ ∈ {0.3, 0.5, 0.8}, the (bands,
+    * rows_per_band) under the k=16 hash budget whose theoretical candidacy
+    * S-curve best approximates the ideal step at τ (integer-exact |p−step|
+    * grid sum, e4 arithmetic, truncating-division power chains both
+    * engines replay identically). q154 MEASURES a chosen banding after
+    * signing; q171 PICKS one before — corpus-independent, parameter-scale,
+    * costs the same at 100 TB as at 100 rows. */
+  def q171BandingPlan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandingPlan(spark, hashBudget = K, tausE4 = Seq(3000L, 5000L, 8000L))
+      .orderBy(col("tau_e4"))
+
   /** q156: near-dup source matrix — q20's verified pairs rolled up by
     * UNORDERED source pair: how many near-dup pairs cross each (src, src)
     * cell and their mean Jaccard. The near-dup complement of q127's
@@ -253,6 +265,7 @@ object DedupQueries {
     "q126_capped_chunk_near_dup" -> (q126CappedChunkNearDup _),
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q154_lsh_scurve" -> (q154LshScurve _),
+    "q171_banding_plan" -> (q171BandingPlan _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
@@ -457,6 +470,28 @@ object DedupQueries {
            FROM t)
          SELECT a_id, b_id, edit_sim_e4 FROM s
          WHERE edit_sim_e4 >= 8000 ORDER BY a_id, b_id""",
+    // q171: the identical truncating-division power chains (j^r, then
+    // (1-j^r)^b) replayed via list_reduce; same grid, budget, tie-breaks.
+    "q171_banding_plan" ->
+      raw"""WITH cand AS (SELECT b.range AS b, r.range AS r
+           FROM range(1, ${K + 1}) b, range(1, ${K + 1}) r
+           WHERE b.range * r.range <= $K),
+         tau AS (SELECT CAST(unnest([3000, 5000, 8000]) AS BIGINT) AS tau_e4),
+         g AS (SELECT range AS i FROM range(1, 40)),
+         p AS (SELECT tau_e4, b, r, i * 250 AS j,
+             10000 - list_reduce(list_transform(range(b), xb ->
+               10000 - list_reduce(list_transform(range(r), xr -> i * 250),
+                 (ja, jc) -> ja * jc // 10000)),
+               (qa, qc) -> qa * qc // 10000) AS pc
+           FROM cand, tau, g),
+         s AS (SELECT tau_e4, b, r,
+             CAST(sum(abs(pc - CASE WHEN j >= tau_e4 THEN 10000 ELSE 0 END)) AS BIGINT) AS total_err
+           FROM p GROUP BY 1, 2, 3),
+         w AS (SELECT tau_e4, b, r, total_err,
+             row_number() OVER (PARTITION BY tau_e4 ORDER BY total_err, b, r) AS rn
+           FROM s)
+         SELECT tau_e4, b AS bands, r AS rows_per_band, total_err
+         FROM w WHERE rn = 1 ORDER BY tau_e4""",
     // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.

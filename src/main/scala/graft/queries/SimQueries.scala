@@ -180,6 +180,17 @@ object SimQueries {
       queriesDf(spark, dir), Tables(spark, dir, "embeddings"), TopK)
       .orderBy(col("q_id"))
 
+  /** q172: SQ8 quantization-distortion audit — per-dimension count / sum /
+    * sum-of-squares / max of the integer reconstruction error plus
+    * mean_err_e4: the "is 8-bit scalar quantization safe for this corpus"
+    * monitor completing the ANN lifecycle inputs (occupancy q134, drift
+    * q133, recall q148 watch the coarse layer; this reads the code layer
+    * in one scan). A heavy-tailed dimension (max_err ≫ the rest) is the
+    * switch-to-PQ-or-clip signal BEFORE recall degrades. */
+  def q172Sq8Distortion(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Distortion(Tables(spark, dir, "embeddings"))
+      .orderBy(col("d"))
+
   /** q80: IVF lists + SQ8 scoring composed — candidates from the probed
     * inverted lists (assigned at ingest from full-precision vectors),
     * ranking from the stored 8-bit codes only. The FAISS-shaped serving
@@ -467,6 +478,7 @@ object SimQueries {
     "q129_hamming_index_topk" -> (q129HammingIndexTopK _),
     "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
     "q65_sq8_recall" -> (q65Sq8Recall _),
+    "q172_sq8_distortion" -> (q172Sq8Distortion _),
     "q124_hamming_topk" -> (q124HammingTopK _),
     "q153_hamming_recall_curve" -> (q153HammingRecallCurve _),
     "q91_pq_rerank" -> (q91PqRerank _),
@@ -855,6 +867,21 @@ object SimQueries {
          FROM r WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   private lazy val oraclesMid2: Map[String, String] = Map(
+    // q172: the same quantize → bounds → code → reconstruct chain as q65's
+    // head, reduced per dimension; sums CAST from DuckDB's HUGEINT.
+    "q172_sq8_distortion" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         pe AS (SELECT generate_subscripts(qe, 1) AS d1, unnest(qe) AS v FROM e),
+         b AS (SELECT d1, min(v) AS l, max(v) AS h FROM pe GROUP BY 1),
+         er AS (SELECT pe.d1,
+             v*255 - (l*255 + CAST(floor(CAST((v-l)*255 AS DOUBLE)/greatest(h-l,1)) AS BIGINT)*(h-l)) AS err
+           FROM pe JOIN b USING (d1))
+         SELECT CAST(d1 - 1 AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err) AS BIGINT) AS sum_err,
+           CAST(sum(err*err) AS BIGINT) AS sum_sq_err,
+           CAST(max(err) AS BIGINT) AS max_err,
+           CAST(sum(err)*10000 // count(*) AS BIGINT) AS mean_err_e4
+         FROM er GROUP BY 1 ORDER BY 1""",
     "q65_sq8_recall" ->
       raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
          pe AS (SELECT generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),
