@@ -53,6 +53,24 @@ object DedupQueries {
     Dedup.bandingPlan(spark, hashBudget = K, tausE4 = Seq(3000L, 5000L, 8000L))
       .orderBy(col("tau_e4"))
 
+  /** q173: the tuner COMPOSED with the production pipeline — near-dup
+    * pairs at the banding [[Dedup.bandingPlan]] picks for τ=0.5 under the
+    * k=16 budget (5 bands × 3 rows — more bands than the hand-picked 4×4,
+    * trading verify volume for recall at the 0.5 knee exactly as the
+    * S-curve says), then the PROVEN q20 chain at that banding. The q122
+    * auto≡manual pattern applied to LSH: the oracle replays the chain at
+    * the planned (b, r), so a drifted plan hash-fails the gate. The plan
+    * read is one 3-long driver row (registry-scale); everything after is
+    * q20's scale shape at (k=15, b=5). */
+  def q173AutoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val plan = Dedup.bandingPlan(spark, hashBudget = K, tausE4 = Seq(5000L))
+      .select(col("bands"), col("rows_per_band")).head()
+    val (b, r) = (plan.getLong(0).toInt, plan.getLong(1).toInt)
+    Dedup.nearDupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      k = b * r, b = b, shingleN = N, minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q156: near-dup source matrix — q20's verified pairs rolled up by
     * UNORDERED source pair: how many near-dup pairs cross each (src, src)
     * cell and their mean Jaccard. The near-dup complement of q127's
@@ -266,6 +284,7 @@ object DedupQueries {
     "q20_lsh_near_dup" -> (q20LshNearDup _),
     "q154_lsh_scurve" -> (q154LshScurve _),
     "q171_banding_plan" -> (q171BandingPlan _),
+    "q173_auto_near_dup" -> (q173AutoNearDup _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
@@ -281,29 +300,32 @@ object DedupQueries {
 
   // mirrors Dedup.signatureFrame: row-local shingling, one md5 per shingle,
   // k affine minima via list_min/list_transform — no unnest/group stage.
-  private val sigCols = (0 until K).map(i =>
+  private def sigColsFor(k: Int) = (0 until k).map(i =>
     s"list_min(list_transform(hs, x -> ((x % ${Dedup.MinhashP20}) * ${Dedup.affineA(i)}" +
       s" + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31})) AS mh_$i").mkString(", ")
 
-  private val bandSelects = (0 until B).map { j =>
-    val cc = (0 until K / B).map(i => s"CAST(mh_${j * (K / B) + i} AS VARCHAR)").mkString("||'|'||")
+  private def bandSelectsFor(k: Int, b: Int) = (0 until b).map { j =>
+    val cc = (0 until k / b).map(i => s"CAST(mh_${j * (k / b) + i} AS VARCHAR)").mkString("||'|'||")
     s"SELECT doc_id, $j AS band, md5($cc) AS bh FROM sig"
   }.mkString(" UNION ALL ")
+
 
   /** The full MinHash→LSH→Jaccard pair derivation as a reusable CTE chain
     * ending in `pairs(a_id, b_id, jaccard_e4)` — shared by the q20 oracle,
     * the q41 connected-components oracle, and (over a chunk base CTE)
     * q111. `base` must provide (doc_id, text). */
   private[queries] def nearDupPairsCtesFrom(base: String,
-                                            maxBucket: Option[Int] = None): String = {
+                                            maxBucket: Option[Int] = None,
+                                            k: Int = K, b: Int = B): String = {
     // bucket-capped variant: drop (band, bh) buckets over the cap before
     // pairing — mirrors Dedup.lshCandidatePairs(maxBucketSize)
+    val bandSel = bandSelectsFor(k, b)
     val bandsCtes = maxBucket match {
       case Some(cap) =>
-        raw"""bands0 AS ($bandSelects),
+        raw"""bands0 AS ($bandSel),
          bok AS (SELECT band, bh FROM bands0 GROUP BY band, bh HAVING count(*) <= $cap),
          bands AS (SELECT b0.doc_id, b0.band, b0.bh FROM bands0 b0 JOIN bok USING (band, bh))"""
-      case None => s"bands AS ($bandSelects)"
+      case None => s"bands AS ($bandSel)"
     }
     raw"""d AS (SELECT doc_id, CASE WHEN len(text) >= $N
            THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
@@ -311,7 +333,7 @@ object DedupQueries {
          h AS (SELECT doc_id, len(shs0) AS sz,
              list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
            FROM d),
-         sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, $sigCols FROM h),
+         sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, ${sigColsFor(k)} FROM h),
          $bandsCtes,
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM bands a JOIN bands b
@@ -439,6 +461,13 @@ object DedupQueries {
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     "q20_lsh_near_dup" ->
       raw"""WITH $nearDupPairsCtes
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
+         WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
+    // q173: the same chain at the banding q171's arithmetic picks for
+    // τ=0.5 under the k=16 budget (5 bands × 3 rows) — a drifted plan
+    // hash-fails here
+    "q173_auto_near_dup" ->
+      raw"""WITH ${nearDupPairsCtesFrom("documents", k = 15, b = 5)}
          SELECT a_id, b_id, jaccard_e4 FROM pairs
          WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     // q156: q20's pair CTEs ≥ 5000, sources joined on both ids, unordered
