@@ -621,6 +621,34 @@ object Similarity {
       .select(col(idCol), col("sub"), col("label"))
   }
 
+  /** Per-subspace PQ quantization distortion — [[sq8Distortion]]'s sibling
+    * on the codebook quantizer: for every vector's winning codebook entry
+    * per subspace, the exact integer squared L2 between the subvector and
+    * its reconstruction (q·q + c·c − 2q·c, all e3-integer dots), reduced
+    * to (sub, n_vectors, sum_sq_err, max_sq_err, mean_sq_err). Read
+    * TOGETHER with [[sq8Distortion]] this decides WHICH quantizer a corpus
+    * gets: SQ8 loses on heavy-tailed dims, PQ on subspaces whose 8 entries
+    * under-cover the slice (that subspace's sum_sq_err dwarfs the rest —
+    * the raise-k-or-resplit signal). Shape: one sliced scan, codebook
+    * broadcast, the pqEncode rank window, one sub-keyed aggregate —
+    * m·corpus narrow rows, no pair stage. */
+  def pqDistortion(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val scored = pqSliced(corpus, m, dim, idCol, embCol)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__cs", qcosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__cs").desc, col("label"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .withColumn("sq_err", qdot(col("qe"), col("qe")) + qdot(col("ce"), col("ce"))
+        - lit(2L) * qdot(col("qe"), col("ce")))
+      .groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("sq_err")).as("sum_sq_err"),
+        max(col("sq_err")).as("max_sq_err"))
+      .withColumn("mean_sq_err", expr("sum_sq_err div n_vectors"))
+  }
+
   /** PQ asymmetric-distance top-k (ADC): the query's subvectors dot every
     * codebook entry ONCE (an m·k lookup table per query, broadcast), then
     * every corpus vector scores through its codes alone — the ranking

@@ -219,6 +219,19 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q174: per-subspace PQ distortion — q172's sibling on the codebook
+    * quantizer, completing the which-quantizer audit pair: exact integer
+    * squared L2 between each subvector and its winning codebook entry,
+    * reduced per subspace. A subspace whose sum_sq_err dwarfs the rest is
+    * under-covered by its 8 entries — the raise-k-or-resplit signal. */
+  def q174PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.pqDistortion(emb,
+      Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+      m = PqM, dim = Dim)
+      .orderBy(col("sub"))
+  }
+
   /** q90: IVFADC — the full FAISS-shaped stack composed from parts the
     * suite already proves separately: coarse inverted lists (q37's
     * label-derived centroids, queries probe 2) prune candidates, PQ codes
@@ -479,6 +492,7 @@ object SimQueries {
     "q130_sq8_index_topk" -> (q130Sq8IndexTopK _),
     "q65_sq8_recall" -> (q65Sq8Recall _),
     "q172_sq8_distortion" -> (q172Sq8Distortion _),
+    "q174_pq_distortion" -> (q174PqDistortion _),
     "q124_hamming_topk" -> (q124HammingTopK _),
     "q153_hamming_recall_curve" -> (q153HammingRecallCurve _),
     "q91_pq_rerank" -> (q91PqRerank _),
@@ -640,6 +654,39 @@ object SimQueries {
          WHERE rr <= $TopK ORDER BY q_id, rank"""}"""
   }
 
+  /** q174: the PQ oracle's per-subspace codebook chains (same seeds, same
+    * 2-iteration steps, same assignment tie-breaks), reduced to integer
+    * squared-L2 error per subspace instead of served as ADC top-k. */
+  private def pqDistortionSql: String = {
+    val len = Dim / PqM
+    val es = (0 until PqM).map(s =>
+      s"es$s AS (SELECT vec_id, list_slice(qe, ${s * len + 1}, ${(s + 1) * len}) AS qe FROM e)")
+    val sd = (0 until PqM).map(s =>
+      s"""sd$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label,
+            qe AS ce FROM (SELECT vec_id, qe FROM es$s ORDER BY vec_id LIMIT 8))""")
+    val chains = (0 until PqM).map(s =>
+      s"""a${s}1 AS (${pqAssignSql(s"es$s", s"sd$s")}),
+         c${s}1 AS (${stepSql(s"a${s}1", s"sd$s")}),
+         a${s}2 AS (${pqAssignSql(s"es$s", s"c${s}1")}),
+         c${s}2 AS (${stepSql(s"a${s}2", s"c${s}1")}),
+         ef$s AS (${pqAssignSql(s"es$s", s"c${s}2")})""")
+    val errUnion = (0 until PqM).map(s =>
+      s"""SELECT CAST($s AS BIGINT) AS sub,
+          CAST(list_dot_product(a.qe, a.qe) + list_dot_product(cb.ce, cb.ce)
+            - 2*list_dot_product(a.qe, cb.ce) AS BIGINT) AS sq_err
+        FROM ef$s a JOIN c${s}2 cb USING (label)""").mkString(" UNION ALL ")
+    raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+       ${es.mkString(",\n")},
+       ${sd.mkString(",\n")},
+       ${chains.mkString(",\n")},
+       errs AS ($errUnion)
+       SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(sq_err) AS BIGINT) AS sum_sq_err,
+         CAST(max(sq_err) AS BIGINT) AS max_sq_err,
+         CAST(sum(sq_err) // count(*) AS BIGINT) AS mean_sq_err
+       FROM errs GROUP BY 1 ORDER BY 1"""
+  }
+
   private val planesCte =
     raw"""planes AS (SELECT p,
         [CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) % 1001 - 500 for d in range(0,$Dim)] AS w
@@ -653,6 +700,7 @@ object SimQueries {
 
   val oracles: Map[String, String] = Map(
     "q89_pq_topk" -> pqOracleSql(coarsePrune = false),
+    "q174_pq_distortion" -> pqDistortionSql,
     // q121 serves q89's search from the persisted code store — same
     // result, same oracle derivation
     "q121_pq_index_topk" -> pqOracleSql(coarsePrune = false),
