@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.core.Tables
-import graft.operators.{Blocklist, Decontaminate, Dedup}
+import graft.operators.{Blocklist, Decontaminate, DecontamStore, Dedup}
 
 /** The full training-data assembly pipeline as ONE composition of library
   * calls — the "a user can run the whole thing" proof: blocklist →
@@ -36,12 +36,30 @@ class EndToEndCorpusSpec extends SparkSpec {
     val n3 = afterNear.count()
     assert(n3 <= n2)
 
-    // 4. decontamination vs an eval slice (every 97th doc plays the benchmark)
+    // 4. decontamination vs an eval slice (every 97th doc plays the
+    // benchmark) — run through the PRODUCTION serving path: the benchmark
+    // registers once into the persistent gram store, the corpus arrives
+    // as two batches, and the accumulated verdicts drive the anti-join;
+    // must equal the ad-hoc one-shot clean exactly
     val evalSlice = docs.filter(col("doc_id") % 97 === 0)
     val train = afterNear.filter(col("doc_id") % 97 =!= 0)
-    val afterDecon = Decontaminate.clean(train, evalSlice, "doc_id", "text", 13)
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_e2e_wh_").toString)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "eval", evalSlice,
+      "doc_id", "text", n = 13)
+    DecontamStore.checkBatch(wh, "g", "dc",
+      train.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 13)
+    DecontamStore.checkBatch(wh, "g", "dc",
+      train.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 13)
+    val afterDecon = train.join(
+      DecontamStore.verdicts(wh, "g", "dc").select("doc_id"),
+      Seq("doc_id"), "left_anti")
     val n4 = afterDecon.count()
     assert(n4 <= n3)
+    val adHoc = Decontaminate.clean(train, evalSlice, "doc_id", "text", 13)
+    assert(afterDecon.select("doc_id").exceptAll(adHoc.select("doc_id")).isEmpty
+      && adHoc.select("doc_id").exceptAll(afterDecon.select("doc_id")).isEmpty,
+      "store-served decontamination must equal the one-shot clean")
 
     // 5. per-source cap, scored by doc length
     val capped = CorpusCuration.capPerSource(
