@@ -80,6 +80,33 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
 
+  /** q175: mixed-language document detection — q18's language-ID applied
+    * PER 32-TOKEN CHUNK (q57's proven non-overlapping chunker), reduced
+    * per doc to chunk count, distinct predicted languages, and adjacent
+    * chunk-pair language flips; docs predicting ≥ 2 languages flag. The
+    * curation signal doc-level langid structurally misses: a document
+    * that is half one language half another gets ONE doc-level label and
+    * silently pollutes whichever monolingual bucket it lands in — chunk
+    * granularity is how fastText-style pipelines catch code-switched and
+    * concatenated-crawl pages. Scale shape: the chunk explode is
+    * row-local, scoring is per-chunk regex (no shuffle), and the doc
+    * rollup rides one uniform doc_id window + aggregate. */
+  def q175MixedLangDocs(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunker.tokenChunks(
+      docsWide(spark, dir), "doc_id", "text", size = 32, stride = 32)
+      .select(col("doc_id"), col("chunk_idx"), langId(col("chunk")).as("cl"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    chunks
+      .withColumn("prev", lag(col("cl"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("cl")).as("n_langs"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("cl"), 1L)
+          .otherwise(0L)).as("n_flips"))
+      .filter(col("n_langs") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** q19: exact dedup on the canonical fingerprint of the first 40 chars
     * (prefix-truncated to manufacture collisions in the fixture). */
   def q19FingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -581,6 +608,7 @@ object TextQueries {
     "q145_mixture_budget_select" -> (q145MixtureBudgetSelect _),
     "q149_filter_agreement" -> (q149FilterAgreement _),
     "q18_langid_confusion" -> (q18LangidConfusion _),
+    "q175_mixed_lang_docs" -> (q175MixedLangDocs _),
     "q19_fingerprint_dedup" -> (q19FingerprintDedup _),
     "q52_token_commonness" -> (q52TokenCommonness _))
 
@@ -853,6 +881,34 @@ object TextQueries {
              WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) > 0 THEN 'es'
              ELSE 'und' END AS pred_lang FROM s)
          SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""",
+    // q175: q57's chunk CTE + q18's scoring per chunk + a lag window
+    "q175_mixed_lang_docs" ->
+      raw"""WITH t AS (SELECT doc_id, CASE WHEN len(trim(text))=0 THEN []
+             ELSE regexp_split_to_array(trim(text),'\s+') END AS tks FROM documents),
+         c AS (SELECT doc_id, tks, unnest(range(0, len(tks), 32)) AS s FROM t),
+         ch AS (SELECT doc_id, s // 32 AS chunk_idx,
+             array_to_string(tks[s+1:s+32], ' ') AS chunk FROM c),
+         sc AS (SELECT doc_id, chunk_idx,
+             len(regexp_extract_all(chunk,'[^ -~]')) AS cjk,
+             len(regexp_extract_all(lower(chunk),'\b(the|and|is|of|to)\b')) AS s_en,
+             len(regexp_extract_all(lower(chunk),'\b(der|die|und|ist|ein)\b')) AS s_de,
+             len(regexp_extract_all(lower(chunk),'\b(le|les|des|est|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(chunk),'\b(el|los|las|una|por)\b')) AS s_es
+           FROM ch),
+         p AS (SELECT doc_id, chunk_idx, CASE WHEN cjk > 0 THEN 'zh'
+             WHEN s_en = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) > 0 THEN 'en'
+             WHEN s_de = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) > 0 THEN 'de'
+             WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND greatest(s_en,s_de,s_fr,s_es) > 0 THEN 'es'
+             ELSE 'und' END AS cl FROM sc),
+         f AS (SELECT doc_id, cl,
+             lag(cl) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS prev FROM p),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT cl) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> cl THEN 1 ELSE 0 END) AS BIGINT) AS n_flips
+           FROM f GROUP BY 1)
+         SELECT doc_id, n_chunks, n_langs, n_flips FROM a
+         WHERE n_langs >= 2 ORDER BY doc_id""",
     "q19_fingerprint_dedup" ->
       raw"""SELECT md5(regexp_replace(lower(trim(substr(text,1,40))), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
