@@ -341,6 +341,71 @@ object CorpusQueries {
     out
   }
 
+  /** q176: crawl-snapshot corpus diff — the recrawl question "how much of
+    * the new snapshot is actually new?": every doc of snapshot B (odd
+    * doc-id block, q135's parity that cycles each source through both
+    * snapshots) classifies as `unchanged` (canonical fingerprint exists
+    * in A), `minor_edit` (no fp match but a verified cross-snapshot
+    * near-dup ≥ 0.5 — the re-templated / lightly-edited recrawl page), or
+    * `new`; A docs whose fp vanished count as `removed`. Per-source
+    * rollup — the ingest-or-skip decision input before paying to process
+    * a recrawl.
+    *
+    * Scale shape: the cross-snapshot pair stage is the PROVEN incremental
+    * path (B signs once, A's signatures come from storage — q99's
+    * premise), so a recrawl diff costs O(new snapshot) + the fp
+    * anti-joins; fingerprints are row-local md5s and both fp sets shuffle
+    * once on uniform keys. The oracle replays the full q20 chain
+    * restricted to cross-snapshot pairs — incremental ≡ full-restricted
+    * is q99's own oracle-pinned equivalence, re-used here. */
+  def q176CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val snap = expr("(doc_id div 20) % 2")
+    val snapA = docs.filter(snap === 0)
+    val snapB = docs.filter(snap === 1)
+    val prior = Dedup.signDocuments(snapA, "doc_id", "text", K, N)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (pairs, _) =
+      try Dedup.nearDupPairsIncremental(snapB, "doc_id", "text", prior,
+        k = K, b = B, shingleN = N, minJaccard = 0.5,
+        candidatePairBudget = 0L)
+      finally prior.unpersist()
+    val bNear = pairs
+      .filter(expr("((a_id div 20) % 2) <> ((b_id div 20) % 2)"))
+      .select(when(expr("(a_id div 20) % 2") === 1, col("a_id"))
+        .otherwise(col("b_id")).as("doc_id"))
+      .distinct()
+    val fpOf = TextFunctions.fingerprint(col("text"))
+    val aFp = snapA.select(col("source"), fpOf.as("fp"))
+    val bFp = snapB.select(col("doc_id"), col("source"), fpOf.as("fp"))
+    val bCls = bFp
+      .join(aFp.select(col("fp")).distinct().withColumn("__ina", lit(1L)),
+        Seq("fp"), "left")
+      .join(bNear.withColumn("__nd", lit(1L)), Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("__ina").isNotNull, lit("unchanged"))
+          .when(col("__nd").isNotNull, lit("minor_edit"))
+          .otherwise(lit("new")).as("cls"))
+    val bAgg = bCls.groupBy(col("source")).agg(
+      sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+      sum(when(col("cls") === "minor_edit", 1L).otherwise(0L)).as("n_minor_edit"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"))
+    val removed = aFp
+      .join(bFp.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_removed"))
+    val out = bAgg.join(removed, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_unchanged"), lit(0L)).as("n_unchanged"),
+        coalesce(col("n_minor_edit"), lit(0L)).as("n_minor_edit"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("source")).localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
   /** q43: Gopher-style repetition/shape stats + the composite keep flag. */
   def q43GopherStats(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
@@ -567,6 +632,7 @@ object CorpusQueries {
     "q42_decontaminate" -> (q42Decontaminate _),
     "q169_decontam_store" -> (q169DecontamStore _),
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
+    "q176_corpus_diff" -> (q176CorpusDiff _),
     "q162_decontam_curve" -> (q162DecontamCurve _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
@@ -918,6 +984,42 @@ object CorpusQueries {
     // the store-served + streamed-batch path must equal the one-shot check
     // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
     "q169_decontam_store" -> q42Sql,
+    // q176: the full q20 pair chain restricted to cross-snapshot pairs
+    // (incremental ≡ full-restricted is q99's pinned equivalence), plus
+    // the q19 canonical-fingerprint sets on each side
+    "q176_corpus_diff" ->
+      raw"""WITH ${DedupQueries.nearDupPairsCtes},
+         cp AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000
+           AND ((a_id // 20) % 2) <> ((b_id // 20) % 2)),
+         bn AS (SELECT DISTINCT CASE WHEN (a_id // 20) % 2 = 1 THEN a_id
+             ELSE b_id END AS doc_id FROM cp),
+         f AS (SELECT doc_id, source, (doc_id // 20) % 2 AS snap,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         fpa AS (SELECT DISTINCT fp FROM f WHERE snap = 0),
+         fpb AS (SELECT DISTINCT fp FROM f WHERE snap = 1),
+         bcls AS (SELECT b.source,
+             CASE WHEN fpa.fp IS NOT NULL THEN 'unchanged'
+                  WHEN bn.doc_id IS NOT NULL THEN 'minor_edit'
+                  ELSE 'new' END AS cls
+           FROM f b LEFT JOIN fpa ON fpa.fp = b.fp
+           LEFT JOIN bn ON bn.doc_id = b.doc_id
+           WHERE b.snap = 1),
+         bagg AS (SELECT source,
+             CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             CAST(sum(CASE WHEN cls = 'minor_edit' THEN 1 ELSE 0 END) AS BIGINT) AS n_minor_edit,
+             CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM bcls GROUP BY 1),
+         rem AS (SELECT a.source, CAST(count(*) AS BIGINT) AS n_removed
+           FROM f a LEFT JOIN fpb ON fpb.fp = a.fp
+           WHERE a.snap = 0 AND fpb.fp IS NULL GROUP BY 1)
+         SELECT coalesce(bagg.source, rem.source) AS source,
+           CAST(coalesce(n_unchanged, 0) AS BIGINT) AS n_unchanged,
+           CAST(coalesce(n_minor_edit, 0) AS BIGINT) AS n_minor_edit,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed
+         FROM bagg FULL OUTER JOIN rem ON bagg.source = rem.source
+         ORDER BY 1""",
     "q170_decontam_attribution" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,
