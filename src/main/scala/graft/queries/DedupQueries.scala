@@ -66,6 +66,14 @@ object DedupQueries {
     val plan = Dedup.bandingPlan(spark, hashBudget = K, tausE4 = Seq(5000L))
       .select(col("bands"), col("rows_per_band")).head()
     val (b, r) = (plan.getLong(0).toInt, plan.getLong(1).toInt)
+    // guarded DEFAULT deliberately kept: the τ=0.5-optimal banding has a
+    // fatter low-j tail than 4×4 (that is the trade the knee buys), and on
+    // this deliberately low-entropy fixture (background Jaccard ≈ 0.45,
+    // BENCH.md) the sf1.0 census reads 69.5M projected pairs — the budget
+    // guard refuses naming the fix, which IS the operator's scale
+    // contract: a measured ~8 min verify stage is exactly what the guard
+    // exists to stop (uncapped measured once, BENCH.md round 10). Gate
+    // holds tri-scale ≤ sf0.1 where the census is in budget.
     Dedup.nearDupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
       k = b * r, b = b, shingleN = N, minJaccard = 0.5)
       .orderBy(col("a_id"), col("b_id"))
