@@ -312,6 +312,34 @@ object CorpusQueries {
     }
   }
 
+  /** q177: q162's aggressiveness curve served from the MULTI-N gram
+    * store — the eval split registers once per n ∈ {3, 4, 6} (three
+    * benchmark-text scans total, ever), and each curve point is the
+    * store-served check over the cached corpus projection. Same oracle
+    * SQL as q162: the store is a serving path, not a different metric —
+    * at 100 TB re-tuning n never re-reads benchmark text (the q137
+    * profile-store pattern applied to the decontam family). */
+  def q177DecontamCurveStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q177_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    Seq(3, 4, 6).foreach(n => DecontamStore.registerBenchmark(
+      wh, "guard", "dc", "bench", evalDocs, "doc_id", "text", n))
+    val out = QueryUtil.withTempWarehouse(whDir) {
+      Seq(3, 4, 6).map { n =>
+        DecontamStore.contaminated(wh, "guard", "dc", corpus, "doc_id", "text", n)
+          .agg(count(lit(1)).as("n_flagged"),
+            coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
+          .select(lit(n.toLong).as("n_gram"), col("n_flagged"), col("n_matched"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_gram"))
+    }
+    docs.unpersist()
+    out
+  }
+
   /** q162: decontamination aggressiveness curve — flagged-doc and
     * matched-gram counts at n-gram size ∈ {3, 4, 6} against the q42 eval
     * split: the "choose n" tuning input for the decontam family (q42
@@ -634,6 +662,7 @@ object CorpusQueries {
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
     "q162_decontam_curve" -> (q162DecontamCurve _),
+    "q177_decontam_curve_store" -> (q177DecontamCurveStore _),
     "q43_gopher_stats" -> (q43GopherStats _),
     "q44_bm25_topk" -> (q44Bm25TopK _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
@@ -680,7 +709,7 @@ object CorpusQueries {
        SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
        FROM cg JOIN eg USING (gh) GROUP BY 1 ORDER BY 1"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesHead: Map[String, String] = Map(
     "q98_epoch_mixture" ->
       raw"""WITH d AS (SELECT doc_id, source, CAST(len($tksSql) AS BIGINT) AS n_tok
              FROM documents),
@@ -956,8 +985,12 @@ object CorpusQueries {
                 ELSE 'test' END AS split
          FROM hb ORDER BY doc_id""",
     // q162: q42's gram/hash chain replicated per n over ONE tokenize CTE,
-    // each point collapsed to (n_gram, n_flagged, n_matched).
-    "q162_decontam_curve" -> {
+    // each point collapsed to (n_gram, n_flagged, n_matched). q177 serves
+    // the identical curve from the multi-n gram store — same oracle.
+    "q177_decontam_curve_store" -> q162Sql,
+    "q162_decontam_curve" -> q162Sql)
+
+  private lazy val q162Sql: String = {
       def point(n: Int): String = {
         val grams = raw"""CASE WHEN len(tks) >= $n
            THEN list_distinct([array_to_string(tks[i+1:i+$n],' ') for i in range(0, len(tks)-${n - 1})])
@@ -979,7 +1012,9 @@ object CorpusQueries {
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents)
          ${point(3)} UNION ALL ${point(4)} UNION ALL ${point(6)}
          ORDER BY n_gram"""
-    },
+  }
+
+  private val oraclesTail: Map[String, String] = Map(
     "q42_decontaminate" -> q42Sql,
     // the store-served + streamed-batch path must equal the one-shot check
     // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
@@ -1089,4 +1124,6 @@ object CorpusQueries {
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              '\+1-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
          FROM t ORDER BY doc_id""")
+
+  val oracles: Map[String, String] = oraclesHead ++ oraclesTail
 }
