@@ -79,6 +79,29 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q178: banding calibration — q154's MEASURED catch rate per Jaccard
+    * bin joined against the THEORETICAL 1−(1−j^r)^b at each bin midpoint
+    * (the same truncating-division power chains q171 optimizes over,
+    * frozen at the production 4×4): gap_e4 per bin is the model-vs-engine
+    * audit that tells you whether trusting [[Dedup.bandingPlan]]'s
+    * closed-form choice on THIS corpus is safe, or whether correlated
+    * shingles (boilerplate) bend the real curve away from the independence
+    * assumption. Costs one q154 run plus a row-local arithmetic column. */
+  def q178BandingCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val r = K / B
+    val predicted = expr(
+      s"""10000L - aggregate(sequence(1L, ${B}L), 10000L, (qa, xb) ->
+         qa * (10000L - aggregate(sequence(1L, ${r}L), 10000L, (ja, xr) ->
+           ja * (lo_e4 + 500L) div 10000L)) div 10000L)""")
+    Dedup.bandingRecallCurve(Tables(spark, dir, "documents"), "doc_id",
+      "text", k = K, b = B, shingleN = N, sampleMod = 4)
+      .withColumn("predicted_e4", predicted)
+      .select(col("bin"), col("lo_e4"), col("n_pairs"),
+        col("catch_e4").as("measured_e4"), col("predicted_e4"),
+        abs(col("catch_e4") - col("predicted_e4")).as("gap_e4"))
+      .orderBy(col("bin"))
+  }
+
   /** q156: near-dup source matrix — q20's verified pairs rolled up by
     * UNORDERED source pair: how many near-dup pairs cross each (src, src)
     * cell and their mean Jaccard. The near-dup complement of q127's
@@ -293,6 +316,7 @@ object DedupQueries {
     "q154_lsh_scurve" -> (q154LshScurve _),
     "q171_banding_plan" -> (q171BandingPlan _),
     "q173_auto_near_dup" -> (q173AutoNearDup _),
+    "q178_banding_calibration" -> (q178BandingCalibration _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
     "q99_incremental_near_dup" -> (q99IncrementalNearDup _),
@@ -357,6 +381,35 @@ object DedupQueries {
   }
 
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
+
+  // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
+  // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
+  // back in), candidacy is the chain's own `cand`. Shared by q178's
+  // calibration wrapper.
+  private lazy val q154Sql: String =
+    raw"""WITH sample AS (SELECT doc_id, text FROM documents
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+         ${nearDupPairsCtesFrom("sample")},
+         ids AS (SELECT doc_id FROM sig),
+         uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         usc AS (SELECT u.a_id, u.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM uni u
+           JOIN sig sa ON sa.doc_id = u.a_id
+           JOIN sig sb ON sb.doc_id = u.b_id),
+         uj AS (SELECT a_id, b_id,
+             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
+           FROM usc),
+         fl AS (SELECT uj.jaccard_e4,
+             CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS caught
+           FROM uj LEFT JOIN cand c ON uj.a_id = c.a_id AND uj.b_id = c.b_id),
+         g AS (SELECT least(jaccard_e4 // 1000, 9) AS bin, caught FROM fl)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           CAST(sum(caught) * 10000 // count(*) AS BIGINT) AS catch_e4
+         FROM g GROUP BY g.bin ORDER BY bin"""
 
   /** q38's winnowing derivation: fingerprint CTEs + stop-filter + shared
     * count >= 10. Shared by q38 (ad-hoc) and q167 (the persisted-store
@@ -532,30 +585,20 @@ object DedupQueries {
     // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.
-    "q154_lsh_scurve" ->
-      raw"""WITH sample AS (SELECT doc_id, text FROM documents
-           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
-         ${nearDupPairsCtesFrom("sample")},
-         ids AS (SELECT doc_id FROM sig),
-         uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
-         usc AS (SELECT u.a_id, u.b_id,
-             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
-           FROM uni u
-           JOIN sig sa ON sa.doc_id = u.a_id
-           JOIN sig sb ON sb.doc_id = u.b_id),
-         uj AS (SELECT a_id, b_id,
-             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
-           FROM usc),
-         fl AS (SELECT uj.jaccard_e4,
-             CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS caught
-           FROM uj LEFT JOIN cand c ON uj.a_id = c.a_id AND uj.b_id = c.b_id),
-         g AS (SELECT least(jaccard_e4 // 1000, 9) AS bin, caught FROM fl)
-         SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(caught) AS BIGINT) AS n_caught,
-           CAST(sum(caught) * 10000 // count(*) AS BIGINT) AS catch_e4
-         FROM g GROUP BY g.bin ORDER BY bin""",
+    "q154_lsh_scurve" -> q154Sql,
+    // q178: q154's measured curve joined to the theoretical 1-(1-j^r)^b
+    // at each bin midpoint — the same truncating power chains as q171
+    "q178_banding_calibration" ->
+      raw"""WITH m AS ($q154Sql),
+         p AS (SELECT m.*,
+             10000 - list_reduce(list_transform(range($B), xb ->
+               10000 - list_reduce(list_transform(range(${K / B}), xr -> lo_e4 + 500),
+                 (ja, jc) -> ja * jc // 10000)),
+               (qa, qc) -> qa * qc // 10000) AS predicted_e4
+           FROM m)
+         SELECT bin, lo_e4, n_pairs, catch_e4 AS measured_e4, predicted_e4,
+           abs(catch_e4 - predicted_e4) AS gap_e4
+         FROM p ORDER BY bin""",
     "q99_incremental_near_dup" ->
       raw"""WITH $nearDupPairsCtes
          SELECT a_id, b_id, jaccard_e4 FROM pairs
