@@ -86,6 +86,20 @@ class DecontamStoreSpec extends SparkSpec {
       "a run with no new files must not grow the verdict store")
   }
 
+  test("serve plan: corpus side reaches ONE BroadcastHashJoin exchange-free " +
+    "(the only hash exchanges are the final aggregate and the store-side " +
+    "distinct, which is benchmark-scale)") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcp_wh_").toString)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
+      evalDocs, "doc_id", "text", n = 4)
+    val plan = DecontamStore.contaminated(
+      wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      "an extra shuffle appeared on the serve path:\n" + plan)
+  }
+
   test("attribution accounts for every verdict hit (a corpus gram matching " +
     "k eval docs contributes k attribution rows but one verdict gram)") {
     val wh = new Warehouse(spark, Files.createTempDirectory("graft_dca_wh_").toString)
