@@ -434,6 +434,61 @@ object CorpusQueries {
     out
   }
 
+  /** q179: dedup-aware token-budget selection — q143's budgeted prefix
+    * computed over EFFECTIVE tokens (n_tok · q138's soft-dedup weight):
+    * a document crawled five times contributes a fifth of its tokens to
+    * the budget, so the selected set maximizes UNIQUE training mass, not
+    * raw mass — the composition data-constrained scaling actually wants
+    * (raw-budget selection over a duplicated corpus silently spends the
+    * budget on copies). Output is the kept prefix with its effective
+    * cumsum; budget = half the corpus's effective tokens.
+    *
+    * Scale shape: one pair+CC run for the weights (q41's envelope), one
+    * scored scan, then q143's decomposed cumsum — per-bucket token sums,
+    * the tiny strictly-higher running total broadcast back, the only
+    * corpus-sized window partitioned BY bucket. The ORACLE is the naive
+    * global window over the recursive-CTE weights — hash-equality proves
+    * decomposed ≡ global, the q143 pattern extended with the dedup join. */
+  def q179DedupBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val docs = docsWide(spark, dir)
+    val clusters = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+    val weights = clusters
+      .join(clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n")),
+        Seq("cluster"))
+      .select(col("doc_id"), col("n").as("n_dups"))
+    val scored = docs.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_e4"),
+        expr("n_tok * (10000 div coalesce(n_dups, 1L)) div 10000").as("eff_tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = scored.groupBy(col("quality_e4"))
+      .agg(sum(col("eff_tok")).as("bucket_tok"))
+    val wHi = Window.orderBy(col("quality_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hi = buckets.select(col("quality_e4"),
+      coalesce(sum(col("bucket_tok")).over(wHi), lit(0L)).as("hi_tok"))
+    val budget = buckets.agg(expr("sum(bucket_tok) div 2").as("budget"))
+    val wIn = Window.partitionBy(col("quality_e4")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = scored
+      .withColumn("cum_in", sum(col("eff_tok")).over(wIn))
+      .join(broadcast(hi), Seq("quality_e4"))
+      .join(broadcast(budget), lit(true))
+      .withColumn("cum_eff", col("hi_tok") + col("cum_in"))
+      .filter(col("cum_eff") <= col("budget"))
+      .select(col("doc_id"), col("quality_e4"), col("eff_tok"), col("cum_eff"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
   /** q43: Gopher-style repetition/shape stats + the composite keep flag. */
   def q43GopherStats(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
@@ -661,6 +716,7 @@ object CorpusQueries {
     "q169_decontam_store" -> (q169DecontamStore _),
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
+    "q179_dedup_budget_select" -> (q179DedupBudgetSelect _),
     "q162_decontam_curve" -> (q162DecontamCurve _),
     "q177_decontam_curve_store" -> (q177DecontamCurveStore _),
     "q43_gopher_stats" -> (q43GopherStats _),
@@ -1055,6 +1111,40 @@ object CorpusQueries {
            CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed
          FROM bagg FULL OUTER JOIN rem ON bagg.source = rem.source
          ORDER BY 1""",
+    // q179: the naive GLOBAL cumsum over recursive-CTE soft-dedup weights
+    // — the engine's bucket-decomposed windows must hash-match it exactly
+    "q179_dedup_budget_select" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1),
+         tq AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+             ${TextQueries.punctCountSql} AS n_punct,
+             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+           FROM documents),
+         sq AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(floor((least(n_tok/100.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM tq),
+         w AS (SELECT sq.doc_id, sq.quality_e4,
+             CAST(sq.n_tok * (10000 // coalesce(sz.n, 1)) // 10000 AS BIGINT) AS eff_tok
+           FROM sq LEFT JOIN cl ON cl.doc_id = sq.doc_id
+           LEFT JOIN sz ON sz.cluster = cl.cluster),
+         tot AS (SELECT CAST(sum(eff_tok) // 2 AS BIGINT) AS budget FROM w),
+         c AS (SELECT doc_id, quality_e4, eff_tok,
+             CAST(sum(eff_tok) OVER (ORDER BY quality_e4 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_eff
+           FROM w)
+         SELECT doc_id, quality_e4, eff_tok, cum_eff
+         FROM c, tot WHERE cum_eff <= budget ORDER BY doc_id""",
     "q170_decontam_attribution" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,
