@@ -101,6 +101,39 @@ object CorpusQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q180: frequency-capped dedup — the policy point BETWEEN q41/q150
+    * (keep one per cluster) and q138 (keep all, down-weight): every
+    * near-dup cluster keeps its top-k=3 members by quality (q150's
+    * ranking, ties to the lowest doc_id), the rest drop. Practical
+    * corpora cap duplicates instead of collapsing them — a few copies of
+    * genuinely popular text carry signal (the "dedup hurts at the
+    * extreme" result), while unbounded copies are crawl artifacts. One
+    * decision row per clustered doc: (cluster, doc_id, quality_e4, rank,
+    * n_dups, kept).
+    *
+    * Scale shape: q41's pair+CC envelope plus one cluster-partitioned
+    * rank window (cluster-bounded state, uniform md5-derived labels) —
+    * the q150 plan with the filter widened to a flag. */
+  def q180CapKDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val clusters = Clusters.dedupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = K, b = B, shingleN = N, minJaccard = 0.5))
+    val scored = clusters
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        fixedPoint(qualityScore(col("text")), 4).as("quality_e4"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("quality_e4").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("kept", col("rank") <= 3)
+      .select(col("cluster"), col("doc_id"), col("quality_e4"),
+        col("rank"), col("n_dups"), col("kept"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
   /** q160: incremental clustering ≡ full recompute — the even-doc half is
     * the STORED state (its pairs clustered once, labels kept; signatures
     * kept), the odd half is the arriving batch: q99's incremental pair
@@ -706,6 +739,7 @@ object CorpusQueries {
     "q160_incremental_clusters" -> (q160IncrementalClusters _),
     "q164_sampled_clusters" -> (q164SampledClusters _),
     "q150_best_of_cluster" -> (q150BestOfCluster _),
+    "q180_cap_k_dedup" -> (q180CapKDedup _),
     "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
     "q139_split_leakage" -> (q139SplitLeakage _),
@@ -1005,6 +1039,34 @@ object CorpusQueries {
          SELECT cluster, doc_id AS keep_id, CAST(n AS BIGINT) AS n_dups,
            quality_e4
          FROM m WHERE r = 1 ORDER BY cluster""",
+    // q180: q150's chain with the rank filter widened to a keep flag at
+    // k=3 — one decision row per clustered doc
+    "q180_cap_k_dedup" ->
+      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
+         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+         edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                   UNION ALL SELECT b_id, a_id FROM p2),
+         reach(id, lab) AS (
+           SELECT DISTINCT s AS id, s AS lab FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+           WHERE r.lab < e.d),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         qt AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+             ${TextQueries.punctCountSql} AS n_punct,
+             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+           FROM documents),
+         q AS (SELECT doc_id, CAST(floor((least(n_tok/100.0, 1.0)*0.4
+             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+           FROM qt),
+         m AS (SELECT cl.cluster, cl.doc_id, q.quality_e4,
+             CAST(row_number() OVER (PARTITION BY cl.cluster
+               ORDER BY q.quality_e4 DESC, cl.doc_id) AS BIGINT) AS rank,
+             CAST(count(*) OVER (PARTITION BY cl.cluster) AS BIGINT) AS n_dups
+           FROM cl JOIN q USING (doc_id))
+         SELECT cluster, doc_id, quality_e4, rank, n_dups, rank <= 3 AS kept
+         FROM m ORDER BY cluster, rank""",
     "q139_split_leakage" ->
       raw"""WITH ${DedupQueries.nearDupPairsCtes},
          p2 AS (SELECT a_id, b_id, jaccard_e4 FROM pairs WHERE jaccard_e4 >= 5000),
