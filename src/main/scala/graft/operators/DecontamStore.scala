@@ -30,10 +30,11 @@ import graft.core.Warehouse
   * benchmark was registered at (the q162 aggressiveness curve replays
   * from the store without touching benchmark text).
   *
-  * At-least-once caveat: re-registering the same (benchId, n) would
-  * double its gram rows — harmless for [[contaminated]] (distinct gh at
-  * serve) but it inflates [[attribution]] hit counts; drive registration
-  * from an exactly-once control plane or guard on [[registered]]. */
+  * Registration is IDEMPOTENT at (benchId, n) granularity, enforced in
+  * code (the SketchStore contract pattern, ThetaSketch's (k, salt)
+  * check): re-registering an already-stored (benchId, n) is a no-op —
+  * the benchmark text is not even scanned — so a retried DAG task can
+  * never double gram rows or inflate [[attribution]] hit counts. */
 object DecontamStore {
 
   private def gramsTable(name: String) = s"${name}_eval_grams"
@@ -41,17 +42,26 @@ object DecontamStore {
 
   /** Register one benchmark at n-gram size `n`: extract its distinct
     * per-doc gram hashes ONCE (the only time this benchmark's text is
-    * read) and append them as (bench_id, n_gram, e_id, gh). */
+    * read) and append them as (bench_id, n_gram, e_id, gh).
+    *
+    * Idempotent: when this (benchId, n) is already in the store the call
+    * returns without reading the benchmark text — a registration retry
+    * can never double gram rows (which would silently inflate
+    * [[attribution]] hit counts). The existence probe is one
+    * partition-pruned limit-1 read of the benchmark-scale gram table. */
   def registerBenchmark(wh: Warehouse, schema: String, name: String,
                         benchId: String, evalDocs: DataFrame,
                         idCol: String, textCol: String, n: Int): Unit = {
+    val exists = wh.exists(schema, gramsTable(name))
+    if (exists && !wh.read(schema, gramsTable(name))
+        .filter(col("bench_id") === benchId && col("n_gram") === n.toLong)
+        .isEmpty) return
     val gramHashes =
       org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)
     val rows = evalDocs.select(
       lit(benchId).as("bench_id"), lit(n.toLong).as("n_gram"),
       col(idCol).as("e_id"), explode(gramHashes).as("gh"))
-    if (wh.exists(schema, gramsTable(name)))
-      wh.append(schema, gramsTable(name), rows)
+    if (exists) wh.append(schema, gramsTable(name), rows)
     else wh.overwrite(schema, gramsTable(name), rows)
   }
 

@@ -449,9 +449,18 @@ object TextQueries {
     val row = agg.head()
     val n = row.getAs[Long]("n")
     import spark.implicits._
-    points.map { p =>
-      (p.toLong, row.getAs[Long](s"nk$p"), row.getAs[Long](s"na$p") * 10000L / n)
-    }.toDF("iters", "n_keep", "agree_e4").orderBy(col("iters"))
+    // empty corpus: the per-point sums are null and the agreement ratio is
+    // undefined — emit the 3 curve points with null agree_e4 (the
+    // null-tolerant shape the SQL `div` formulation had) instead of NPEing
+    // on primitive unboxing / dividing by zero
+    if (n == 0L)
+      points.map(p => (p.toLong, 0L)).toDF("iters", "n_keep")
+        .withColumn("agree_e4", lit(null).cast("long"))
+        .orderBy(col("iters"))
+    else
+      points.map { p =>
+        (p.toLong, row.getAs[Long](s"nk$p"), row.getAs[Long](s"na$p") * 10000L / n)
+      }.toDF("iters", "n_keep", "agree_e4").orderBy(col("iters"))
   }
 
   /** q135: quality-distribution drift per source — each source's

@@ -17,18 +17,24 @@ def load_queries(path):
         return d["queries"]
     # scrape "name":sec pairs out of the tail fragment (BENCHQ lines carry
     # the FULL per-query map in 20-query chunks; the compact stdout JSON
-    # only keeps the 20 slowest)
+    # only keeps the 20 slowest). Anchor the scrape to BENCHQ lines when any
+    # survive, so a stray "qNN":number from an unrelated log fragment can't
+    # leak into the comparison; fall back to the whole tail otherwise.
+    tail = d.get("tail", "")
+    benchq_lines = "\n".join(l for l in tail.splitlines() if l.startswith("BENCHQ"))
     scraped = {
         m.group(1): float(m.group(2))
-        for m in re.finditer(r'"(q[^"]+|x_[^"]+)":(-?\d+\.?\d*)', d.get("tail", ""))
+        for m in re.finditer(r'"(q[^"]+|x_[^"]+)":(-?\d+\.?\d*)',
+                             benchq_lines or tail)
     }
     if d.get("parsed"):
         parsed = d["parsed"].get("queries", d["parsed"])
         if isinstance(parsed, dict):
             # the compact line is truncated by design; merge the scraped
-            # BENCHQ pairs so cross-round comparisons keep every query
+            # BENCHQ pairs so cross-round comparisons keep every query —
+            # structured compact-JSON values win on key collision
             if d["parsed"].get("n_queries", 0) > len(parsed):
-                return {**parsed, **scraped}
+                return {**scraped, **parsed}
             return parsed
     return scraped
 
