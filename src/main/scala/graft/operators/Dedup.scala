@@ -906,31 +906,123 @@ object Dedup {
     * costs the same at 100 TB as at 100 rows. */
   def bandingPlan(spark: org.apache.spark.sql.SparkSession, hashBudget: Int,
                   tausE4: Seq[Long], gridStepE4: Int = 250): DataFrame = {
-    require(hashBudget >= 1, "hashBudget must be >= 1")
-    require(gridStepE4 >= 1 && 10000 % gridStepE4 == 0,
-      "gridStepE4 must divide 10000")
     require(tausE4.nonEmpty, "need at least one target threshold")
     import spark.implicits._
-    val cands = for {
+    val base = tausE4.flatMap(t => bandingCombos(hashBudget)
+        .map { case (bb, rr) => (t, bb, rr) })
+      .toDF("tau_e4", "b", "r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tau_e4"))
+      .orderBy(col("total_err"), col("b"), col("r"))
+    base.withColumn("total_err", stepErrExpr(gridStepE4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("tau_e4"), col("b").as("bands"),
+        col("r").as("rows_per_band"), col("total_err"))
+  }
+
+  /** The (bands, rows_per_band) candidate grid under a hash budget. */
+  private def bandingCombos(hashBudget: Int): Seq[(Long, Long)] = {
+    require(hashBudget >= 1, "hashBudget must be >= 1")
+    for {
       b <- 1 to hashBudget; r <- 1 to hashBudget if b * r <= hashBudget
     } yield (b.toLong, r.toLong)
-    val base = tausE4.flatMap(t => cands.map { case (bb, rr) => (t, bb, rr) })
-      .toDF("tau_e4", "b", "r")
+  }
+
+  /** Integer step-approximation error of the candidacy curve
+    * 1−(1−j^r)^b vs the ideal step at tau_e4, summed over the e4 grid —
+    * the objective [[bandingPlan]] and [[bandingPlanBudgeted]] share
+    * (expects columns tau_e4, b, r). */
+  private def stepErrExpr(gridStepE4: Int): Column = {
+    require(gridStepE4 >= 1 && 10000 % gridStepE4 == 0,
+      "gridStepE4 must divide 10000")
     val nGrid = 10000 / gridStepE4 - 1 // j = step .. 10000-step
-    val totalErr = expr(
+    expr(
       s"""aggregate(sequence(1L, ${nGrid}L), 0L, (acc, i) ->
          acc + abs(
            (10000L - aggregate(sequence(1L, b), 10000L, (qa, xb) ->
              qa * (10000L - aggregate(sequence(1L, r), 10000L, (ja, xr) ->
                ja * (i * ${gridStepE4}L) div 10000L)) div 10000L))
            - if(i * ${gridStepE4}L >= tau_e4, 10000L, 0L)))""")
+  }
+
+  /** Projected LSH candidate-pair mass per banding on THIS corpus: for
+    * every (b, r) with b·r ≤ `hashBudget`, the candidate pairs the
+    * banding's bucket census would count (Σ n·(n−1)/2 over (band,
+    * band_hash) buckets — exactly the quantity [[lshCandidatePairs]]'s
+    * budget guard measures), estimated from a deterministic 1-in-
+    * `sampleMod` id-hash sample and scaled by sampleMod²: a pair
+    * survives the sample iff BOTH endpoints do, independently at
+    * 1/mod each. Band hashes are bit-identical to [[lshBands]]' (same
+    * md5-of-minhash-concat), so the projection measures the production
+    * candidate stage, not a proxy.
+    *
+    * Scale shape: one sampled signing scan (row-local), one static
+    * Σ_b-per-combo struct explode (≈220 rows/doc at budget 16), one
+    * groupBy on uniform (b, r, band, bh) keys, one combo-sized rollup.
+    * At 100 TB the mod is the budget knob — the census costs
+    * O(corpus/mod), never a pair stage. */
+  def bandingCensus(df: DataFrame, idCol: String, textCol: String,
+                    hashBudget: Int, shingleN: Int = 5,
+                    sampleMod: Int = 4): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sampled = df.filter(pmod(idHash, lit(sampleMod.toLong)) === 0L)
+    val sig = signatureFrame(sampled, idCol, textCol, hashBudget, shingleN)
+    val bandStructs: Seq[Column] = for {
+      (b, r) <- bandingCombos(hashBudget); j <- 0L until b
+    } yield struct(lit(b).as("b"), lit(r).as("r"), lit(j).as("band"),
+      md5(concat_ws("|", (0L until r).map(i =>
+        col(s"mh_${j * r + i}").cast("string")): _*)).as("bh"))
+    sig.select(explode(array(bandStructs: _*)).as("__x"))
+      .select(col("__x.b").as("b"), col("__x.r").as("r"),
+        col("__x.band").as("band"), col("__x.bh").as("bh"))
+      .groupBy(col("b"), col("r"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("b"), col("r"))
+      .agg((sum(expr("n * (n - 1) div 2")) * lit(sampleMod.toLong)
+        * lit(sampleMod.toLong)).as("projected_pairs"))
+  }
+
+  /** Census-aware LSH banding auto-tune — [[bandingPlan]] made
+    * guard-compatible: per target threshold, the (bands, rows_per_band)
+    * under the hash budget that minimizes the step-approximation error
+    * SUBJECT TO the banding's projected candidate-pair mass on THIS
+    * corpus ([[bandingCensus]]) fitting `pairBudget` — the same budget
+    * class [[lshCandidatePairs]]' guard enforces at run time, so the
+    * tuner can no longer emit a plan its own production stage refuses
+    * (round 10: the pure step-error τ=0.5 pick projected 69.5M pairs at
+    * sf1.0 and the guard threw). A τ with NO feasible banding emits no
+    * row — "this corpus can't be LSH'd under this budget" is an
+    * actionable answer (strip boilerplate first), not a crash later.
+    *
+    * Cost = one [[bandingCensus]] (sampled corpus scan) + the
+    * parameter-scale arithmetic of [[bandingPlan]]; both engines replay
+    * the identical integer chains, so the pick is oracle-exact. */
+  def bandingPlanBudgeted(df: DataFrame, idCol: String, textCol: String,
+                          hashBudget: Int, tausE4: Seq[Long],
+                          shingleN: Int = 5, sampleMod: Int = 4,
+                          pairBudget: Long = DefaultCandidatePairBudget,
+                          gridStepE4: Int = 250): DataFrame = {
+    require(tausE4.nonEmpty, "need at least one target threshold")
+    require(pairBudget > 0, "pairBudget must be > 0 (the point is the cap)")
+    import df.sparkSession.implicits._
+    val base = tausE4.flatMap(t => bandingCombos(hashBudget)
+        .map { case (bb, rr) => (t, bb, rr) })
+      .toDF("tau_e4", "b", "r")
+    val census = bandingCensus(df, idCol, textCol, hashBudget, shingleN,
+      sampleMod)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tau_e4"))
       .orderBy(col("total_err"), col("b"), col("r"))
-    base.withColumn("total_err", totalErr)
+    base.withColumn("total_err", stepErrExpr(gridStepE4))
+      .join(broadcast(census), Seq("b", "r"))
+      .filter(col("projected_pairs") <= pairBudget)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("tau_e4"), col("b").as("bands"),
-        col("r").as("rows_per_band"), col("total_err"))
+        col("r").as("rows_per_band"), col("total_err"),
+        col("projected_pairs"))
   }
 }

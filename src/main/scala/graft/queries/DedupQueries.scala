@@ -79,6 +79,44 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q181: census-aware banding auto-tune — q171's closed-form pick made
+    * GUARD-COMPATIBLE: per τ ∈ {0.3, 0.5, 0.8}, the (bands, rows_per_band)
+    * under the k=16 budget minimizing step error SUBJECT TO the banding's
+    * projected candidate-pair mass on THIS corpus fitting the production
+    * 50M budget ([[Dedup.bandingCensus]]: the 1-in-4 id-hash sample's
+    * bucket census × mod² — the exact quantity lshCandidatePairs' guard
+    * measures at run time). Round 10's verdict named the gap: q171's
+    * τ=0.5 pick (5×3) projects 69.5M pairs at sf1.0 and the guard refuses
+    * it; this tuner picks the best banding that can actually RUN. Cost is
+    * one sampled signing scan + parameter-scale integer arithmetic —
+    * both engines replay identical chains. */
+  def q181BudgetedBandingPlan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandingPlanBudgeted(Tables(spark, dir, "documents"), "doc_id",
+      "text", hashBudget = K, tausE4 = Seq(3000L, 5000L, 8000L),
+      shingleN = N, sampleMod = 4)
+      .orderBy(col("tau_e4"))
+
+  /** q182: the budgeted tuner COMPOSED with the production pipeline —
+    * q173's shape with the census constraint closed: near-dup pairs at
+    * the banding [[Dedup.bandingPlanBudgeted]] picks for τ=0.5, run under
+    * the DEFAULT candidate-pair guard. Where q173 documents the refusal
+    * (its pure-step-error 5×3 pick is over budget at sf1.0), q182's pick
+    * is budget-feasible BY CONSTRUCTION, so the composition runs at every
+    * scale — the oracle replays the census + argmin + chain, so a drifted
+    * pick hash-fails. At ≤ sf0.1 every banding fits the budget and the
+    * pick equals q171's (5×3); at sf1.0 the census excludes it and the
+    * tuner lands on the best feasible banding instead of throwing. */
+  def q182BudgetAutoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val plan = Dedup.bandingPlanBudgeted(docs, "doc_id", "text",
+      hashBudget = K, tausE4 = Seq(5000L), shingleN = N, sampleMod = 4)
+      .select(col("bands"), col("rows_per_band")).head()
+    val (b, r) = (plan.getLong(0).toInt, plan.getLong(1).toInt)
+    Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = b * r, b = b, shingleN = N, minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q178: banding calibration — q154's MEASURED catch rate per Jaccard
     * bin joined against the THEORETICAL 1−(1−j^r)^b at each bin midpoint
     * (the same truncating-division power chains q171 optimizes over,
@@ -316,6 +354,8 @@ object DedupQueries {
     "q154_lsh_scurve" -> (q154LshScurve _),
     "q171_banding_plan" -> (q171BandingPlan _),
     "q173_auto_near_dup" -> (q173AutoNearDup _),
+    "q181_budgeted_banding_plan" -> (q181BudgetedBandingPlan _),
+    "q182_budget_auto_near_dup" -> (q182BudgetAutoNearDup _),
     "q178_banding_calibration" -> (q178BandingCalibration _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
@@ -381,6 +421,59 @@ object DedupQueries {
   }
 
   private[queries] val nearDupPairsCtes: String = nearDupPairsCtesFrom("documents")
+
+  /** Census + budgeted-plan CTE chain (the q181/q182 oracle head):
+    * 1-in-`sampleMod` id-hash sample signed at k, every (b, r) banding's
+    * bucket census rolled to projected pairs ×mod², q171's step-error
+    * grid, the feasibility cut, per-τ argmin — ends in
+    * `ch(tau_e4, b, r, total_err, projected_pairs)` (one row per feasible
+    * τ). CTE names are cs*-prefixed so the chain composes with the
+    * full-corpus pair CTEs in one statement (q182). Mirrors
+    * [[graft.operators.Dedup.bandingPlanBudgeted]] integer-for-integer. */
+  private def budgetedPlanCtes(k: Int, tausE4: Seq[Long], sampleMod: Int,
+                               pairBudget: Long): String = {
+    val mhList = (0 until k).map(i => s"mh_$i").mkString("[", ", ", "]")
+    raw"""csmp AS (SELECT doc_id, text FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % $sampleMod = 0),
+       csd AS (SELECT doc_id, CASE WHEN len(text) >= $N
+         THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
+         ELSE [text] END AS shs0 FROM csmp),
+       csh AS (SELECT doc_id,
+           list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
+         FROM csd),
+       cssig AS (SELECT doc_id, ${sigColsFor(k)} FROM csh),
+       csl AS (SELECT doc_id, $mhList AS mh FROM cssig),
+       combos AS (SELECT b.range AS b, r.range AS r
+         FROM range(1, ${k + 1}) b, range(1, ${k + 1}) r
+         WHERE b.range * r.range <= $k),
+       cbr AS (SELECT doc_id, b, r, unnest(range(b)) AS band, mh FROM csl, combos),
+       cbd AS (SELECT b, r, band,
+           md5(array_to_string(list_transform(range(r),
+             i -> CAST(mh[band*r + i + 1] AS VARCHAR)), '|')) AS bh
+         FROM cbr),
+       cen AS (SELECT b, r,
+           CAST(sum((n*(n-1))//2) * $sampleMod * $sampleMod AS BIGINT) AS projected_pairs
+         FROM (SELECT b, r, band, bh, count(*) AS n FROM cbd GROUP BY 1, 2, 3, 4)
+         GROUP BY 1, 2),
+       cstau AS (SELECT CAST(unnest([${tausE4.mkString(", ")}]) AS BIGINT) AS tau_e4),
+       csg AS (SELECT range AS i FROM range(1, 40)),
+       csp AS (SELECT tau_e4, b, r, i * 250 AS j,
+           10000 - list_reduce(list_transform(range(b), xb ->
+             10000 - list_reduce(list_transform(range(r), xr -> i * 250),
+               (ja, jc) -> ja * jc // 10000)),
+             (qa, qc) -> qa * qc // 10000) AS pc
+         FROM combos, cstau, csg),
+       cse AS (SELECT tau_e4, b, r,
+           CAST(sum(abs(pc - CASE WHEN j >= tau_e4 THEN 10000 ELSE 0 END)) AS BIGINT) AS total_err
+         FROM csp GROUP BY 1, 2, 3),
+       ch AS (SELECT tau_e4, b, r, total_err, projected_pairs FROM (
+           SELECT cse.tau_e4, cse.b, cse.r, cse.total_err, cen.projected_pairs,
+             row_number() OVER (PARTITION BY tau_e4
+               ORDER BY total_err, cse.b, cse.r) AS rn
+           FROM cse JOIN cen ON cse.b = cen.b AND cse.r = cen.r
+           WHERE cen.projected_pairs <= $pairBudget)
+         WHERE rn = 1)"""
+  }
 
   // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
   // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
@@ -582,6 +675,50 @@ object DedupQueries {
            FROM s)
          SELECT tau_e4, b AS bands, r AS rows_per_band, total_err
          FROM w WHERE rn = 1 ORDER BY tau_e4""",
+    // q181: the census + step-error chain with the feasibility cut — the
+    // same truncating power chains as q171, joined against the sampled
+    // bucket census ×16 (mod 4), argmin over feasible (b, r) only
+    "q181_budgeted_banding_plan" ->
+      raw"""WITH ${budgetedPlanCtes(K, Seq(3000L, 5000L, 8000L), 4,
+             Dedup.DefaultCandidatePairBudget)}
+         SELECT tau_e4, b AS bands, r AS rows_per_band, total_err,
+           projected_pairs
+         FROM ch ORDER BY tau_e4""",
+    // q182: the plan chain picks (b, r) for τ=0.5 under the census budget,
+    // then the FULL near-dup derivation runs at that banding — band count
+    // and rows-per-band are DATA-dependent (range(b) over the chosen row),
+    // so a drifted pick hash-fails the gate
+    "q182_budget_auto_near_dup" ->
+      raw"""WITH ${budgetedPlanCtes(K, Seq(5000L), 4,
+             Dedup.DefaultCandidatePairBudget)},
+         d AS (SELECT doc_id, CASE WHEN len(text) >= $N
+           THEN list_distinct([substr(text, i, $N) for i in range(1, len(text)-${N - 2})])
+           ELSE [text] END AS shs0 FROM documents),
+         h AS (SELECT doc_id, len(shs0) AS sz,
+             list_transform(shs0, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
+           FROM d),
+         sig AS (SELECT doc_id, sz, list_distinct(hs) AS shs, ${sigColsFor(K)} FROM h),
+         sl AS (SELECT doc_id, sz, shs,
+             ${(0 until K).map(i => s"mh_$i").mkString("[", ", ", "]")} AS mh
+           FROM sig),
+         bx AS (SELECT doc_id, mh, r, unnest(range(b)) AS band FROM sl, ch),
+         bands AS (SELECT doc_id, band,
+             md5(array_to_string(list_transform(range(r),
+               i -> CAST(mh[band*r + i + 1] AS VARCHAR)), '|')) AS bh
+           FROM bx),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         scored AS (SELECT c.a_id, c.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM cand c
+           JOIN sl sa ON sa.doc_id = c.a_id
+           JOIN sl sb ON sb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id,
+             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4
+           FROM scored)
+         SELECT a_id, b_id, jaccard_e4 FROM pairs
+         WHERE jaccard_e4 >= 5000 ORDER BY 1, 2""",
     // q154: the q20 CTE chain over a mod-4 id-hash sample; the exact side
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.

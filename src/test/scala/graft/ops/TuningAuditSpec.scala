@@ -51,6 +51,58 @@ class TuningAuditSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bandingCensus: projected pairs are the exact sample census times " +
+    "mod^2, monotone-decreasing in rows per band at fixed bands") {
+    val docs = Tables(spark, sf, "documents")
+    val cen = Dedup.bandingCensus(docs, "doc_id", "text", hashBudget = 16,
+      shingleN = 5, sampleMod = 2)
+      .as[(Long, Long, Long)].collect().map { case (b, r, p) => (b, r) -> p }
+      .toMap
+    assert(cen.keySet === (for { b <- 1L to 16L; r <- 1L to 16L
+      if b * r <= 16 } yield (b, r)).toSet)
+    cen.values.foreach(p => assert(p >= 0 && p % 4 == 0,
+      "projection must be census * mod^2"))
+    // longer rows = stricter collision requirement = never MORE candidates
+    for (b <- 1L to 4L; r <- 1L until 16L / b)
+      assert(cen((b, r + 1)) <= cen((b, r)),
+        s"census must fall as rows grow: b=$b r=$r")
+  }
+
+  test("bandingPlanBudgeted: an unconstraining budget reproduces " +
+    "bandingPlan's picks; a tight budget moves every pick to a feasible " +
+    "banding; an impossible budget yields no rows") {
+    val docs = Tables(spark, sf, "documents")
+    val taus = Seq(3000L, 5000L, 8000L)
+    val free = Dedup.bandingPlanBudgeted(docs, "doc_id", "text", 16, taus,
+        sampleMod = 2, pairBudget = Long.MaxValue)
+      .select("tau_e4", "bands", "rows_per_band", "total_err")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val unbudgeted = Dedup.bandingPlan(spark, 16, taus)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(free === unbudgeted)
+    val cen = Dedup.bandingCensus(docs, "doc_id", "text", 16, 5, 2)
+      .as[(Long, Long, Long)].collect().map { case (b, r, p) => (b, r) -> p }
+      .toMap
+    // a budget below the free picks' mass forces a different, feasible pick
+    val freeMass = free.map { case (t, b, r, _) => cen((b, r)) }.max
+    val tight = Dedup.bandingPlanBudgeted(docs, "doc_id", "text", 16, taus,
+        sampleMod = 2, pairBudget = math.max(1L, freeMass / 4))
+      .select("tau_e4", "bands", "rows_per_band")
+      .as[(Long, Long, Long)].collect()
+    tight.foreach { case (t, b, r) =>
+      assert(cen((b, r)) <= math.max(1L, freeMass / 4),
+        s"tau=$t picked an over-budget banding ${b}x$r") }
+    // pairBudget 1: either some banding projects <= 1 pair and every tau
+    // picks such a banding, or none does and the plan is EMPTY (the
+    // "this corpus can't be LSH'd under this budget" answer, not a crash)
+    val one = Dedup.bandingPlanBudgeted(docs, "doc_id", "text", 16, taus,
+        sampleMod = 2, pairBudget = 1L)
+      .select("bands", "rows_per_band").as[(Long, Long)].collect()
+    if (cen.values.exists(_ <= 1L))
+      one.foreach { case (b, r) => assert(cen((b, r)) <= 1L) }
+    else assert(one.isEmpty)
+  }
+
   test("sq8Distortion: errors are bounded by the quantizer contract " +
     "(0 <= err, mean <= max, every dimension covered once)") {
     val emb = Tables(spark, sf, "embeddings")
