@@ -78,18 +78,57 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       gcIfDiskPressured()
     }
+    // a census-guard refusal (lshCandidatePairs' budget contract, e.g.
+    // q173's documented sf1.0 stance) is a DECLARED skip, not a failure:
+    // it records -2 so one query's scale contract can't read as a broken
+    // sweep (-1 stays "failed"); totals and cross-round compares already
+    // exclude non-positive entries
+    def isGuardRefusal(e: Throwable): Boolean =
+      e.isInstanceOf[IllegalArgumentException] && e.getMessage != null &&
+        e.getMessage.contains("exceed") && e.getMessage.contains("budget")
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val status =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); 0 }
+        catch {
+          case e: Throwable if isGuardRefusal(e) =>
+            System.err.println(s"[bench] $name REFUSED by census guard: ${e.getMessage}"); -2
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1
+        }
       // stop the clock BEFORE cache release — unpersisting another query's
       // checkpoint blocks is harness bookkeeping, not query cost, and it
       // charged precisely the heaviest (most-persisting) queries
       val dt = (System.nanoTime() - t0) / 1e9
       releaseAll()
-      if (ok) dt else -1.0 // -1 = failed
+      if (status == 0) dt else status.toDouble // -1 = failed, -2 = refused
     }
+    // store-lifecycle queries measured in two phases: build (the one-time
+    // registration IO) and serve (the recurring per-arrival path). The
+    // committed per-query number is the SERVE time — the claim the store
+    // exists for — and build seconds ride the artifact as build_s
+    // (round-10 verdict: the conflated rows read 2.9x/4.4x at sf1.0 while
+    // the serve path alone is the design point). Correctness still gates
+    // the WHOLE lifecycle via the unchanged q169/q177 entries.
+    val storeSplits: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+      Map(
+        "q169_decontam_store" -> (graft.queries.CorpusQueries.q169BuildServe _),
+        "q177_decontam_curve_store" -> (graft.queries.CorpusQueries.q177BuildServe _))
+    // (build_s, serve_s); failures mirror timeOnce's sentinel convention
+    def timeSplit(name: String,
+                  mk: (SparkSession, String) => (() => Unit, () => DataFrame)): (Double, Double) =
+      try {
+        val (build, serve) = mk(spark, sfDir)
+        val t0 = System.nanoTime()
+        build()
+        val tb = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        serve().write.format("noop").mode("overwrite").save()
+        val ts = (System.nanoTime() - t1) / 1e9
+        releaseAll()
+        (tb, ts)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); releaseAll(); (-1.0, -1.0)
+      }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune non-grouping columns out of aggs).
     // Queries run in sorted name order for stable warmup attribution.
@@ -113,19 +152,47 @@ object Bench {
         val ts = (1 to 3).map(_ => timeOnce(calName, fn)).filter(_ >= 0)
         if (ts.isEmpty) -1.0 else ts.min
       }.getOrElse(-1.0)
+    // CC-family calibration anchor: the connected-components family
+    // (q41's pair+CC envelope under q99/q150/q160/q164/q176/q179/q180...)
+    // dominates sweep-total variance — round 10 measured q160 at 7.8 and
+    // 13.0 s within ONE session. Timing the family representative at
+    // sweep start and end stamps the family's own drift into the
+    // artifact, so a CC-heavy swing names itself the way q8's global
+    // calibration names box contention.
+    val ccCalName = "q41_dedup_clusters"
+    def ccCalibrate(): Double = SparkEntry.queries.get(ccCalName)
+      .map { fn =>
+        val ts = (1 to 2).map(_ => timeOnce(ccCalName, fn)).filter(_ >= 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }.getOrElse(-1.0)
     val calStart = calibrate()
+    val ccCalStart = ccCalibrate()
+    val buildS = scala.collection.mutable.LinkedHashMap[String, Double]()
     val half = selected.size / 2
     val queryResults0 = selected.zipWithIndex.flatMap { case ((name, fn), i) =>
-      val first = timeOnce(name, fn)
-      val best = if (first > 1.0) {
-        val second = timeOnce(name, fn)
-        if (second >= 0) math.min(first, second) else first
-      } else first
+      val best = storeSplits.get(name) match {
+        case Some(mk) =>
+          val (b1, s1) = timeSplit(name, mk)
+          val (bb, bs) =
+            if (s1 > 1.0) {
+              val (b2, s2) = timeSplit(name, mk)
+              if (s2 >= 0 && s2 < s1) (b2, s2) else (b1, s1)
+            } else (b1, s1)
+          if (bb >= 0) buildS(name) = bb
+          bs
+        case None =>
+          val first = timeOnce(name, fn)
+          if (first > 1.0) {
+            val second = timeOnce(name, fn)
+            if (second >= 0) math.min(first, second) else first
+          } else first
+      }
       val cal = if (i == half) Seq("__cal_mid" -> calibrate()) else Seq.empty
       Seq(name -> best) ++ cal
     }
     val calMid = queryResults0.collectFirst { case ("__cal_mid", v) => v }.getOrElse(-1.0)
     val queryResults = queryResults0.filterNot(_._1 == "__cal_mid")
+    val ccCalEnd = ccCalibrate()
     val calEnd = calibrate()
     // production-depth BPE training (not a Verify query — no SQL oracle
     // exists for an iterative learner): 1000 merges over the documents
@@ -157,8 +224,13 @@ object Bench {
     val cals = Seq(calStart, calMid, calEnd).filter(_ >= 0)
     val calSpread =
       if (cals.size >= 2 && cals.min > 0) cals.max / cals.min else -1.0
+    val ccCals = Seq(ccCalStart, ccCalEnd).filter(_ >= 0)
+    val ccSpread =
+      if (ccCals.size == 2 && ccCals.min > 0) ccCals.max / ccCals.min else -1.0
     val calJson = s""""calibration":{"query":"$calName","start":${r3(calStart)},""" +
-      s""""mid":${r3(calMid)},"end":${r3(calEnd)},"spread":${r3(calSpread)}}"""
+      s""""mid":${r3(calMid)},"end":${r3(calEnd)},"spread":${r3(calSpread)}},""" +
+      s""""cc_calibration":{"query":"$ccCalName","start":${r3(ccCalStart)},""" +
+      s""""end":${r3(ccCalEnd)},"spread":${r3(ccSpread)}}"""
     def mapJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // The canonical full artifact goes to target/bench.json — the stdout
@@ -167,12 +239,15 @@ object Bench {
     // JSON instead: totals + calibration + the 20 slowest queries (the
     // rows perf review actually reads), with queries_full naming the file.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    // build_s: the untimed-in-headline one-time store-registration cost of
+    // the split-measured lifecycle queries (their headline value is serve)
+    val buildJson = s""""build_s":${mapJson(buildS.toSeq)}"""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calJson,""" +
-        s""""queries":${mapJson(results)},"sf":"$sfDir"}"""
+        s"""$buildJson,"queries":${mapJson(results)},"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calJson,""" +
-        s""""n_queries":${results.size},"queries_full":"target/bench.json",""" +
+        s"""$buildJson,"n_queries":${results.size},"queries_full":"target/bench.json",""" +
         s""""queries":${mapJson(slowest)},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")

@@ -114,8 +114,10 @@ object CorpusQueries {
     * Scale shape: q41's pair+CC envelope plus one cluster-partitioned
     * rank window (cluster-bounded state, uniform md5-derived labels) —
     * the q150 plan with the filter widened to a flag. */
-  def q180CapKDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def q180CapKDedup(spark: SparkSession, dir: String): DataFrame =
+    capKDedupOver(Tables(spark, dir, "documents"))
+
+  private def capKDedupOver(docs: DataFrame): DataFrame = {
     val clusters = Clusters.dedupClusters(
       Dedup.nearDupPairs(docs, "doc_id", "text",
         k = K, b = B, shingleN = N, minJaccard = 0.5))
@@ -133,6 +135,26 @@ object CorpusQueries {
         col("rank"), col("n_dups"), col("kept"))
       .orderBy(col("cluster"), col("rank"))
   }
+
+  /** The q164 deterministic mod-2 id-hash sample — the CC family's
+    * sf1.0-feasible audit restriction: the pair graph over a vertex-
+    * induced subgraph is cluster-closed, so CC (and everything built on
+    * it) is well-defined on both engine and oracle sides. */
+  private def sampledHalf(docs: DataFrame): DataFrame = {
+    val idHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    docs.filter(pmod(idHash, lit(2L)) === 0L)
+  }
+
+  /** q184: q180's frequency-capped dedup over the mod-2 id-hash sample —
+    * the committed sf1.0 hash evidence for the cap-k CC composite (the
+    * full-corpus recursive-CTE oracle is DuckDB-infeasible at sf1.0; the
+    * q164 sampling trick extends through the rank chain because the
+    * sampled pair graph is cluster-closed, so ranks within each sampled
+    * cluster are self-contained). Same code path as q180, restricted
+    * input — at 100 TB the mod is the audit's budget knob. */
+  def q184SampledCapK(spark: SparkSession, dir: String): DataFrame =
+    capKDedupOver(sampledHalf(Tables(spark, dir, "documents")))
 
   /** q160: incremental clustering ≡ full recompute — the even-doc half is
     * the STORED state (its pairs clustered once, labels kept; signatures
@@ -373,6 +395,68 @@ object CorpusQueries {
     out
   }
 
+  /** q169's lifecycle split for the BENCH surface: `build` registers the
+    * two benchmark halves into a fresh store (the one-time cost a
+    * production deployment pays once per benchmark, ever), `serve`
+    * streams the two corpus batches through the frozen store and reads
+    * the accumulated verdicts (the recurring per-arrival path the store
+    * exists for). serve's result is row-identical to [[q169DecontamStore]]
+    * — the correctness gate keeps timing the WHOLE lifecycle; the bench
+    * artifact reports them separately so the committed number measures
+    * the serving claim instead of conflating it with registration IO
+    * (round-10 verdict, Performance #1). */
+  def q169BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q169b_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val build = () => {
+      DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_even",
+        evalDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+      DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_odd",
+        evalDocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    }
+    val serve = () => {
+      DecontamStore.checkBatch(wh, "guard", "dc",
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+      DecontamStore.checkBatch(wh, "guard", "dc",
+        corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+      QueryUtil.withTempWarehouse(whDir) {
+        DecontamStore.verdicts(wh, "guard", "dc").orderBy(col("doc_id"))
+      }
+    }
+    (build, serve)
+  }
+
+  /** q177's lifecycle split for the BENCH surface (see [[q169BuildServe]]):
+    * `build` persists the (id, text) projection and registers the three
+    * n-gram sizes; `serve` runs the three store-served curve points over
+    * the cached corpus. Result row-identical to [[q177DecontamCurveStore]]. */
+  def q177BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q177b_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val build = () => Seq(3, 4, 6).foreach(n => DecontamStore.registerBenchmark(
+      wh, "guard", "dc", "bench", evalDocs, "doc_id", "text", n))
+    val serve = () => {
+      val out = QueryUtil.withTempWarehouse(whDir) {
+        Seq(3, 4, 6).map { n =>
+          DecontamStore.contaminated(wh, "guard", "dc", corpus, "doc_id", "text", n)
+            .agg(count(lit(1)).as("n_flagged"),
+              coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
+            .select(lit(n.toLong).as("n_gram"), col("n_flagged"), col("n_matched"))
+        }.reduce(_.unionByName(_)).orderBy(col("n_gram"))
+      }
+      docs.unpersist()
+      out
+    }
+    (build, serve)
+  }
+
   /** q162: decontamination aggressiveness curve — flagged-doc and
     * matched-gram counts at n-gram size ∈ {3, 4, 6} against the q42 eval
     * split: the "choose n" tuning input for the decontam family (q42
@@ -482,10 +566,21 @@ object CorpusQueries {
     * corpus-sized window partitioned BY bucket. The ORACLE is the naive
     * global window over the recursive-CTE weights — hash-equality proves
     * decomposed ≡ global, the q143 pattern extended with the dedup join. */
-  def q179DedupBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+  def q179DedupBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    dedupBudgetSelectOver(docsWide(spark, dir))
+
+  /** q183: q179's dedup-aware budget selection over the mod-2 id-hash
+    * sample — the committed sf1.0 hash evidence for the budget-select CC
+    * composite (q164's trick extended through the weights join and the
+    * bucket-decomposed cumsum: the sampled pair graph is cluster-closed,
+    * so every sampled doc's n_dups — and therefore its effective tokens
+    * and the half-mass budget — is a pure function of the sample). */
+  def q183SampledDedupBudget(spark: SparkSession, dir: String): DataFrame =
+    dedupBudgetSelectOver(sampledHalf(docsWide(spark, dir)))
+
+  private def dedupBudgetSelectOver(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val docs = docsWide(spark, dir)
     val clusters = Clusters.dedupClusters(
       Dedup.nearDupPairs(docs, "doc_id", "text",
         k = K, b = B, shingleN = N, minJaccard = 0.5))
@@ -740,6 +835,8 @@ object CorpusQueries {
     "q164_sampled_clusters" -> (q164SampledClusters _),
     "q150_best_of_cluster" -> (q150BestOfCluster _),
     "q180_cap_k_dedup" -> (q180CapKDedup _),
+    "q183_sampled_dedup_budget" -> (q183SampledDedupBudget _),
+    "q184_sampled_cap_k" -> (q184SampledCapK _),
     "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
     "q139_split_leakage" -> (q139SplitLeakage _),
@@ -764,6 +861,76 @@ object CorpusQueries {
   // CTE chain so the full corpus (q41/q160) and the mod-2 id-hash sample
   // (q164 — the scale surrogate DuckDB can finish at sf1.0) share one
   // derivation
+  // the mod-2 id-hash sample CTE + the pair chain over it — shared by the
+  // sampled CC composites (q183/q184); mirrors [[sampledHalf]] exactly
+  private lazy val sampledPairCtes: String =
+    raw"""smpl AS (SELECT doc_id, text FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0),
+       ${DedupQueries.nearDupPairsCtesFrom("smpl")}"""
+
+  // q180's derivation parameterized by the doc base so the full corpus
+  // and the mod-2 sample (q184 — DuckDB-feasible at sf1.0) share it
+  private def capKDedupSqlOver(pairCtes: String, base: String): String =
+    raw"""WITH RECURSIVE $pairCtes,
+       p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+       edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                 UNION ALL SELECT b_id, a_id FROM p2),
+       reach(id, lab) AS (
+         SELECT DISTINCT s AS id, s AS lab FROM edges
+         UNION
+         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+         WHERE r.lab < e.d),
+       cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+       qt AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+           ${TextQueries.punctCountSql} AS n_punct,
+           ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+         FROM $base),
+       q AS (SELECT doc_id, CAST(floor((least(n_tok/100.0, 1.0)*0.4
+           + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+           + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+         FROM qt),
+       m AS (SELECT cl.cluster, cl.doc_id, q.quality_e4,
+           CAST(row_number() OVER (PARTITION BY cl.cluster
+             ORDER BY q.quality_e4 DESC, cl.doc_id) AS BIGINT) AS rank,
+           CAST(count(*) OVER (PARTITION BY cl.cluster) AS BIGINT) AS n_dups
+         FROM cl JOIN q USING (doc_id))
+       SELECT cluster, doc_id, quality_e4, rank, n_dups, rank <= 3 AS kept
+       FROM m ORDER BY cluster, rank"""
+
+  // q179's derivation parameterized the same way (q183 = the mod-2 sample)
+  private def dedupBudgetSqlOver(pairCtes: String, base: String): String =
+    raw"""WITH RECURSIVE $pairCtes,
+       p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+       edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                 UNION ALL SELECT b_id, a_id FROM p2),
+       reach(id, lab) AS (
+         SELECT DISTINCT s AS id, s AS lab FROM edges
+         UNION
+         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+         WHERE r.lab < e.d),
+       cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+       sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1),
+       tq AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
+           ${TextQueries.punctCountSql} AS n_punct,
+           ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
+         FROM $base),
+       sq AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor((least(n_tok/100.0, 1.0)*0.4
+             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
+             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
+         FROM tq),
+       w AS (SELECT sq.doc_id, sq.quality_e4,
+           CAST(sq.n_tok * (10000 // coalesce(sz.n, 1)) // 10000 AS BIGINT) AS eff_tok
+         FROM sq LEFT JOIN cl ON cl.doc_id = sq.doc_id
+         LEFT JOIN sz ON sz.cluster = cl.cluster),
+       tot AS (SELECT CAST(sum(eff_tok) // 2 AS BIGINT) AS budget FROM w),
+       c AS (SELECT doc_id, quality_e4, eff_tok,
+           CAST(sum(eff_tok) OVER (ORDER BY quality_e4 DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_eff
+         FROM w)
+       SELECT doc_id, quality_e4, eff_tok, cum_eff
+       FROM c, tot WHERE cum_eff <= budget ORDER BY doc_id"""
+
   private def clustersSqlOver(ctes: String): String =
     raw"""WITH RECURSIVE $ctes,
        p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
@@ -1042,31 +1209,11 @@ object CorpusQueries {
     // q180: q150's chain with the rank filter widened to a keep flag at
     // k=3 — one decision row per clustered doc
     "q180_cap_k_dedup" ->
-      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
-         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
-         edges AS (SELECT a_id AS s, b_id AS d FROM p2
-                   UNION ALL SELECT b_id, a_id FROM p2),
-         reach(id, lab) AS (
-           SELECT DISTINCT s AS id, s AS lab FROM edges
-           UNION
-           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
-           WHERE r.lab < e.d),
-         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
-         qt AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
-             ${TextQueries.punctCountSql} AS n_punct,
-             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
-           FROM documents),
-         q AS (SELECT doc_id, CAST(floor((least(n_tok/100.0, 1.0)*0.4
-             + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
-             + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
-           FROM qt),
-         m AS (SELECT cl.cluster, cl.doc_id, q.quality_e4,
-             CAST(row_number() OVER (PARTITION BY cl.cluster
-               ORDER BY q.quality_e4 DESC, cl.doc_id) AS BIGINT) AS rank,
-             CAST(count(*) OVER (PARTITION BY cl.cluster) AS BIGINT) AS n_dups
-           FROM cl JOIN q USING (doc_id))
-         SELECT cluster, doc_id, quality_e4, rank, n_dups, rank <= 3 AS kept
-         FROM m ORDER BY cluster, rank""",
+      capKDedupSqlOver(DedupQueries.nearDupPairsCtes, "documents"),
+    // q184: the identical chain over the mod-2 id-hash sample — the cap-k
+    // composite's sf1.0-feasible oracle (q164's trick through the rank
+    // window: the sampled pair graph is cluster-closed)
+    "q184_sampled_cap_k" -> capKDedupSqlOver(sampledPairCtes, "smpl"),
     "q139_split_leakage" ->
       raw"""WITH ${DedupQueries.nearDupPairsCtes},
          p2 AS (SELECT a_id, b_id, jaccard_e4 FROM pairs WHERE jaccard_e4 >= 5000),
@@ -1176,37 +1323,11 @@ object CorpusQueries {
     // q179: the naive GLOBAL cumsum over recursive-CTE soft-dedup weights
     // — the engine's bucket-decomposed windows must hash-match it exactly
     "q179_dedup_budget_select" ->
-      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
-         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
-         edges AS (SELECT a_id AS s, b_id AS d FROM p2
-                   UNION ALL SELECT b_id, a_id FROM p2),
-         reach(id, lab) AS (
-           SELECT DISTINCT s AS id, s AS lab FROM edges
-           UNION
-           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
-           WHERE r.lab < e.d),
-         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
-         sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1),
-         tq AS (SELECT doc_id, ${TextQueries.tokCountSql} AS n_tok,
-             ${TextQueries.punctCountSql} AS n_punct,
-             ${TextQueries.stopCountSql} AS n_stop, len(text) AS n_chr
-           FROM documents),
-         sq AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-             CAST(floor((least(n_tok/100.0, 1.0)*0.4
-               + (1.0 - CASE WHEN n_chr>0 THEN n_punct/CAST(n_chr AS DOUBLE) ELSE 0.0 END)*0.3
-               + least(CASE WHEN n_tok>0 THEN n_stop*5.0/n_tok ELSE 0.0 END, 1.0)*0.3)*10000 + 0.5) AS BIGINT) AS quality_e4
-           FROM tq),
-         w AS (SELECT sq.doc_id, sq.quality_e4,
-             CAST(sq.n_tok * (10000 // coalesce(sz.n, 1)) // 10000 AS BIGINT) AS eff_tok
-           FROM sq LEFT JOIN cl ON cl.doc_id = sq.doc_id
-           LEFT JOIN sz ON sz.cluster = cl.cluster),
-         tot AS (SELECT CAST(sum(eff_tok) // 2 AS BIGINT) AS budget FROM w),
-         c AS (SELECT doc_id, quality_e4, eff_tok,
-             CAST(sum(eff_tok) OVER (ORDER BY quality_e4 DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_eff
-           FROM w)
-         SELECT doc_id, quality_e4, eff_tok, cum_eff
-         FROM c, tot WHERE cum_eff <= budget ORDER BY doc_id""",
+      dedupBudgetSqlOver(DedupQueries.nearDupPairsCtes, "documents"),
+    // q183: the identical derivation over the mod-2 id-hash sample — the
+    // budget-select composite's sf1.0-feasible oracle (cluster-closed
+    // sample, so weights and the half-mass budget are sample-pure)
+    "q183_sampled_dedup_budget" -> dedupBudgetSqlOver(sampledPairCtes, "smpl"),
     "q170_decontam_attribution" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,
