@@ -36,7 +36,7 @@ import graft.core.Warehouse
   */
 object AnnIndex {
 
-  private def centroidsTable(name: String) = s"${name}_centroids"
+  private[graft] def centroidsTable(name: String) = s"${name}_centroids"
   private def listsTable(name: String) = s"${name}_lists"
 
   /** Create (or replace) the index: store the centroid table and the
@@ -336,6 +336,15 @@ object AnnIndex {
 
   private def codebooksTable(name: String) = s"${name}_codebooks"
   private def codesTable(name: String) = s"${name}_codes"
+
+  /** The store's FROZEN per-subspace codebooks (sub, label, ce) — the
+    * model the distortion pre-gate audits arriving data against
+    * ([[graft.pipeline.Housekeeping.runAnnMaintenance]]): distortion
+    * measured vs the frozen books moves when appends walk away from the
+    * codebook cells, which is exactly the drift the recall gate would
+    * eventually pay an exact side to notice. */
+  def storedCodebooks(wh: Warehouse, schema: String, name: String): DataFrame =
+    wh.read(schema, codebooksTable(name))
 
   /** Store the PQ codebooks and the one-time code assignment of `corpus`.
     * `codebooks` from `Similarity.pqCodebooks` — (sub, label, ce). */

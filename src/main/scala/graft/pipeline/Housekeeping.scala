@@ -111,9 +111,14 @@ object Housekeeping {
                          idCol: String = "vec_id", embCol: String = "embedding",
                          kind: String = "ivf",
                          m: Int = 4, dim: Int = 64, pqK: Int = 8,
-                         pqIters: Int = 2) {
+                         pqIters: Int = 2,
+                         distortionPregate: Boolean = false,
+                         maxDistortionSkewE4: Long = 30000L) {
     require(kind == "ivf" || kind == "ivfpq" || kind == "ivfsq8",
       s"unknown ANN index kind '$kind' (ivf | ivfpq | ivfsq8)")
+    require(!distortionPregate || kind == "ivfpq" || kind == "ivfsq8",
+      "the distortion pre-gate reads a code layer — only the quantized " +
+        "store kinds (ivfpq | ivfsq8) have one")
   }
 
   /** Where [[runAnnMaintenance]] appends its per-index gate reports. */
@@ -140,23 +145,79 @@ object Housekeeping {
     Workflow.run(fanOutGraph(idFor.map(_._1)) { id =>
       val g = byId(id)
       val corpus = wh.read(g.corpusSchema, g.corpusTable)
-      val report = g.kind match {
-        case "ivfpq" => graft.operators.AnnIndex.recallGateIvfPq(
-          wh, g.schema, g.name, corpus, g.k, g.probes, g.m, g.dim, g.pqK,
-          g.minRecallE4, g.targetListSize, g.kmeansIters, g.pqIters,
-          g.nQueries, g.idCol, g.embCol)
-        case "ivfsq8" => graft.operators.AnnIndex.recallGateSq8(
-          wh, g.schema, g.name, corpus, g.k, g.probes, g.minRecallE4,
-          g.targetListSize, g.kmeansIters, g.nQueries, g.idCol, g.embCol)
-        case _ => graft.operators.AnnIndex.recallGate(
-          wh, g.schema, g.name, corpus,
-          g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,
-          g.nQueries, g.idCol, g.embCol)
-      }
+      // Distortion pre-gate (the q172/q174 monitors wired into the loop):
+      // one code-layer scan — NO exact side — decides whether the
+      // expensive recall gate runs at all. Skew = max/avg across
+      // dims/subspaces of the audit's tail statistic; a heavy-tailed
+      // append spikes exactly one dim (SQ8: a value one (lo, hi) pair
+      // can't quantize) or one subspace (PQ: a slice the frozen 8 entries
+      // under-cover vs the STORED codebooks), a nominal append leaves the
+      // profile flat. Nominal → the gate is a no-op this run (logged as
+      // pregate-skip, stores untouched); tripped → the full recall gate
+      // runs as before. The pre-gate is a TAIL detector: uniform drift
+      // is the scheduled full gate's job — run one un-pregated sweep on
+      // a slower cadence.
+      val skew: Long =
+        if (!g.distortionPregate) -1L
+        else distortionSkewE4(wh, g, corpus)
+      val (report, path) =
+        if (g.distortionPregate && skew <= g.maxDistortionSkewE4) {
+          val centTable = graft.operators.AnnIndex.centroidsTable(g.name)
+          val v = wh.currentVersion(g.schema, centTable)
+          (graft.operators.AnnIndex.RecallGateReport(
+            g.schema, g.name, nQueries = 0L,
+            recallBeforeE4 = -1L, minRecallE4 = g.minRecallE4,
+            rebuilt = false, recallAfterE4 = -1L,
+            nListsAfter = wh.read(g.schema, centTable).count(),
+            centroidsVersionBefore = v, centroidsVersionAfter = v),
+            "pregate-skip")
+        } else (g.kind match {
+          case "ivfpq" => graft.operators.AnnIndex.recallGateIvfPq(
+            wh, g.schema, g.name, corpus, g.k, g.probes, g.m, g.dim, g.pqK,
+            g.minRecallE4, g.targetListSize, g.kmeansIters, g.pqIters,
+            g.nQueries, g.idCol, g.embCol)
+          case "ivfsq8" => graft.operators.AnnIndex.recallGateSq8(
+            wh, g.schema, g.name, corpus, g.k, g.probes, g.minRecallE4,
+            g.targetListSize, g.kmeansIters, g.nQueries, g.idCol, g.embCol)
+          case _ => graft.operators.AnnIndex.recallGate(
+            wh, g.schema, g.name, corpus,
+            g.k, g.probes, g.minRecallE4, g.targetListSize, g.kmeansIters,
+            g.nQueries, g.idCol, g.embCol)
+        }, "recall-gate")
       import spark.implicits._
       wh.append(AnnGateLogSchema, AnnGateLogTable,
-        Seq(report).toDF()); ()
+        Seq(report).toDF()
+          .withColumn("gatePath", org.apache.spark.sql.functions.lit(path))
+          .withColumn("distortionSkewE4",
+            org.apache.spark.sql.functions.lit(skew))); ()
     })
+  }
+
+  /** The pre-gate's one-scan tail statistic: max/avg (e4) across
+    * dims/subspaces of the quantizer audit's worst-case column — SQ8's
+    * per-dim max reconstruction error (q172's audit: fresh bounds on the
+    * CURRENT corpus, so a new outlier stretches its dim's range and
+    * max_err with it), PQ's per-subspace sum of squared errors vs the
+    * STORED frozen codebooks (q174's audit pointed at the serving model,
+    * so appends that leave the codebook cells raise it). */
+  private def distortionSkewE4(wh: Warehouse, g: AnnGateSpec,
+                               corpus: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val perUnit = g.kind match {
+      case "ivfsq8" =>
+        graft.operators.Similarity.sq8Distortion(corpus, g.embCol)
+          .select(col("max_err").as("stat"))
+      case _ =>
+        graft.operators.Similarity.pqDistortion(corpus,
+            graft.operators.AnnIndex.storedCodebooks(wh, g.schema, g.name),
+            g.m, g.dim, g.idCol, g.embCol)
+          .select(col("sum_sq_err").as("stat"))
+    }
+    val row = perUnit.agg(
+      coalesce(max(col("stat")), lit(0L)).as("mx"),
+      coalesce(expr("sum(stat) div count(1)"), lit(0L)).as("avg")).head()
+    val (mx, avg) = (row.getLong(0), row.getLong(1))
+    mx * 10000L / math.max(1L, avg)
   }
 
   /** Post-close mart refresh: republish each configured mart from the

@@ -275,6 +275,86 @@ class HousekeepingSpec extends SparkSpec {
       log2.getAs[Long]("centroidsVersionBefore"))
   }
 
+  test("ANN maintenance distortion pre-gate (SQ8): a nominal run skips the " +
+    "exact-side recall gate (logged as pregate-skip, store untouched); a " +
+    "heavy-tailed append trips it and the recall gate runs") {
+    import graft.operators.{AnnIndex, Similarity}
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_pregate_").toString)
+    // every dim carries the SAME value distribution → per-dim max_err is
+    // flat and the skew statistic sits at exactly 1.0 (10000 e4)
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => ((i * 7 + d * 13) % 100) / 100.0f + 0.01f)
+    val aDf = (0 until 80).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    wh.overwrite("data", "vecs", aDf)
+    AnnIndex.buildSq8(wh, "ann", "pg", aDf,
+      Similarity.kmeansCentroids(aDf, k = 4, iters = 5),
+      Similarity.sq8Bounds(aDf))
+    val gate = Housekeeping.AnnGateSpec("ann", "pg", "data", "vecs",
+      k = 5, probes = 1, minRecallE4 = 0L, targetListSize = 20L,
+      kmeansIters = 5, nQueries = 100, kind = "ivfsq8",
+      distortionPregate = true)
+    val v0 = wh.currentVersion("ann", "pg_centroids")
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log1 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .head()
+    assert(log1.getAs[String]("gatePath") === "pregate-skip", s"$log1")
+    assert(log1.getAs[Long]("recallBeforeE4") === -1L,
+      s"the exact side must not run on a nominal append: $log1")
+    assert(!log1.getAs[Boolean]("rebuilt"))
+    assert(log1.getAs[Long]("distortionSkewE4") <= gate.maxDistortionSkewE4)
+    assert(wh.currentVersion("ann", "pg_centroids") === v0, "store untouched")
+    // heavy-tailed append: dim 3 takes a value two orders beyond the rest
+    // — the one-(lo,hi)-pair-can't-quantize signal q172 exists to catch
+    val hot = Seq((900L, Array.tabulate(8)(d => if (d == 3) 50.0f else 0.5f)))
+      .toDF("vec_id", "embedding")
+    wh.append("data", "vecs", hot)
+    AnnIndex.appendSq8(wh, "ann", "pg", hot)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log2 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .orderBy(col("distortionSkewE4").desc).head()
+    assert(log2.getAs[String]("gatePath") === "recall-gate", s"$log2")
+    assert(log2.getAs[Long]("distortionSkewE4") > gate.maxDistortionSkewE4)
+    assert(log2.getAs[Long]("recallBeforeE4") >= 0L,
+      s"the tripped pre-gate must hand off to the measured recall gate: $log2")
+  }
+
+  test("ANN maintenance distortion pre-gate (IVF-PQ): skew is measured vs " +
+    "the STORED codebooks — nominal skips, an under-covered subspace trips") {
+    import graft.operators.{AnnIndex, Similarity}
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_pqpre_").toString)
+    // every 2-dim subspace carries the SAME (x, y) distribution → the four
+    // learned codebooks coincide and per-subspace sum_sq_err is flat
+    def vec(i: Int): Array[Float] = {
+      val x = ((i * 7) % 100) / 100.0f + 0.01f
+      val y = ((i * 13) % 100) / 100.0f + 0.01f
+      Array.tabulate(8)(d => if (d % 2 == 0) x else y)
+    }
+    val aDf = (0 until 80).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    wh.overwrite("data", "vecs", aDf)
+    AnnIndex.buildIvfPq(wh, "ann", "pqpg", aDf,
+      Similarity.kmeansCentroids(aDf, k = 4, iters = 5),
+      Similarity.pqCodebooks(aDf, m = 4, k = 8, dim = 8), m = 4, dim = 8)
+    val gate = Housekeeping.AnnGateSpec("ann", "pqpg", "data", "vecs",
+      k = 5, probes = 1, minRecallE4 = 0L, targetListSize = 20L,
+      kmeansIters = 5, nQueries = 100, kind = "ivfpq", m = 4, dim = 8,
+      pqK = 8, distortionPregate = true)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log1 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .head()
+    assert(log1.getAs[String]("gatePath") === "pregate-skip", s"$log1")
+    // the append's mass sits far outside subspace 3's frozen codebook
+    // cells — the raise-k-or-resplit signal q174 exists to catch
+    val hot = Seq((900L, Array.tabulate(8)(d => if (d >= 6) 100.0f else 0.5f)))
+      .toDF("vec_id", "embedding")
+    wh.append("data", "vecs", hot)
+    AnnIndex.appendIvfPq(wh, "ann", "pqpg", hot, m = 4, dim = 8)
+    Housekeeping.runAnnMaintenance(spark, wh, Seq(gate)).assertAllSuccess()
+    val log2 = wh.read(Housekeeping.AnnGateLogSchema, Housekeeping.AnnGateLogTable)
+      .orderBy(col("distortionSkewE4").desc).head()
+    assert(log2.getAs[String]("gatePath") === "recall-gate", s"$log2")
+    assert(log2.getAs[Long]("recallBeforeE4") >= 0L)
+  }
+
   test("completion report renders per-source and total rows") {
     val tasks = Seq(
       ("src_a", "staging", "t1", "success"), ("src_a", "staging", "t2", "failed"),
