@@ -255,6 +255,41 @@ object CorpusCuration {
       .filter(col("rnk") <= k)
   }
 
+  /** Vocabulary growth curve (the Heaps'-law audit): arrival batches of
+    * `batchSize` docs (batch = id div batchSize — arrival order for an
+    * id-ordered crawl), and per batch how many token TYPES appear for the
+    * first time ever, alongside the batch's occurrence mass and the
+    * running type total. The "when does this crawl stop teaching the
+    * tokenizer new words" input: a batch whose new_types collapses while
+    * n_tokens holds is pure repetition of known vocabulary — the signal
+    * to stop crawling a source (or stop growing the BPE vocab, q147's
+    * complementary curve from the merge side).
+    *
+    * Scale shape: one token explode (row-local), ONE shuffle on the
+    * uniform token key for the first-arrival min, then every aggregate is
+    * batch-keyed (n_batches rows — the only window runs over that tiny
+    * frame). No per-batch rescans: a token's first batch is a single
+    * min() whatever the batch count. */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
+                       batchSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize > 0, "batchSize must be positive")
+    val occ = spread(docs)
+      .select(expr(s"$idCol div ${batchSize}L").as("batch"),
+        col(idCol).as("__id"), explode(wsTokens(col(textCol))).as("tok"))
+    val perBatch = occ.groupBy(col("batch"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+    val firstSeen = occ.groupBy(col("tok")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
   /** The full pipeline. Returns (curated docs, per-stage counts).
     *
     * One scan of the input (persist + observe), ONE signing pass feeding

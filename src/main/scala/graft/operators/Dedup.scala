@@ -884,6 +884,59 @@ object Dedup {
     out
   }
 
+  /** MinHash estimator calibration — the "choose k" tuning input the
+    * banding tuners presuppose: [[bandingPlan]]/[[bandingPlanBudgeted]]
+    * pick (b, r) GIVEN a signature width, but whether k minhashes
+    * estimate Jaccard tightly enough on THIS corpus is an empirical
+    * question (the estimator's variance is j(1−j)/k only under the
+    * uniform-permutation idealization; correlated shingles bend it).
+    * For every pair of a deterministic 1-in-`sampleMod` id-hash sample:
+    * est = |{i : mh_i(a) = mh_i(b)}| / k vs the EXACT shingle Jaccard,
+    * rolled up per exact-Jaccard bin as the mean absolute estimation
+    * error (e4, truncating div — engine-exact). A high-j bin whose MAE
+    * rivals the bin width says "raise k before trusting the banding".
+    *
+    * Scale shape: [[bandingRecallCurve]]'s — the exact side is the
+    * sample's s²/2 pairs (ids-only broadcast NLJ, sets equi-joined in),
+    * the estimate side joins the k-long signature arrays onto the same
+    * pair frame; sampleMod is the budget knob at 100 TB. */
+  def minhashEstimatorCurve(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, shingleN: Int, sampleMod: Int,
+                            binWidthE4: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(binWidthE4 >= 1 && 10000 % binWidthE4 == 0,
+      "binWidthE4 must divide 10000")
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sampled = df.filter(pmod(idHash, lit(sampleMod.toLong)) === 0L)
+    val sig = signatureFrame(sampled, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = sig.select(col(idCol))
+    val universe = broadcast(ids.select(col(idCol).as("a_id")))
+      .join(ids.select(col(idCol).as("b_id")), col("a_id") < col("b_id"))
+    val scored = jaccardFromSets(sig, idCol, minJaccard = 0.0, universe)
+    val mh = sig.select(col(idCol),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("__mh"))
+    val matches = zip_with(col("__mha"), col("__mhb"),
+      (a, b) => when(a === b, 1L).otherwise(0L))
+    val nBins = 10000 / binWidthE4
+    val out = scored
+      .join(mh.select(col(idCol).as("a_id"), col("__mh").as("__mha")), Seq("a_id"))
+      .join(mh.select(col(idCol).as("b_id"), col("__mh").as("__mhb")), Seq("b_id"))
+      .withColumn("__m", aggregate(matches, lit(0L), (acc, x) => acc + x))
+      .select(col("jaccard_e4"), expr(s"__m * 10000L div $k").as("est_e4"))
+      .select(least(expr(s"jaccard_e4 div $binWidthE4"), lit((nBins - 1).toLong))
+        .as("bin"), abs(col("est_e4") - col("jaccard_e4")).as("err"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("sum_abs_err"))
+      .select(col("bin"), (col("bin") * binWidthE4).as("lo_e4"),
+        col("n_pairs"), expr("sum_abs_err div n_pairs").as("mae_e4"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
+
   /** Closed-form LSH banding auto-tune — the theoretical complement of
     * [[bandingRecallCurve]]: for each target Jaccard threshold, choose the
     * (bands, rows_per_band) with bands·rows ≤ `hashBudget` whose candidacy

@@ -457,6 +457,58 @@ object CorpusQueries {
     (build, serve)
   }
 
+  /** q185: per-source benchmark-leakage matrix — WHERE the contamination
+    * comes from: q42's store-served check joined back to the source
+    * dimension, rolled up as (source, n_docs, n_flagged, n_matched,
+    * leak_rate_e4). The triage between q42 (which docs) and q170 (which
+    * benchmark items): a source whose leak rate dwarfs the rest is a
+    * scraped-the-benchmark feed you drop WHOLESALE instead of filtering
+    * doc by doc — the decision this matrix exists to make before paying
+    * per-doc decontamination at 100 TB.
+    *
+    * Scale shape: q169's serve shape exactly — one corpus scan, row-local
+    * gram explode, broadcast store join — plus a uniform-id left join of
+    * the (doc, source) projection and a sources-bounded rollup; the rate
+    * is one integer DIV. */
+  def q185SourceLeakMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q185_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench",
+      docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 4)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    QueryUtil.withTempWarehouse(whDir) {
+      val flagged = DecontamStore.contaminated(wh, "guard", "dc",
+        corpus.select(col("doc_id"), col("text")), "doc_id", "text", n = 4)
+      corpus.select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_eval_grams").isNotNull, 1L).otherwise(0L))
+            .as("n_flagged"),
+          coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("n_matched"),
+          expr("n_flagged * 10000L div n_docs").as("leak_rate_e4"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** q187: vocabulary growth curve (the Heaps'-law audit) — per arrival
+    * batch of 100 docs: documents, token occurrences, token TYPES never
+    * seen in any earlier batch, and the running type total
+    * ([[CorpusCuration.vocabularyGrowth]]). The "when does this crawl
+    * stop teaching the tokenizer new words" input — a batch whose
+    * new_types collapses while n_tokens holds is repetition of known
+    * vocabulary, the stop-crawling-this-source signal (and q147's
+    * complementary curve from the BPE merge side). One token shuffle for
+    * the first-arrival min; everything after is batch-count-sized. */
+  def q187VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    CorpusCuration.vocabularyGrowth(
+      Tables(spark, dir, "documents"), "doc_id", "text", batchSize = 100L)
+      .orderBy(col("batch"))
+
   /** q162: decontamination aggressiveness curve — flagged-doc and
     * matched-gram counts at n-gram size ∈ {3, 4, 6} against the q42 eval
     * split: the "choose n" tuning input for the decontam family (q42
@@ -848,6 +900,8 @@ object CorpusQueries {
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
     "q179_dedup_budget_select" -> (q179DedupBudgetSelect _),
+    "q185_source_leak_matrix" -> (q185SourceLeakMatrix _),
+    "q187_vocab_growth" -> (q187VocabGrowth _),
     "q162_decontam_curve" -> (q162DecontamCurve _),
     "q177_decontam_curve_store" -> (q177DecontamCurveStore _),
     "q43_gopher_stats" -> (q43GopherStats _),
@@ -1328,6 +1382,40 @@ object CorpusQueries {
     // budget-select composite's sf1.0-feasible oracle (cluster-closed
     // sample, so weights and the half-mass budget are sample-pure)
     "q183_sampled_dedup_budget" -> dedupBudgetSqlOver(sampledPairCtes, "smpl"),
+    // q185: q42's gram/store chain joined back to the source dimension —
+    // left join keeps clean docs so the denominator is the whole source
+    "q185_source_leak_matrix" ->
+      raw"""WITH t AS (SELECT doc_id, source, $tksSql AS tks FROM documents),
+         g AS (SELECT doc_id, source, list_transform($gramsSql,
+             x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t),
+         eg AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 97 = 0),
+         cg AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 <> 0),
+         v AS (SELECT cg.doc_id, count(*) AS n_eval_grams
+           FROM cg JOIN eg USING (gh) GROUP BY 1),
+         j AS (SELECT d.source, v.n_eval_grams
+           FROM (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0) d
+           LEFT JOIN v USING (doc_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_eval_grams IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(coalesce(sum(n_eval_grams), 0) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN n_eval_grams IS NOT NULL THEN 1 ELSE 0 END) * 10000
+             // count(*) AS BIGINT) AS leak_rate_e4
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // q187: token explode, per-batch occurrence counts, first-arrival min
+    // per type, running type total
+    "q187_vocab_growth" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id // 100 AS batch, $tksSql AS tks
+             FROM documents),
+         occ AS (SELECT batch, doc_id, unnest(tks) AS tok FROM t),
+         pb AS (SELECT batch, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens FROM occ GROUP BY 1),
+         fs AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_types FROM
+             (SELECT tok, min(batch) AS batch FROM occ GROUP BY 1) GROUP BY 1)
+         SELECT pb.batch, n_docs, n_tokens,
+           CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY pb.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+         FROM pb LEFT JOIN fs USING (batch) ORDER BY pb.batch""",
     "q170_decontam_attribution" ->
       raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
          g AS (SELECT doc_id, list_transform($gramsSql,

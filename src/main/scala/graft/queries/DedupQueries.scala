@@ -140,6 +140,19 @@ object DedupQueries {
       .orderBy(col("bin"))
   }
 
+  /** q186: MinHash estimator calibration — the "choose k" audit under
+    * the banding tuners: per exact-Jaccard decile over the q154 sample's
+    * all-pairs frame, the mean absolute error of the k=16 signature's
+    * Jaccard estimate (matching-minhash fraction). q171/q181 pick (b, r)
+    * GIVEN k; q178 audits the independence assumption; this measures the
+    * estimator variance itself on THIS corpus — a high-j bin whose MAE
+    * rivals the bin width says raise k before trusting any banding.
+    * Completes the LSH tuning family (pick → calibrate → estimator). */
+  def q186MinhashEstimator(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatorCurve(Tables(spark, dir, "documents"), "doc_id",
+      "text", k = K, shingleN = N, sampleMod = 4)
+      .orderBy(col("bin"))
+
   /** q156: near-dup source matrix — q20's verified pairs rolled up by
     * UNORDERED source pair: how many near-dup pairs cross each (src, src)
     * cell and their mean Jaccard. The near-dup complement of q127's
@@ -356,6 +369,7 @@ object DedupQueries {
     "q173_auto_near_dup" -> (q173AutoNearDup _),
     "q181_budgeted_banding_plan" -> (q181BudgetedBandingPlan _),
     "q182_budget_auto_near_dup" -> (q182BudgetAutoNearDup _),
+    "q186_minhash_estimator" -> (q186MinhashEstimator _),
     "q178_banding_calibration" -> (q178BandingCalibration _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
@@ -723,6 +737,34 @@ object DedupQueries {
     // is ALL sample pairs (ids-only cross join, shingle sets equi-joined
     // back in), candidacy is the chain's own `cand`.
     "q154_lsh_scurve" -> q154Sql,
+    // q186: q154's sample + all-pairs exact side, est = matching-minhash
+    // fraction (16-term equality sum), MAE per exact-Jaccard decile
+    "q186_minhash_estimator" -> {
+      val matchSum = (0 until K).map(i =>
+        s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+      raw"""WITH sample AS (SELECT doc_id, text FROM documents
+           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+         ${nearDupPairsCtesFrom("sample")},
+         ids AS (SELECT doc_id FROM sig),
+         uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         usc AS (SELECT u.a_id, u.b_id,
+             len(list_intersect(sa.shs, sb.shs)) AS inter,
+             sa.sz AS sz_a, sb.sz AS sz_b, ($matchSum) AS m
+           FROM uni u
+           JOIN sig sa ON sa.doc_id = u.a_id
+           JOIN sig sb ON sb.doc_id = u.b_id),
+         uj AS (SELECT a_id, b_id,
+             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4,
+             CAST(m * 10000 // $K AS BIGINT) AS est_e4
+           FROM usc),
+         e AS (SELECT least(jaccard_e4 // 1000, 9) AS bin,
+             abs(est_e4 - jaccard_e4) AS err FROM uj)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(err) // count(*) AS BIGINT) AS mae_e4
+         FROM e GROUP BY bin ORDER BY bin"""
+    },
     // q178: q154's measured curve joined to the theoretical 1-(1-j^r)^b
     // at each bin midpoint — the same truncating power chains as q171
     "q178_banding_calibration" ->

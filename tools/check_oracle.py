@@ -3,13 +3,25 @@
 against DuckDB oracles on the same parquet tables and diff rigorously.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [timesJsonOut]
+           [--timeout SEC] [--declare FILE]
 
 With a third argument, per-query DuckDB oracle wall time is recorded to
 that JSON file as {query: {"oracle_s": sec, "status": ..., "rows": n}} —
 the mechanical baseline side of bench-vs-oracle: engine seconds come from
-target/bench.json, oracle seconds from here, both at the same sf.
+target/bench.json, oracle seconds from here, both at the same sf. The
+file is rewritten after EVERY query, so a killed sweep still leaves a
+complete record of what ran.
+
+--timeout SEC interrupts any oracle that exceeds the budget (status
+"DNF-timeout" — the mechanical form of the oracle-infeasible-at-scale
+class). --declare FILE skips queries listed in a JSON
+{query: {"status": ..., "reason": ...}} without running them, recording
+the declared status — the known-infeasible classes (full-corpus
+recursive-CTE CC, k-means-assignment ENOSPC, census-guard refusals) stay
+machine-readable without re-burning hours proving them each round.
+Declared queries do NOT count as failures.
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, time, threading
 import duckdb
 import pandas as pd
 
@@ -34,7 +46,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    timeout_s = None
+    declared = {}
+    if "--timeout" in opts:
+        timeout_s = float(opts[opts.index("--timeout") + 1])
+    if "--declare" in opts:
+        declared = json.load(open(opts[opts.index("--declare") + 1]))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -43,18 +63,42 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    times_out = sys.argv[3] if len(sys.argv) > 3 else None
+    times_out = args[2] if len(args) > 2 else None
+
+    def flush_times(times):
+        if times_out:
+            with open(times_out, "w") as f:
+                json.dump({"sf_dir": sf_dir, "times": times}, f, indent=1,
+                          sort_keys=True)
+
     times = {}
-    n_pass = n_fail = n_noora = 0
+    n_pass = n_fail = n_noora = n_declared = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
                         ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+        if name in declared:
+            n_declared += 1
+            times[name] = {"oracle_s": None,
+                           "status": declared[name].get("status", "declared"),
+                           "reason": declared[name].get("reason"), "rows": None}
+            print(f"  [DECLARED {times[name]['status']}] {name}")
+            flush_times(times)
+            continue
         if name not in oracles:
             n_noora += 1
             times[name] = {"oracle_s": None, "status": "rows-only", "rows": len(got)}
             print(f"  [rows-only] {name}: {len(got)} rows")
+            flush_times(times)
             continue
+        timer = None
+        timed_out = [False]
+        if timeout_s:
+            def interrupt():
+                timed_out[0] = True
+                con.interrupt()
+            timer = threading.Timer(timeout_s, interrupt)
+            timer.start()
         try:
             t0 = time.time()
             exp = con.execute(oracles[name]).df()
@@ -62,19 +106,33 @@ def main():
                            "status": "ran", "rows": len(exp)}
         except Exception as e:
             n_fail += 1
-            times[name] = {"oracle_s": None, "status": "oracle-error", "rows": 0}
-            print(f"  [FAIL-ORACLE-SQL] {name}: {e}")
+            msg = str(e)
+            if timed_out[0] or "INTERRUPT" in msg.upper():
+                status, n_fail = "DNF-timeout", n_fail - 1  # declared class, not a diff failure
+            elif "No space left" in msg or "disk" in msg.lower():
+                status = "ENOSPC"
+            else:
+                status = "oracle-error"
+            times[name] = {"oracle_s": round(time.time() - t0, 3),
+                           "status": status, "rows": None}
+            print(f"  [{status.upper()}] {name}: {msg.splitlines()[0][:200]}")
+            flush_times(times)
             continue
+        finally:
+            if timer:
+                timer.cancel()
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             n_fail += 1
             times[name]["status"] = "fail-schema"
             print(f"  [FAIL-SCHEMA] {name}: got {list(g.columns)} vs oracle {list(e.columns)}")
+            flush_times(times)
             continue
         if len(g) != len(e):
             n_fail += 1
             times[name]["status"] = "fail-rows"
             print(f"  [FAIL-ROWS] {name}: got {len(g)} vs oracle {len(e)}")
+            flush_times(times)
             continue
         try:
             # exact, like the driver's hash compare (floats pre-rounded in canon)
@@ -86,10 +144,11 @@ def main():
             n_fail += 1
             times[name]["status"] = "fail-values"
             print(f"  [FAIL-VALUES] {name}: " + " | ".join(str(ex).split("\n")[0:6]))
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only")
+        flush_times(times)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only, "
+          f"{n_declared} declared")
     if times_out:
-        with open(times_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "times": times}, f, indent=1, sort_keys=True)
+        flush_times(times)
         print(f"oracle times -> {times_out}")
     sys.exit(1 if n_fail else 0)
 
