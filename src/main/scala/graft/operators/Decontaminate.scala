@@ -55,6 +55,97 @@ object Decontaminate {
     corpus.join(contaminated(corpus, evalDocs, idCol, textCol, n)
       .select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Span-level contamination localization — WHERE inside each flagged doc
+    * the eval overlap sits, as merged token intervals, plus the stats a
+    * trim-vs-drop policy decision needs. [[contaminated]] answers "which
+    * docs leak"; this answers "which tokens" — the input to the TRIM
+    * policy (cut the leaked span, keep the document) that standard
+    * decontamination tooling applies instead of dropping whole documents,
+    * because a 10k-token doc sharing one 4-gram with a benchmark is worth
+    * keeping minus ~4 tokens, not worth losing.
+    *
+    * Mechanics: the corpus side explodes POSITIONAL gram hashes (struct
+    * (pos, gh), 1-based token index — non-distinct, unlike
+    * [[contaminated]]'s distinct-gram count, because every occurrence
+    * covers its own span), joins the broadcast eval gram set, and each
+    * doc's sorted match positions merge row-locally into disjoint token
+    * intervals [s, e): a match at pos p covers tokens [p, p+n-1], and a
+    * new interval starts at positions[j] iff j == 1 or positions[j] >
+    * positions[j-1] + n (the [[Dedup.stripRepeatedSpans]] idiom — filter/
+    * zip_with over the sorted array, O(|matches|), never an aggregate()
+    * fold that would go quadratic on dense leaks). The trimmed text is
+    * the concatenation of the token gaps around the intervals, joined
+    * back to the corpus on the LEAK-BOUNDED id set (AQE broadcasts it).
+    *
+    * Scale shape is [[contaminated]]'s: one corpus scan, row-local
+    * explode of 8-byte (pos, gh) pairs, broadcast join, and a groupBy
+    * whose state is bounded by actual leak volume. Nothing corpus-sized
+    * shuffles.
+    *
+    * Output per contaminated doc: (idCol, n_tokens, n_contam_grams,
+    * n_spans, span_first_tok, span_last_tok inclusive, covered_tokens,
+    * kept_tokens, trimmed_md5 — md5 of the space-joined kept tokens,
+    * md5("") when the whole doc is covered). */
+  def contaminatedSpans(corpus: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame = {
+    val tks = TextFunctions.wsTokens(col(textCol))
+    // positional gram hashes: (pos, gh) with pos the 1-based index of the
+    // gram's first token; same md5-prefix 60-bit hash as hashedWordNgrams
+    // so the eval side's distinct set joins directly
+    val posGrams = when(size(tks) >= n,
+      transform(sequence(lit(1), size(tks) - n + 1),
+        i => struct(i.as("pos"),
+          TextFunctions.stableHash60(concat_ws(" ", slice(tks, i, lit(n)))).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:int,gh:long>>"))
+    val evalGrams = evalDocs
+      .select(explode(
+        org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)).as("gh"))
+      .distinct()
+    val matched = corpus
+      .select(col(idCol), size(tks).as("n_tokens"), explode(posGrams).as("pg"))
+      .select(col(idCol), col("n_tokens"),
+        col("pg").getField("pos").as("pos"), col("pg").getField("gh").as("gh"))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("n_contam_grams"))
+    // row-local interval merge over the sorted positions (see scaladoc)
+    val posArr = col("positions")
+    val startIdxs = filter(sequence(lit(1), size(posArr)), j =>
+      (j === 1) || (element_at(posArr, j) > element_at(posArr, j - 1) + n))
+    val nextIdxs = concat(
+      slice(startIdxs, lit(2), size(startIdxs) - 1),
+      array(size(posArr) + 1))
+    val intervals = zip_with(startIdxs, nextIdxs, (sj, nj) => struct(
+      element_at(posArr, sj).as("s"),
+      (element_at(posArr, nj - 1) + n).as("e")))
+    val withIv = matched.withColumn("__iv", intervals)
+    val iv = col("__iv")
+    val covered = aggregate(iv, lit(0),
+      (acc, x) => acc + x.getField("e") - x.getField("s"))
+    val stats = withIv.select(
+      col(idCol), col("n_tokens").cast("long").as("n_tokens"), col("n_contam_grams"),
+      size(iv).cast("long").as("n_spans"),
+      element_at(iv, 1).getField("s").cast("long").as("span_first_tok"),
+      (element_at(iv, -1).getField("e") - 1).cast("long").as("span_last_tok"),
+      covered.cast("long").as("covered_tokens"),
+      (col("n_tokens") - covered).cast("long").as("kept_tokens"),
+      iv.as("__ivs"))
+    // trimmed text: token-gap slices around the intervals, re-joined —
+    // computed on the leak-bounded join back to the corpus text
+    val ivs = col("__ivs")
+    val gaps = concat(
+      array(slice(tks, lit(1), element_at(ivs, 1).getField("s") - 1)),
+      zip_with(slice(ivs, lit(1), size(ivs) - 1), slice(ivs, lit(2), size(ivs) - 1),
+        (a, b) => slice(tks, a.getField("e"), b.getField("s") - a.getField("e"))),
+      array(slice(tks, element_at(ivs, -1).getField("e"),
+        size(tks) - element_at(ivs, -1).getField("e") + 1)))
+    stats
+      .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("trimmed_md5", md5(array_join(flatten(gaps), " ")))
+      .drop(textCol, "__ivs")
+  }
+
   /** Fingerprint-level decontamination — winnowing instead of exact word
     * n-grams, so a corpus doc CONTAINING an eval span (with unrelated text
     * around it, where the word-gram set barely overlaps) still flags: any

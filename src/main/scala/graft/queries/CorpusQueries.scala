@@ -317,6 +317,50 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q188: span-level contamination localization + trim — q42's flagged
+    * docs with the merged leaked-token intervals, the trim-policy stats
+    * (covered vs kept tokens), and the md5 of the trimmed text (leaked
+    * spans cut, token gaps re-joined). The "trim, don't drop" op: doc-
+    * level decontamination loses every token of a flagged doc; span
+    * localization shows most flagged docs leak a handful of tokens.
+    * One corpus scan, row-local positional-gram explode, broadcast eval
+    * gram set, leak-bounded state — [[Decontaminate.contaminatedSpans]]. */
+  def q188DecontamTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    Decontaminate.contaminatedSpans(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q189: drop-vs-trim policy audit — q188's per-doc span stats rolled
+    * up by leak severity (covered-token fraction): how many docs and
+    * tokens each policy costs. `tokens_lost_drop` is what doc-level
+    * decontamination (q42 + drop) pays; `tokens_cut_trim` is what span
+    * trimming pays; `tokens_saved_trim` is the corpus the trim policy
+    * keeps that the drop policy burns. Severity-cardinality output. */
+  def q189TrimPolicyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    val spans = Decontaminate.contaminatedSpans(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+    spans
+      .withColumn("covered_frac_e4",
+        TextFunctions.fixedPoint(col("covered_tokens") / col("n_tokens"), 4))
+      .withColumn("severity",
+        when(col("covered_frac_e4") >= 5000, "heavy")
+          .when(col("covered_frac_e4") >= 1000, "medium")
+          .otherwise("light"))
+      .groupBy(col("severity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_lost_drop"),
+        sum(col("covered_tokens")).as("tokens_cut_trim"),
+        sum(col("kept_tokens")).as("tokens_saved_trim"))
+      .orderBy(col("severity"))
+  }
+
   /** q169: q42's decontamination served from the PERSISTED benchmark
     * gram store, end to end through the streaming lifecycle: the eval
     * split is registered as two separate benchmarks (each read once,
@@ -896,6 +940,8 @@ object CorpusQueries {
     "q55_more_like_this" -> (q55MoreLikeThis _),
     "q56_fp_decontaminate" -> (q56FingerprintDecontaminate _),
     "q42_decontaminate" -> (q42Decontaminate _),
+    "q188_decontam_trim" -> (q188DecontamTrim _),
+    "q189_trim_policy_audit" -> (q189TrimPolicyAudit _),
     "q169_decontam_store" -> (q169DecontamStore _),
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
@@ -1009,6 +1055,70 @@ object CorpusQueries {
     raw"""CASE WHEN len(tks) >= 4
          THEN list_distinct([array_to_string(tks[i+1:i+4],' ') for i in range(0, len(tks)-3)])
          ELSE [] END"""
+
+  // q188/q189's shared derivation: positional corpus grams (struct list
+  // comprehension — positions are 1-based gram starts), the broadcast-side
+  // eval gram set (q42's), gaps-and-islands interval merge over the sorted
+  // match positions (a match at pos p covers tokens [p, p+4); islands
+  // break when pos > prev + 4 — the same rule as the engine's row-local
+  // merge), and the per-doc span stats
+  private val q188Ctes =
+    raw"""t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+       eg AS (SELECT DISTINCT CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) AS gh
+         FROM (SELECT unnest($gramsSql) AS x FROM t WHERE doc_id % 97 = 0)),
+       cg AS (SELECT doc_id, len(tks) AS n_tokens,
+           unnest([{'pos': i+1,
+               'gh': CAST(('0x'||substr(md5(array_to_string(tks[i+1:i+4],' ')),1,15)) AS BIGINT)}
+             for i in range(0, len(tks)-3)]) AS u
+         FROM t WHERE doc_id % 97 <> 0),
+       hit AS (SELECT doc_id, n_tokens, u.pos AS pos
+         FROM cg JOIN eg ON u.gh = eg.gh),
+       brk AS (SELECT doc_id, n_tokens, pos,
+           CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 4
+             THEN 1 ELSE 0 END AS b
+         FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       isl AS (SELECT doc_id, n_tokens, pos,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+       iv AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, g,
+           min(pos) AS s, max(pos) + 4 AS e, count(*) AS n_grams_iv
+         FROM isl GROUP BY doc_id, g),
+       st AS (SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_grams_iv) AS BIGINT) AS n_contam_grams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(min(s) AS BIGINT) AS span_first_tok,
+           CAST(max(e) - 1 AS BIGINT) AS span_last_tok,
+           CAST(sum(e - s) AS BIGINT) AS covered_tokens,
+           CAST(any_value(n_tokens) - sum(e - s) AS BIGINT) AS kept_tokens
+         FROM iv GROUP BY doc_id)"""
+
+  private val q188Sql =
+    raw"""WITH $q188Ctes,
+       tok AS (SELECT t.doc_id, unnest(tks) AS tk, generate_subscripts(tks, 1) AS idx
+         FROM t JOIN st ON t.doc_id = st.doc_id),
+       kept AS (SELECT tok.doc_id, tk, idx FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM iv
+           WHERE iv.doc_id = tok.doc_id AND tok.idx >= iv.s AND tok.idx < iv.e)),
+       tm AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY idx)) AS trimmed_md5
+         FROM kept GROUP BY doc_id)
+       SELECT st.doc_id, n_tokens, n_contam_grams, n_spans, span_first_tok,
+         span_last_tok, covered_tokens, kept_tokens,
+         coalesce(tm.trimmed_md5, md5('')) AS trimmed_md5
+       FROM st LEFT JOIN tm ON st.doc_id = tm.doc_id ORDER BY st.doc_id"""
+
+  private val q189Sql =
+    raw"""WITH $q188Ctes,
+       sev AS (SELECT CASE
+             WHEN CAST(floor(10000.0 * covered_tokens / n_tokens + 0.5) AS BIGINT) >= 5000
+               THEN 'heavy'
+             WHEN CAST(floor(10000.0 * covered_tokens / n_tokens + 0.5) AS BIGINT) >= 1000
+               THEN 'medium'
+             ELSE 'light' END AS severity,
+           n_tokens, covered_tokens, kept_tokens FROM st)
+       SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_lost_drop,
+         CAST(sum(covered_tokens) AS BIGINT) AS tokens_cut_trim,
+         CAST(sum(kept_tokens) AS BIGINT) AS tokens_saved_trim
+       FROM sev GROUP BY 1 ORDER BY 1"""
 
   // q42's derivation, shared verbatim by q169 (store-served parity pin)
   private val q42Sql =
@@ -1335,6 +1445,8 @@ object CorpusQueries {
 
   private val oraclesTail: Map[String, String] = Map(
     "q42_decontaminate" -> q42Sql,
+    "q188_decontam_trim" -> q188Sql,
+    "q189_trim_policy_audit" -> q189Sql,
     // the store-served + streamed-batch path must equal the one-shot check
     // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
     "q169_decontam_store" -> q42Sql,
