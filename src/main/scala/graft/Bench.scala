@@ -227,10 +227,23 @@ object Bench {
     val ccCals = Seq(ccCalStart, ccCalEnd).filter(_ >= 0)
     val ccSpread =
       if (ccCals.size == 2 && ccCals.min > 0) ccCals.max / ccCals.min else -1.0
+    // the CC family's own subtotal rides the artifact so two sweeps'
+    // family costs compare directly (the family dominates sweep-total
+    // variance; r10 measured q160 at 7.8 and 13.0 s within one session)
+    val ccFamily = Set("q41_dedup_clusters", "q54_embedding_clusters",
+      "q99_incremental_near_dup", "q122_semdedup_auto", "q138_dedup_weights",
+      "q140_cluster_splits", "q150_best_of_cluster",
+      "q159_dup_quality_contingency", "q160_incremental_clusters",
+      "q163_knn_density_auto", "q164_sampled_clusters", "q176_corpus_diff",
+      "q179_dedup_budget_select", "q180_cap_k_dedup",
+      "q183_sampled_dedup_budget", "q184_sampled_cap_k")
+    val ccFamilyTotal = queryResults
+      .filter { case (k, v) => ccFamily(k) && v >= 0 }.map(_._2).sum
     val calJson = s""""calibration":{"query":"$calName","start":${r3(calStart)},""" +
       s""""mid":${r3(calMid)},"end":${r3(calEnd)},"spread":${r3(calSpread)}},""" +
       s""""cc_calibration":{"query":"$ccCalName","start":${r3(ccCalStart)},""" +
-      s""""end":${r3(ccCalEnd)},"spread":${r3(ccSpread)}}"""
+      s""""end":${r3(ccCalEnd)},"spread":${r3(ccSpread)},""" +
+      s""""family_total":${r3(ccFamilyTotal)}}"""
     def mapJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // The canonical full artifact goes to target/bench.json — the stdout

@@ -93,6 +93,36 @@ object DecontamStore {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_grams"))
   }
 
+  /** Multi-n contamination served from the store in ONE corpus scan —
+    * the aggressiveness-curve serve path (q177). Per-n calls to
+    * [[contaminated]] each pay a full corpus scan; at any scale the scan
+    * dominates, so the curve fuses: the corpus side explodes (n_gram, gh)
+    * pairs for EVERY requested n at once (row-local concat of the per-n
+    * hashed gram arrays), joins the broadcast multi-n gram store on the
+    * composite key, and aggregates per (doc, n). Per-(idCol, n_gram)
+    * output rows are identical to n separate [[contaminated]] calls —
+    * the verdict multiset is the same join, keyed wider. */
+  def contaminatedMultiN(wh: Warehouse, schema: String, name: String,
+                         corpus: DataFrame, idCol: String, textCol: String,
+                         ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "at least one n-gram size")
+    val pairs = ns.map { n =>
+      transform(
+        org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n),
+        g => struct(lit(n.toLong).as("n_gram"), g.as("gh")))
+    }.reduce(concat(_, _))
+    val store = wh.read(schema, gramsTable(name))
+      .filter(col("n_gram").isin(ns.map(_.toLong): _*))
+      .select(col("n_gram"), col("gh")).distinct()
+    corpus
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p").getField("n_gram").as("n_gram"),
+        col("p").getField("gh").as("gh"))
+      .join(broadcast(store), Seq("n_gram", "gh"))
+      .groupBy(col(idCol), col("n_gram"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+  }
+
   /** Check one ARRIVING corpus batch and append its verdicts — the
     * streaming serve path (file stream → foreachBatch(checkBatch)). The
     * verdict table accumulates (idCol, n_eval_grams) for contaminated

@@ -428,15 +428,28 @@ object CorpusQueries {
     Seq(3, 4, 6).foreach(n => DecontamStore.registerBenchmark(
       wh, "guard", "dc", "bench", evalDocs, "doc_id", "text", n))
     val out = QueryUtil.withTempWarehouse(whDir) {
-      Seq(3, 4, 6).map { n =>
-        DecontamStore.contaminated(wh, "guard", "dc", corpus, "doc_id", "text", n)
-          .agg(count(lit(1)).as("n_flagged"),
-            coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
-          .select(lit(n.toLong).as("n_gram"), col("n_flagged"), col("n_matched"))
-      }.reduce(_.unionByName(_)).orderBy(col("n_gram"))
+      decontamCurveMultiN(spark, wh, corpus, Seq(3, 4, 6))
     }
     docs.unpersist()
     out
+  }
+
+  /** The store-served aggressiveness curve in ONE corpus scan (the per-n
+    * loop paid |ns| scans — at sf1.0 the fused serve measures ~2× faster
+    * and the scan dominates outright at corpus scale). Zero-hit sizes
+    * still emit a (n, 0, 0) row, as the per-n global aggregate did. */
+  private def decontamCurveMultiN(spark: SparkSession, wh: graft.core.Warehouse,
+                                  corpus: DataFrame, ns: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val curve = DecontamStore
+      .contaminatedMultiN(wh, "guard", "dc", corpus, "doc_id", "text", ns)
+      .groupBy(col("n_gram"))
+      .agg(count(lit(1)).as("f"), sum(col("n_eval_grams")).as("m"))
+    ns.map(_.toLong).toDF("n_gram")
+      .join(curve, Seq("n_gram"), "left")
+      .select(col("n_gram"), coalesce(col("f"), lit(0L)).as("n_flagged"),
+        coalesce(col("m"), lit(0L)).as("n_matched"))
+      .orderBy(col("n_gram"))
   }
 
   /** q169's lifecycle split for the BENCH surface: `build` registers the
@@ -488,12 +501,7 @@ object CorpusQueries {
       wh, "guard", "dc", "bench", evalDocs, "doc_id", "text", n))
     val serve = () => {
       val out = QueryUtil.withTempWarehouse(whDir) {
-        Seq(3, 4, 6).map { n =>
-          DecontamStore.contaminated(wh, "guard", "dc", corpus, "doc_id", "text", n)
-            .agg(count(lit(1)).as("n_flagged"),
-              coalesce(sum(col("n_eval_grams")), lit(0L)).as("n_matched"))
-            .select(lit(n.toLong).as("n_gram"), col("n_flagged"), col("n_matched"))
-        }.reduce(_.unionByName(_)).orderBy(col("n_gram"))
+        decontamCurveMultiN(spark, wh, corpus, Seq(3, 4, 6))
       }
       docs.unpersist()
       out

@@ -151,6 +151,45 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** q190: topic-balanced embedding sampling — the diversity-preserving
+    * subsample a training-data pipeline draws when one topic cluster
+    * dominates the corpus: per k-means cluster (q39's deterministic
+    * centroid chain), the sampling rate is ∝ sqrt(cluster size) (the
+    * classic balanced-allocation compromise — pure proportional keeps the
+    * skew, pure uniform-per-cluster starves big clusters), normalized to
+    * a half-corpus budget, and membership is the deterministic per-vector
+    * hash bucket (q45/q98's sampling primitive) — NO corpus-sized window,
+    * no rank: the rate table is k rows, broadcast, and the keep decision
+    * is row-local, so the op is one assignment pass + one k-row join at
+    * any scale. All allocation arithmetic is integer (sqrt quantized to
+    * e3 first) so the plan replays exactly in the oracle.
+    *
+    * Output per cluster: size, e3 weight, e4 sampling rate, sampled count. */
+  def q190BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, cent, probes = 1)
+    val sizes = assigned.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("w_e3",
+        floor(sqrt(col("n_vecs").cast("double")) * 1000 + 0.5).cast("long"))
+    val tot = sizes.agg(sum(col("n_vecs")).as("total"), sum(col("w_e3")).as("sumw"))
+    val rates = sizes.join(broadcast(tot), lit(true))
+      .withColumn("rate_e4",
+        least(lit(10000L),
+          expr("((10000 * w_e3) DIV sumw) * (total DIV 2) DIV n_vecs")))
+      .select(col("label"), col("n_vecs"), col("w_e3"), col("rate_e4"))
+    assigned
+      .join(broadcast(rates), "label")
+      .withColumn("keep",
+        graft.functions.TextFunctions.sampleBucket(col("vec_id")) < col("rate_e4"))
+      .groupBy(col("label"))
+      .agg(first(col("n_vecs")).as("n_vecs"), first(col("w_e3")).as("w_e3"),
+        first(col("rate_e4")).as("rate_e4"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("label"))
+  }
+
   /** q54: embedding dedup clusters — the operators compose: LSH-scoped
     * cosine near-dup pairs (q24's derivation) feed the same connected-
     * components + canonical-selection step the text pipeline uses (q41).
@@ -515,7 +554,8 @@ object SimQueries {
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
     "q122_semdedup_auto" -> (q122SemDedupAuto _),
-    "q39_kmeans" -> (q39Kmeans _))
+    "q39_kmeans" -> (q39Kmeans _),
+    "q190_balanced_sample" -> (q190BalancedSample _))
 
   // ---- oracle SQL ----
 
@@ -1212,5 +1252,31 @@ object SimQueries {
          SELECT c2.label, coalesce(n_members, 0) AS n_members,
            md5(array_to_string(c2.ce, ',')) AS ce_md5,
            CAST(list_dot_product(c2.ce, c2.ce) AS BIGINT) AS ce_norm2
-         FROM c2 LEFT JOIN sizes USING (label) ORDER BY c2.label""")
+         FROM c2 LEFT JOIN sizes USING (label) ORDER BY c2.label""",
+    // q190: q39's assignment chain, then integer sqrt-balanced allocation
+    // (weights e3-quantized BEFORE summing so the normalizer is integer)
+    // and the q45/q98 deterministic md5 sampling bucket
+    "q190_balanced_sample" ->
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
+                   FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (${assignSql("seeds")}),
+         c1 AS (${stepSql("a1", "seeds")}),
+         a2 AS (${assignSql("c1")}),
+         c2 AS (${stepSql("a2", "c1")}),
+         af AS (${assignSql("c2")}),
+         sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE))*1000 + 0.5) AS BIGINT) AS w_e3
+           FROM af GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(sum(w_e3) AS BIGINT) AS sumw FROM sizes),
+         rates AS (SELECT label, n_vecs, w_e3,
+             least(10000, ((10000 * w_e3) // sumw) * (total // 2) // n_vecs) AS rate_e4
+           FROM sizes, tot)
+         SELECT rates.label, n_vecs, w_e3, rate_e4,
+           CAST(count(*) FILTER (WHERE
+             CAST(('0x'||substr(md5('samp:'||CAST(af.vec_id AS VARCHAR)),1,15)) AS BIGINT)
+               % 10000 < rate_e4) AS BIGINT) AS n_sampled
+         FROM af JOIN rates USING (label)
+         GROUP BY rates.label, n_vecs, w_e3, rate_e4 ORDER BY rates.label""")
 }

@@ -145,6 +145,17 @@ def main():
             times[name]["status"] = "fail-values"
             print(f"  [FAIL-VALUES] {name}: " + " | ".join(str(ex).split("\n")[0:6]))
         flush_times(times)
+    # declared queries with no engine output dir at all (e.g. an engine-side
+    # census-guard refusal writes no parquet) still belong in the record:
+    # the declared status IS the machine-readable answer for them
+    for name, d in declared.items():
+        if name not in times:
+            n_declared += 1
+            times[name] = {"oracle_s": None,
+                           "status": d.get("status", "declared"),
+                           "reason": d.get("reason"), "rows": None}
+            print(f"  [DECLARED {times[name]['status']}] {name} (no engine output)")
+            flush_times(times)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only, "
           f"{n_declared} declared")
     if times_out:
