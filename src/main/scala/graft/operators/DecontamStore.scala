@@ -140,6 +140,19 @@ object DecontamStore {
     else wh.overwrite(schema, verdictsTable(name), v)
   }
 
+  /** Span-level localization + trim served from the store — the TRIM
+    * policy (Decontaminate.contaminatedSpans) over the persisted gram set
+    * instead of benchmark text: one corpus scan, broadcast stored grams,
+    * leak-bounded state. Same output contract as the one-shot operator
+    * (pure per-doc function of (text, frozen gram set)), so batch splits
+    * partition the answer exactly as [[checkBatch]] verdicts do. */
+  def trimSpans(wh: Warehouse, schema: String, name: String,
+                corpus: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame =
+    Decontaminate.contaminatedSpansFromGrams(
+      corpus, evalGrams(wh, schema, name, n).select(col("gh")),
+      idCol, textCol, n)
+
   /** The accumulated contamination verdicts. */
   def verdicts(wh: Warehouse, schema: String, name: String): DataFrame =
     wh.read(schema, verdictsTable(name))

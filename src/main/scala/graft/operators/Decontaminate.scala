@@ -87,7 +87,19 @@ object Decontaminate {
     * kept_tokens, trimmed_md5 — md5 of the space-joined kept tokens,
     * md5("") when the whole doc is covered). */
   def contaminatedSpans(corpus: DataFrame, evalDocs: DataFrame,
-                        idCol: String, textCol: String, n: Int): DataFrame = {
+                        idCol: String, textCol: String, n: Int): DataFrame =
+    contaminatedSpansFromGrams(corpus,
+      evalDocs.select(explode(
+        org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n))
+        .as("gh")).distinct(),
+      idCol, textCol, n)
+
+  /** [[contaminatedSpans]] against a pre-derived eval gram-hash frame
+    * (single column `gh`) — the store-served form: a persisted benchmark
+    * gram table (see DecontamStore) serves the trim path without ever
+    * re-reading benchmark text. */
+  def contaminatedSpansFromGrams(corpus: DataFrame, evalGramHashes: DataFrame,
+                                 idCol: String, textCol: String, n: Int): DataFrame = {
     val tks = TextFunctions.wsTokens(col(textCol))
     // positional gram hashes: (pos, gh) with pos the 1-based index of the
     // gram's first token; same md5-prefix 60-bit hash as hashedWordNgrams
@@ -97,10 +109,7 @@ object Decontaminate {
         i => struct(i.as("pos"),
           TextFunctions.stableHash60(concat_ws(" ", slice(tks, i, lit(n)))).as("gh"))))
       .otherwise(array().cast("array<struct<pos:int,gh:long>>"))
-    val evalGrams = evalDocs
-      .select(explode(
-        org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n)).as("gh"))
-      .distinct()
+    val evalGrams = evalGramHashes.select(col("gh")).distinct()
     val matched = corpus
       .select(col(idCol), size(tks).as("n_tokens"), explode(posGrams).as("pg"))
       .select(col(idCol), col("n_tokens"),

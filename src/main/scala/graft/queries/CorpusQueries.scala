@@ -361,6 +361,32 @@ object CorpusQueries {
       .orderBy(col("severity"))
   }
 
+  /** q191: the TRIM path served from the persisted benchmark gram store —
+    * q188's span localization with the benchmark registered once (two
+    * halves, the q169 idempotent-registration lifecycle) and the corpus
+    * arriving as two batches whose union must equal the one-shot answer
+    * (a doc's spans are a pure function of its text and the frozen gram
+    * set). Pinned by q188's OWN oracle SQL — the strongest store-parity
+    * pin (the q128/q169 pattern). Benchmark text is read once ever;
+    * each batch pays one scan of itself. */
+  def q191TrimStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q191_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_even",
+      evalDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_odd",
+      evalDocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    QueryUtil.withTempWarehouse(whDir) {
+      Seq(0, 1).map { b =>
+        DecontamStore.trimSpans(wh, "guard", "dc",
+          corpus.filter(col("doc_id") % 2 === b), "doc_id", "text", n = 4)
+      }.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }
+  }
+
   /** q169: q42's decontamination served from the PERSISTED benchmark
     * gram store, end to end through the streaming lifecycle: the eval
     * split is registered as two separate benchmarks (each read once,
@@ -950,6 +976,7 @@ object CorpusQueries {
     "q42_decontaminate" -> (q42Decontaminate _),
     "q188_decontam_trim" -> (q188DecontamTrim _),
     "q189_trim_policy_audit" -> (q189TrimPolicyAudit _),
+    "q191_trim_store" -> (q191TrimStore _),
     "q169_decontam_store" -> (q169DecontamStore _),
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
@@ -1454,6 +1481,9 @@ object CorpusQueries {
   private val oraclesTail: Map[String, String] = Map(
     "q42_decontaminate" -> q42Sql,
     "q188_decontam_trim" -> q188Sql,
+    // store-served + batch-split trim must equal the one-shot span answer
+    // EXACTLY — pinned by q188's own oracle (the q169/q128 pattern)
+    "q191_trim_store" -> q188Sql,
     "q189_trim_policy_audit" -> q189Sql,
     // the store-served + streamed-batch path must equal the one-shot check
     // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
