@@ -59,6 +59,37 @@ class DecontamTrimSpec extends SparkSpec {
     assert(r === ((4L, 4L, 1L, 1L, 1L, 4L, 4L, 0L, md5hex(""))))
   }
 
+  test("fused multi-n serve equals the per-n loop on every (doc, n) verdict") {
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_multin_wh_").toString)
+    graft.operators.DecontamStore.registerBenchmark(
+      wh, "g", "dc", "bench", eval, "doc_id", "text", n = 4)
+    graft.operators.DecontamStore.registerBenchmark(
+      wh, "g", "dc", "bench", eval, "doc_id", "text", n = 2)
+    val fused = graft.operators.DecontamStore
+      .contaminatedMultiN(wh, "g", "dc", corpus, "doc_id", "text", Seq(2, 4))
+      .as[(Long, Long, Long)].collect().toSet
+    val looped = Seq(2, 4).flatMap { n =>
+      graft.operators.DecontamStore
+        .contaminated(wh, "g", "dc", corpus, "doc_id", "text", n)
+        .as[(Long, Long)].collect().map { case (id, c) => (id, n.toLong, c) }
+    }.toSet
+    assert(fused === looped && fused.nonEmpty)
+  }
+
+  test("store-served trim equals the one-shot span answer") {
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_trim_wh_").toString)
+    graft.operators.DecontamStore.registerBenchmark(
+      wh, "g", "dc", "bench", eval, "doc_id", "text", n = 4)
+    val served = graft.operators.DecontamStore
+      .trimSpans(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(served === got)
+  }
+
   test("trim is idempotent: re-checking trimmed docs finds no contamination") {
     // strip doc 2's span by hand ("e") and doc 1's ("x y z"): no eval
     // 4-gram can survive in a gap shorter than 4 tokens
