@@ -112,7 +112,8 @@ object Bench {
     val storeSplits: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
       Map(
         "q169_decontam_store" -> (graft.queries.CorpusQueries.q169BuildServe _),
-        "q177_decontam_curve_store" -> (graft.queries.CorpusQueries.q177BuildServe _))
+        "q177_decontam_curve_store" -> (graft.queries.CorpusQueries.q177BuildServe _),
+        "q191_trim_store" -> (graft.queries.CorpusQueries.q191BuildServe _))
     // (build_s, serve_s); failures mirror timeOnce's sentinel convention
     def timeSplit(name: String,
                   mk: (SparkSession, String) => (() => Unit, () => DataFrame)): (Double, Double) =

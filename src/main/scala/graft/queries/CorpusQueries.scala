@@ -535,6 +535,30 @@ object CorpusQueries {
     (build, serve)
   }
 
+  /** q191's lifecycle split for the BENCH surface (the q169 pattern):
+    * `build` registers the two benchmark halves, `serve` runs the
+    * two-batch store-served trim. Row-identical to [[q191TrimStore]]. */
+  def q191BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q191b_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val build = () => {
+      DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_even",
+        evalDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+      DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_odd",
+        evalDocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    }
+    val serve = () => QueryUtil.withTempWarehouse(whDir) {
+      Seq(0, 1).map { b =>
+        DecontamStore.trimSpans(wh, "guard", "dc",
+          corpus.filter(col("doc_id") % 2 === b), "doc_id", "text", n = 4)
+      }.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }
+    (build, serve)
+  }
+
   /** q185: per-source benchmark-leakage matrix — WHERE the contamination
     * comes from: q42's store-served check joined back to the source
     * dimension, rolled up as (source, n_docs, n_flagged, n_matched,
