@@ -113,7 +113,12 @@ object Bench {
       Map(
         "q169_decontam_store" -> (graft.queries.CorpusQueries.q169BuildServe _),
         "q177_decontam_curve_store" -> (graft.queries.CorpusQueries.q177BuildServe _),
-        "q191_trim_store" -> (graft.queries.CorpusQueries.q191BuildServe _))
+        "q191_trim_store" -> (graft.queries.CorpusQueries.q191BuildServe _),
+        "q120_ann_index_topk" -> (graft.queries.SimQueries.q120BuildServe _),
+        "q121_pq_index_topk" -> (graft.queries.SimQueries.q121BuildServe _),
+        "q128_ivfpq_index_topk" -> (graft.queries.SimQueries.q128BuildServe _),
+        "q129_hamming_index_topk" -> (graft.queries.SimQueries.q129BuildServe _),
+        "q130_sq8_index_topk" -> (graft.queries.SimQueries.q130BuildServe _))
     // (build_s, serve_s); failures mirror timeOnce's sentinel convention
     def timeSplit(name: String,
                   mk: (SparkSession, String) => (() => Unit, () => DataFrame)): (Double, Double) =

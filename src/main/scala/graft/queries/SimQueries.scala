@@ -440,6 +440,72 @@ object SimQueries {
     }
   }
 
+  /** Build/serve splits for the five persistent ANN index probes (q120/
+    * q121/q128/q129/q130) — the BENCH surface's store-lifecycle split
+    * (the q169/q177/q191 pattern): `build` is the one-time index
+    * construction a deployment pays per corpus snapshot, `serve` the
+    * recurring probe the store exists for. The round-11 sf1.0 sweep read
+    * q130 at 2.73× its oracle ONLY because the in-query store build was
+    * timed with the probe; correctness keeps gating the whole lifecycle
+    * through the unchanged one-shot queries. */
+  private def indexBuildServe(spark: SparkSession, dir: String, tag: String)(
+      build0: (graft.core.Warehouse, DataFrame) => Unit)(
+      serve0: (graft.core.Warehouse, SparkSession, String) => DataFrame)
+      : (() => Unit, () => DataFrame) = {
+    val emb = Tables(spark, dir, "embeddings")
+    val whDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    (() => build0(wh, emb),
+      () => QueryUtil.withTempWarehouse(whDir)(serve0(wh, spark, dir)))
+  }
+
+  def q120BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) =
+    indexBuildServe(spark, dir, "q120b") { (wh, emb) =>
+      graft.operators.AnnIndex.build(wh, "ann", "emb", emb,
+        Similarity.ivfCentroids(emb, "label"))
+    } { (wh, s, d) =>
+      graft.operators.AnnIndex.topK(wh, "ann", "emb", queriesDf(s, d), TopK, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+  def q121BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) =
+    indexBuildServe(spark, dir, "q121b") { (wh, emb) =>
+      graft.operators.AnnIndex.buildPq(wh, "ann", "emb", emb,
+        Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+        m = PqM, dim = Dim)
+    } { (wh, s, d) =>
+      graft.operators.AnnIndex.topKPq(wh, "ann", "emb", queriesDf(s, d), TopK,
+        m = PqM, dim = Dim).orderBy(col("q_id"), col("rank"))
+    }
+
+  def q128BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) =
+    indexBuildServe(spark, dir, "q128b") { (wh, emb) =>
+      graft.operators.AnnIndex.buildIvfPq(wh, "ann", "emb", emb,
+        Similarity.ivfCentroids(emb, "label"),
+        Similarity.pqCodebooks(emb, m = PqM, k = 8, dim = Dim, iters = 2),
+        m = PqM, dim = Dim)
+    } { (wh, s, d) =>
+      graft.operators.AnnIndex.topKIvfPq(wh, "ann", "emb", queriesDf(s, d), TopK,
+        probes = 2, m = PqM, dim = Dim).orderBy(col("q_id"), col("rank"))
+    }
+
+  def q129BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) =
+    indexBuildServe(spark, dir, "q129b") { (wh, emb) =>
+      graft.operators.AnnIndex.buildHamming(wh, "ann", "emb", emb)
+    } { (wh, s, d) =>
+      graft.operators.AnnIndex.topKHamming(wh, "ann", "emb", queriesDf(s, d), TopK,
+        shortlist = 20).orderBy(col("q_id"), col("rank"))
+    }
+
+  def q130BuildServe(spark: SparkSession, dir: String): (() => Unit, () => DataFrame) =
+    indexBuildServe(spark, dir, "q130b") { (wh, emb) =>
+      graft.operators.AnnIndex.buildSq8(wh, "ann", "emb", emb,
+        Similarity.ivfCentroids(emb, "label"), Similarity.sq8Bounds(emb))
+    } { (wh, s, d) =>
+      graft.operators.AnnIndex.topKSq8(wh, "ann", "emb", queriesDf(s, d), TopK,
+        probes = 2).orderBy(col("q_id"), col("rank"))
+    }
+
   /** q133: embedding-distribution drift — per label, how far the integer
     * centroid moved between snapshot A (even vec_id) and snapshot B (odd
     * vec_id), with exact integer displacement and norms. The
