@@ -153,6 +153,17 @@ object DedupQueries {
       "text", k = K, shingleN = N, sampleMod = 4)
       .orderBy(col("bin"))
 
+  /** q192: q186's estimator calibration over the mod-32 id-hash sample —
+    * the committed sf1.0 hash evidence for the estimator-audit class
+    * (q186's mod-4 oracle DNF-timeouts at 2400 s at sf1.0; the 64×
+    * smaller all-pairs frame is DuckDB-feasible — the q164/q183/q184
+    * sampled-surrogate pattern). Same code path, coarser sample; at
+    * 100 TB the mod is the audit's budget knob. */
+  def q192SampledMinhashEstimator(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatorCurve(Tables(spark, dir, "documents"), "doc_id",
+      "text", k = K, shingleN = N, sampleMod = 32)
+      .orderBy(col("bin"))
+
   /** q156: near-dup source matrix — q20's verified pairs rolled up by
     * UNORDERED source pair: how many near-dup pairs cross each (src, src)
     * cell and their mean Jaccard. The near-dup complement of q127's
@@ -370,6 +381,7 @@ object DedupQueries {
     "q181_budgeted_banding_plan" -> (q181BudgetedBandingPlan _),
     "q182_budget_auto_near_dup" -> (q182BudgetAutoNearDup _),
     "q186_minhash_estimator" -> (q186MinhashEstimator _),
+    "q192_sampled_minhash_estimator" -> (q192SampledMinhashEstimator _),
     "q178_banding_calibration" -> (q178BandingCalibration _),
     "q156_near_dup_source_matrix" -> (q156NearDupSourceMatrix _),
     "q157_edit_near_dup" -> (q157EditNearDup _),
@@ -389,6 +401,37 @@ object DedupQueries {
   private def sigColsFor(k: Int) = (0 until k).map(i =>
     s"list_min(list_transform(hs, x -> ((x % ${Dedup.MinhashP20}) * ${Dedup.affineA(i)}" +
       s" + ${Dedup.affineB(i)}) % ${Dedup.MinhashP31})) AS mh_$i").mkString(", ")
+
+  // q186/q192: q154-style sample + all-pairs exact side, est = matching-
+  // minhash fraction (K-term equality sum), MAE per exact-Jaccard decile —
+  // parameterized by the id-hash sample modulus (q186 runs the production
+  // mod 4; q192 is the mod-32 sf1.0-feasible surrogate)
+  private def minhashEstimatorSqlFor(mod: Int): String = {
+    val matchSum = (0 until K).map(i =>
+      s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    raw"""WITH sample AS (SELECT doc_id, text FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % $mod = 0),
+       ${nearDupPairsCtesFrom("sample")},
+       ids AS (SELECT doc_id FROM sig),
+       uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+       usc AS (SELECT u.a_id, u.b_id,
+           len(list_intersect(sa.shs, sb.shs)) AS inter,
+           sa.sz AS sz_a, sb.sz AS sz_b, ($matchSum) AS m
+         FROM uni u
+         JOIN sig sa ON sa.doc_id = u.a_id
+         JOIN sig sb ON sb.doc_id = u.b_id),
+       uj AS (SELECT a_id, b_id,
+           CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4,
+           CAST(m * 10000 // $K AS BIGINT) AS est_e4
+         FROM usc),
+       e AS (SELECT least(jaccard_e4 // 1000, 9) AS bin,
+           abs(est_e4 - jaccard_e4) AS err FROM uj)
+       SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(err) // count(*) AS BIGINT) AS mae_e4
+       FROM e GROUP BY bin ORDER BY bin"""
+  }
 
   private def bandSelectsFor(k: Int, b: Int) = (0 until b).map { j =>
     val cc = (0 until k / b).map(i => s"CAST(mh_${j * (k / b) + i} AS VARCHAR)").mkString("||'|'||")
@@ -739,32 +782,11 @@ object DedupQueries {
     "q154_lsh_scurve" -> q154Sql,
     // q186: q154's sample + all-pairs exact side, est = matching-minhash
     // fraction (16-term equality sum), MAE per exact-Jaccard decile
-    "q186_minhash_estimator" -> {
-      val matchSum = (0 until K).map(i =>
-        s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
-      raw"""WITH sample AS (SELECT doc_id, text FROM documents
-           WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
-         ${nearDupPairsCtesFrom("sample")},
-         ids AS (SELECT doc_id FROM sig),
-         uni AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
-         usc AS (SELECT u.a_id, u.b_id,
-             len(list_intersect(sa.shs, sb.shs)) AS inter,
-             sa.sz AS sz_a, sb.sz AS sz_b, ($matchSum) AS m
-           FROM uni u
-           JOIN sig sa ON sa.doc_id = u.a_id
-           JOIN sig sb ON sb.doc_id = u.b_id),
-         uj AS (SELECT a_id, b_id,
-             CAST(floor(inter/(sz_a + sz_b - inter)*10000 + 0.5) AS BIGINT) AS jaccard_e4,
-             CAST(m * 10000 // $K AS BIGINT) AS est_e4
-           FROM usc),
-         e AS (SELECT least(jaccard_e4 // 1000, 9) AS bin,
-             abs(est_e4 - jaccard_e4) AS err FROM uj)
-         SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 AS BIGINT) AS lo_e4,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(err) // count(*) AS BIGINT) AS mae_e4
-         FROM e GROUP BY bin ORDER BY bin"""
-    },
+    "q186_minhash_estimator" -> minhashEstimatorSqlFor(4),
+    // q192: the mod-32 sampled surrogate — the q164/q183/q184 pattern for
+    // q186's sf1.0 oracle class (the mod-4 all-pairs side DNF-timeouts at
+    // 2400 s; the 64x-smaller pair frame is DuckDB-feasible)
+    "q192_sampled_minhash_estimator" -> minhashEstimatorSqlFor(32),
     // q178: q154's measured curve joined to the theoretical 1-(1-j^r)^b
     // at each bin midpoint — the same truncating power chains as q171
     "q178_banding_calibration" ->
