@@ -171,6 +171,20 @@ object Bench {
         val ts = (1 to 2).map(_ => timeOnce(ccCalName, fn)).filter(_ >= 0)
         if (ts.isEmpty) -1.0 else ts.min
       }.getOrElse(-1.0)
+    // the CC family (q41's pair+CC envelope and everything composed on it)
+    // dominates sweep-total variance — r10 measured q160 at 7.8 and 13.0 s
+    // within ONE session, and r11's two canonical sweeps disagreed 10.5% on
+    // the family subtotal alone. Family rows therefore get min-of-THREE
+    // (vs the global min-of-two for >1 s queries): one extra timed run per
+    // CC row buys sweep-to-sweep family agreement inside the ±10% target.
+    val ccFamily = Set("q41_dedup_clusters", "q54_embedding_clusters",
+      "q99_incremental_near_dup", "q122_semdedup_auto", "q138_dedup_weights",
+      "q140_cluster_splits", "q150_best_of_cluster",
+      "q159_dup_quality_contingency", "q160_incremental_clusters",
+      "q163_knn_density_auto", "q164_sampled_clusters", "q176_corpus_diff",
+      "q179_dedup_budget_select", "q180_cap_k_dedup",
+      "q183_sampled_dedup_budget", "q184_sampled_cap_k",
+      "q194_sampled_cluster_splits")
     val calStart = calibrate()
     val ccCalStart = ccCalibrate()
     val buildS = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -189,8 +203,9 @@ object Bench {
         case None =>
           val first = timeOnce(name, fn)
           if (first > 1.0) {
-            val second = timeOnce(name, fn)
-            if (second >= 0) math.min(first, second) else first
+            val reruns = if (ccFamily(name)) 2 else 1
+            val more = (1 to reruns).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+            (first +: more).min
           } else first
       }
       val cal = if (i == half) Seq("__cal_mid" -> calibrate()) else Seq.empty
@@ -234,15 +249,8 @@ object Bench {
     val ccSpread =
       if (ccCals.size == 2 && ccCals.min > 0) ccCals.max / ccCals.min else -1.0
     // the CC family's own subtotal rides the artifact so two sweeps'
-    // family costs compare directly (the family dominates sweep-total
-    // variance; r10 measured q160 at 7.8 and 13.0 s within one session)
-    val ccFamily = Set("q41_dedup_clusters", "q54_embedding_clusters",
-      "q99_incremental_near_dup", "q122_semdedup_auto", "q138_dedup_weights",
-      "q140_cluster_splits", "q150_best_of_cluster",
-      "q159_dup_quality_contingency", "q160_incremental_clusters",
-      "q163_knn_density_auto", "q164_sampled_clusters", "q176_corpus_diff",
-      "q179_dedup_budget_select", "q180_cap_k_dedup",
-      "q183_sampled_dedup_budget", "q184_sampled_cap_k")
+    // family costs compare directly (family set defined above, where the
+    // min-of-three rerun rule also reads it)
     val ccFamilyTotal = queryResults
       .filter { case (k, v) => ccFamily(k) && v >= 0 }.map(_._2).sum
     val calJson = s""""calibration":{"query":"$calName","start":${r3(calStart)},""" +

@@ -64,6 +64,56 @@ object Multimodal {
     h.map(b => b.toFloat / 128.0f)
   }
 
+  /** REAL image decoder — pure-JVM `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship inside the JDK; no native libraries, so this one clears
+    * the sandbox constraint that keeps [[stubDecoder]] in the oracle
+    * path). Decodes the payload and averages integer luminance
+    * (299R+587G+114B)/1000 over a 4×4 grid → 16 floats in [0,1] — a
+    * deterministic function of the pixel raster, so the contract
+    * ([[Decoder]] purity) holds: same bytes, same vector, on every
+    * executor. Non-image payloads fail LOUDLY with the media_id-bearing
+    * require in [[decodeBatch]]'s caller frame rather than returning
+    * garbage features. Whole-payload decode only: a byte SLICE of an
+    * encoded image is not itself decodable, so frame sampling keeps the
+    * stub (a container format with an honest keyframe index is the real
+    * swap-in there). The fixture media table carries text bytes, so the
+    * oracle-checked queries (q32/q85) stay on [[stubDecoder]]; this
+    * decoder is proven by MultimodalSpec over PNGs encoded in-test. */
+  val imageIoDecoder: Decoder = (bytes: Array[Byte], _: Int) => {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image (ImageIO found no reader)")
+    val grid = 4
+    val out = new Array[Float](FeatureDim)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        val x0 = img.getWidth * gx / grid
+        val x1 = math.max(x0 + 1, img.getWidth * (gx + 1) / grid)
+        val y0 = img.getHeight * gy / grid
+        val y1 = math.max(y0 + 1, img.getHeight * (gy + 1) / grid)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * grid + gx) = (sum.toFloat / n) / 255.0f
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
 

@@ -106,6 +106,11 @@ object DecontamStore {
                          corpus: DataFrame, idCol: String, textCol: String,
                          ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty, "at least one n-gram size")
+    // duplicated sizes would concat the corpus-side gram arrays twice while
+    // the store side stays distinct — silently doubling n_eval_grams; error
+    // loudly instead (the caller meant a SET of sizes)
+    require(ns.distinct.size == ns.size,
+      s"duplicate n-gram sizes in $ns would double-count corpus-side grams")
     val pairs = ns.map { n =>
       transform(
         org.apache.spark.sql.graft.MinHashExprs.hashedWordNgrams(col(textCol), n),
@@ -156,6 +161,34 @@ object DecontamStore {
   /** The accumulated contamination verdicts. */
   def verdicts(wh: Warehouse, schema: String, name: String): DataFrame =
     wh.read(schema, verdictsTable(name))
+
+  /** Retire one benchmark from the store — the lifecycle step
+    * [[attribution]] exists to trigger: when an eval set is burned
+    * (its items leaked widely enough that it stops measuring anything),
+    * the store must stop flagging corpus docs for sharing ITS grams.
+    *
+    * Drops every gram row of `benchId` (all registered n sizes) via an
+    * anti-filter rewrite — the gram table is benchmark-scale, so the
+    * rewrite is the cheap side, and the new single version IS the
+    * compaction (the ANN rebuild-and-swap pattern: readers atomically
+    * flip to the rewritten version). Accumulated [[checkBatch]] verdicts
+    * are truncated wholesale, not filtered: a verdict row is a pure
+    * function of (doc text, the FROZEN gram set) with no per-benchmark
+    * attribution, so every verdict derived against the pre-retirement
+    * set is invalidated the moment the set changes — re-feeding the
+    * corpus batches rebuilds exactly the remaining benchmarks' answer
+    * (the batch-partition contract is unchanged). Re-registering a
+    * retired (benchId, n) later is a fresh registration: the idempotence
+    * probe sees no rows, so the no-op short-circuit does not fire. */
+  def retireBenchmark(wh: Warehouse, schema: String, name: String,
+                      benchId: String): Unit = {
+    if (!wh.exists(schema, gramsTable(name))) return
+    wh.overwrite(schema, gramsTable(name),
+      wh.read(schema, gramsTable(name)).filter(col("bench_id") =!= benchId))
+    if (wh.exists(schema, verdictsTable(name)))
+      wh.overwrite(schema, verdictsTable(name),
+        wh.read(schema, verdictsTable(name)).limit(0))
+  }
 
   /** Leakage attribution BY EVAL DOC: for each registered benchmark item,
     * how many corpus docs share ≥ 1 of its n-grams and the total

@@ -1167,9 +1167,9 @@ object CorpusQueries {
   private val q189Sql =
     raw"""WITH $q188Ctes,
        sev AS (SELECT CASE
-             WHEN CAST(floor(10000.0 * covered_tokens / n_tokens + 0.5) AS BIGINT) >= 5000
+             WHEN CAST(floor(covered_tokens / n_tokens * 10000 + 0.5) AS BIGINT) >= 5000
                THEN 'heavy'
-             WHEN CAST(floor(10000.0 * covered_tokens / n_tokens + 0.5) AS BIGINT) >= 1000
+             WHEN CAST(floor(covered_tokens / n_tokens * 10000 + 0.5) AS BIGINT) >= 1000
                THEN 'medium'
              ELSE 'light' END AS severity,
            n_tokens, covered_tokens, kept_tokens FROM st)

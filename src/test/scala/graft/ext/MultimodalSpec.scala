@@ -94,6 +94,57 @@ class MultimodalSpec extends SparkSpec {
     assert(altFrames.collect().forall(_.features.length === Multimodal.FeatureDim))
   }
 
+  test("imageIoDecoder: REAL PNG decode through the unchanged seam — known " +
+    "pixels yield known luminance cells, distributed decode matches local, " +
+    "and non-image bytes fail loudly") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 8×8 PNG: left half pure white (lum 255), right half pure black (0)
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val halfAndHalf = png(8, 8)((x, _) => if (x < 4) 0xffffff else 0x000000)
+    val f = Multimodal.imageIoDecoder(halfAndHalf, 0)
+    assert(f.length === Multimodal.FeatureDim)
+    // 4×4 grid: columns 0-1 sample the white half, 2-3 the black half
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val expect = if (gx < 2) 255.0f / 255.0f else 0.0f
+      assert(f(gy * 4 + gx) === expect, s"cell ($gx,$gy)")
+    }
+    // the decoder rides the SAME mapPartitions seam as the stub: schema,
+    // ids, md5s identical; features now come from real pixel rasters
+    val rows = (0L until 6L).map { i =>
+      Multimodal.MediaRow(i, "image", "png",
+        png(8, 8)((x, y) => if ((x + y + i) % 2 == 0) 0xffffff else 0x000000))
+    }
+    val ds = spark.createDataset(rows)
+    val decoded = Multimodal
+      .decodeFeatures(ds, 4, decoder = Multimodal.imageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(decoded.length === 6)
+    // checkerboard: integer luminance is 255 for white ((299+587+114)/1000
+    // of 255 exactly), 0 for black; each 2×2 grid cell holds two of each,
+    // so every cell averages 127.5 → feature 0.5 exactly
+    assert(decoded.forall(_.features.forall(_ === 0.5f)))
+    // purity/determinism across the distributed and local paths
+    assert(decoded.head.features.toSeq ===
+      Multimodal.imageIoDecoder(rows.head.bytes, 0).toSeq)
+    // non-image payloads fail loudly, not silently
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(
+        spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", "png",
+          "not a png".getBytes("UTF-8")))),
+        1, decoder = Multimodal.imageIoDecoder).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("resizePlan carries target dims and a content id") {
     val out = Multimodal.resizePlan(media.toDF(), 224, 224)
     val r = out.select("target_width", "target_height", "resized_md5").head()

@@ -86,19 +86,15 @@ class DecontamStoreSpec extends SparkSpec {
       "a run with no new files must not grow the verdict store")
   }
 
-  test("serve plan: the corpus scan reaches the BroadcastHashJoin with NO " +
-    "shuffle on its streamed side (the property itself, asserted by walking " +
-    "the executed plan tree — robust to AQE/version plan reshaping)") {
+  // the no-exchange-before-broadcast property, asserted by walking the
+  // executed plan tree (robust to AQE/version plan reshaping); shared by
+  // the single-n serve and the fused multi-n curve serve
+  private def assertExchangeFreeServe(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcp_wh_").toString)
-    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
-      evalDocs, "doc_id", "text", n = 4)
-    val df = DecontamStore.contaminated(
-      wh, "g", "dc", corpus, "doc_id", "text", n = 4)
     assert(df.count() > 0L) // materialize so AQE finalizes the plan
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
@@ -121,6 +117,77 @@ class DecontamStoreSpec extends SparkSpec {
       n.toString.toLowerCase.contains("parquet")),
       "the streamed side of the broadcast join is not the corpus scan:\n" +
         df.queryExecution.executedPlan)
+  }
+
+  test("serve plan: the corpus scan reaches the BroadcastHashJoin with NO " +
+    "shuffle on its streamed side (the property itself, asserted by walking " +
+    "the executed plan tree — robust to AQE/version plan reshaping)") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcp_wh_").toString)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
+      evalDocs, "doc_id", "text", n = 4)
+    assertExchangeFreeServe(DecontamStore.contaminated(
+      wh, "g", "dc", corpus, "doc_id", "text", n = 4))
+  }
+
+  test("fused multi-n serve plan holds the same property: the single corpus " +
+    "scan (explode of the concat'd per-n gram structs) reaches the broadcast " +
+    "join with no exchange on the streamed side") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcpm_wh_").toString)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
+      evalDocs, "doc_id", "text", n = 3)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
+      evalDocs, "doc_id", "text", n = 4)
+    assertExchangeFreeServe(DecontamStore.contaminatedMultiN(
+      wh, "g", "dc", corpus, "doc_id", "text", ns = Seq(3, 4)))
+  }
+
+  test("duplicate n-gram sizes are rejected loudly (a silent double-concat " +
+    "would inflate n_eval_grams while the store side stays distinct)") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcd_wh_").toString)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "bench",
+      evalDocs, "doc_id", "text", n = 4)
+    val e = intercept[IllegalArgumentException] {
+      DecontamStore.contaminatedMultiN(
+        wh, "g", "dc", corpus, "doc_id", "text", ns = Seq(4, 4))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("retire lifecycle: register two benchmarks, serve, retire one — the " +
+    "re-serve excludes the retired set exactly, verdicts invalidate, and a " +
+    "retired (benchId, n) can register fresh") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcr_wh_").toString)
+    val evenEval = evalDocs.filter(col("doc_id") % 2 === 0)
+    val oddEval = evalDocs.filter(col("doc_id") % 2 =!= 0)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "even", evenEval,
+      "doc_id", "text", n = 4)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "odd", oddEval,
+      "doc_id", "text", n = 4)
+    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    assert(DecontamStore.verdicts(wh, "g", "dc").count() > 0L)
+
+    DecontamStore.retireBenchmark(wh, "g", "dc", "even")
+    // gram rows: only the surviving benchmark remains, across all n
+    assert(DecontamStore.registered(wh, "g", "dc")
+      .select("bench_id").as[String].collect().toSet === Set("odd"))
+    // the re-serve equals a one-shot check against the SURVIVING eval set
+    assert(asMap(DecontamStore.contaminated(
+      wh, "g", "dc", corpus, "doc_id", "text", n = 4)) ===
+      asMap(Decontaminate.contaminated(corpus, oddEval, "doc_id", "text", n = 4)))
+    // verdicts derived against the pre-retirement gram set are invalidated
+    assert(DecontamStore.verdicts(wh, "g", "dc").count() === 0L)
+    // re-feeding the corpus rebuilds exactly the remaining benchmark's answer
+    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    assert(asMap(DecontamStore.verdicts(wh, "g", "dc")) ===
+      asMap(Decontaminate.contaminated(corpus, oddEval, "doc_id", "text", n = 4)))
+    // a retired id registers fresh (the idempotence probe sees no rows)
+    DecontamStore.registerBenchmark(wh, "g", "dc", "even", evenEval,
+      "doc_id", "text", n = 4)
+    assert(asMap(DecontamStore.contaminated(
+      wh, "g", "dc", corpus, "doc_id", "text", n = 4)) ===
+      asMap(Decontaminate.contaminated(corpus, evalDocs, "doc_id", "text", n = 4)))
+    // retiring from a store that was never created is a no-op
+    DecontamStore.retireBenchmark(wh, "g", "nosuch", "even")
   }
 
   test("registration is idempotent at (benchId, n): a retried registration " +

@@ -145,16 +145,22 @@ def main():
             times[name]["status"] = "fail-values"
             print(f"  [FAIL-VALUES] {name}: " + " | ".join(str(ex).split("\n")[0:6]))
         flush_times(times)
-    # declared queries with no engine output dir at all (e.g. an engine-side
-    # census-guard refusal writes no parquet) still belong in the record:
-    # the declared status IS the machine-readable answer for them
+    # declared queries with no engine output dir: only a declared class that
+    # BY CONTRACT produces no engine parquet (a census-guard refusal throws
+    # before any write) is backfilled with its declared status — everything
+    # else absent from the output dir was simply not run this sweep (e.g. a
+    # narrow SPARK_GRAFT_ONLY subset) and must not read as adjudicated, so
+    # it records the distinct status "declared-not-run"
+    NO_OUTPUT_BY_CONTRACT = ("REFUSED",)
     for name, d in declared.items():
         if name not in times:
             n_declared += 1
-            times[name] = {"oracle_s": None,
-                           "status": d.get("status", "declared"),
+            st = d.get("status", "declared")
+            if not st.startswith(NO_OUTPUT_BY_CONTRACT):
+                st = "declared-not-run"
+            times[name] = {"oracle_s": None, "status": st,
                            "reason": d.get("reason"), "rows": None}
-            print(f"  [DECLARED {times[name]['status']}] {name} (no engine output)")
+            print(f"  [DECLARED {st}] {name} (no engine output)")
             flush_times(times)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only, "
           f"{n_declared} declared")
