@@ -292,8 +292,10 @@ object CorpusQueries {
     * deliberately NOT broadcast-hinted (dup membership can be a large
     * corpus fraction at crawl scale; AQE broadcasts when measured
     * small) — then the assignment is a row-local projection. */
-  def q140ClusterSplits(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def q140ClusterSplits(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitsOver(Tables(spark, dir, "documents"))
+
+  private def clusterSplitsOver(docs: DataFrame): DataFrame = {
     val clusters = Clusters.dedupClusters(
       Dedup.nearDupPairs(docs, "doc_id", "text",
         k = K, b = B, shingleN = N, minJaccard = 0.5))
@@ -305,6 +307,17 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"), col("cluster"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** q194: q140's cluster-aware split assignment over the mod-2 id-hash
+    * sample — the committed sf1.0 hash evidence for the CC + splits
+    * composite (q140's full-corpus recursive-CTE oracle ENOSPCs at
+    * sf1.0). The q164 trick extends through the split hash unchanged:
+    * the sampled pair graph is cluster-closed, so every sampled doc's
+    * cluster label — and therefore its split bucket — is self-contained
+    * on the restricted frame. Same code path, restricted input; at
+    * 100 TB the mod is the audit's budget knob. */
+  def q194SampledClusterSplits(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitsOver(sampledHalf(Tables(spark, dir, "documents")))
 
   /** q42: benchmark decontamination — corpus docs sharing any word 4-gram
     * with the eval slice (doc_id ≡ 0 mod 97), with the leaked-gram count. */
@@ -413,6 +426,36 @@ object CorpusQueries {
       corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
     DecontamStore.checkBatch(wh, "guard", "dc",
       corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    QueryUtil.withTempWarehouse(whDir) {
+      DecontamStore.verdicts(wh, "guard", "dc").orderBy(col("doc_id"))
+    }
+  }
+
+  /** q196: the benchmark RETIREMENT lifecycle pinned by oracle — both
+    * eval halves registered, a full corpus pass accumulates verdicts,
+    * then the even benchmark is retired ([[DecontamStore.retireBenchmark]]:
+    * its gram rows anti-filtered away, the stale verdicts truncated —
+    * they were derived against the pre-retirement gram set) and the
+    * corpus re-fed. The surviving verdict table must equal a one-shot
+    * q42-style check against the ODD eval half ALONE: a single leftover
+    * gram row or un-invalidated verdict hash-fails. The lifecycle step
+    * [[DecontamStore.attribution]] (q170) exists to trigger — "this
+    * benchmark is burned, stop flagging for it" — now oracle-pinned end
+    * to end. At 100 TB retirement rewrites only the MB-scale gram table;
+    * the corpus re-check costs what any arriving batch costs. */
+  def q196DecontamRetire(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_q196_")
+    val wh = new graft.core.Warehouse(spark, whDir.toString)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_even",
+      evalDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+    DecontamStore.registerBenchmark(wh, "guard", "dc", "bench_odd",
+      evalDocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 4)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    DecontamStore.checkBatch(wh, "guard", "dc", corpus, "doc_id", "text", n = 4)
+    DecontamStore.retireBenchmark(wh, "guard", "dc", "bench_even")
+    DecontamStore.checkBatch(wh, "guard", "dc", corpus, "doc_id", "text", n = 4)
     QueryUtil.withTempWarehouse(whDir) {
       DecontamStore.verdicts(wh, "guard", "dc").orderBy(col("doc_id"))
     }
@@ -991,6 +1034,7 @@ object CorpusQueries {
     "q180_cap_k_dedup" -> (q180CapKDedup _),
     "q183_sampled_dedup_budget" -> (q183SampledDedupBudget _),
     "q184_sampled_cap_k" -> (q184SampledCapK _),
+    "q194_sampled_cluster_splits" -> (q194SampledClusterSplits _),
     "q159_dup_quality_contingency" -> (q159DupQualityContingency _),
     "q138_dedup_weights" -> (q138DedupWeights _),
     "q139_split_leakage" -> (q139SplitLeakage _),
@@ -1003,6 +1047,7 @@ object CorpusQueries {
     "q191_trim_store" -> (q191TrimStore _),
     "q169_decontam_store" -> (q169DecontamStore _),
     "q170_decontam_attribution" -> (q170DecontamAttribution _),
+    "q196_decontam_retire" -> (q196DecontamRetire _),
     "q176_corpus_diff" -> (q176CorpusDiff _),
     "q179_dedup_budget_select" -> (q179DedupBudgetSelect _),
     "q185_source_leak_matrix" -> (q185SourceLeakMatrix _),
@@ -1023,7 +1068,7 @@ object CorpusQueries {
   // the mod-2 id-hash sample CTE + the pair chain over it — shared by the
   // sampled CC composites (q183/q184); mirrors [[sampledHalf]] exactly
   private lazy val sampledPairCtes: String =
-    raw"""smpl AS (SELECT doc_id, text FROM documents
+    raw"""smpl AS (SELECT doc_id, text, source FROM documents
          WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0),
        ${DedupQueries.nearDupPairsCtesFrom("smpl")}"""
 
@@ -1055,6 +1100,29 @@ object CorpusQueries {
          FROM cl JOIN q USING (doc_id))
        SELECT cluster, doc_id, quality_e4, rank, n_dups, rank <= 3 AS kept
        FROM m ORDER BY cluster, rank"""
+
+  // q140's derivation parameterized the same way (q194 = the mod-2 sample)
+  private def clusterSplitsSqlOver(pairCtes: String, base: String): String =
+    raw"""WITH RECURSIVE $pairCtes,
+       p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
+       edges AS (SELECT a_id AS s, b_id AS d FROM p2
+                 UNION ALL SELECT b_id, a_id FROM p2),
+       reach(id, lab) AS (
+         SELECT DISTINCT s AS id, s AS lab FROM edges
+         UNION
+         SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+         WHERE r.lab < e.d),
+       cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+       j AS (SELECT d.doc_id, d.source,
+           coalesce(cl.cluster, d.doc_id) AS cluster
+         FROM $base d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       hb AS (SELECT doc_id, source, cluster,
+           CAST(('0x'||substr(md5('split:'||CAST(cluster AS VARCHAR)),1,15)) AS BIGINT)
+             % 10000 AS b FROM j)
+       SELECT doc_id, source, cluster,
+         CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+              ELSE 'test' END AS split
+       FROM hb ORDER BY doc_id"""
 
   // q179's derivation parameterized the same way (q183 = the mod-2 sample)
   private def dedupBudgetSqlOver(pairCtes: String, base: String): String =
@@ -1178,6 +1246,19 @@ object CorpusQueries {
          CAST(sum(covered_tokens) AS BIGINT) AS tokens_cut_trim,
          CAST(sum(kept_tokens) AS BIGINT) AS tokens_saved_trim
        FROM sev GROUP BY 1 ORDER BY 1"""
+
+  // q196: q42's derivation with the eval side restricted to the ODD half —
+  // the post-retirement gram set (the even benchmark's rows are gone and
+  // its verdicts invalidated, so the surviving answer is exactly this)
+  private lazy val q196Sql =
+    raw"""WITH t AS (SELECT doc_id, $tksSql AS tks FROM documents),
+       g AS (SELECT doc_id, list_transform($gramsSql,
+           x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS ghs FROM t),
+       eg AS (SELECT DISTINCT unnest(ghs) AS gh FROM g
+              WHERE doc_id % 97 = 0 AND doc_id % 2 <> 0),
+       cg AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 97 <> 0)
+       SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+       FROM cg JOIN eg USING (gh) GROUP BY 1 ORDER BY 1"""
 
   // q42's derivation, shared verbatim by q169 (store-served parity pin)
   private val q42Sql =
@@ -1452,26 +1533,12 @@ object CorpusQueries {
            JOIN sp sb ON sb.doc_id = p2.b_id
          WHERE sa.split <> sb.split ORDER BY 1, 2""",
     "q140_cluster_splits" ->
-      raw"""WITH RECURSIVE ${DedupQueries.nearDupPairsCtes},
-         p2 AS (SELECT a_id, b_id FROM pairs WHERE jaccard_e4 >= 5000),
-         edges AS (SELECT a_id AS s, b_id AS d FROM p2
-                   UNION ALL SELECT b_id, a_id FROM p2),
-         reach(id, lab) AS (
-           SELECT DISTINCT s AS id, s AS lab FROM edges
-           UNION
-           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
-           WHERE r.lab < e.d),
-         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
-         j AS (SELECT d.doc_id, d.source,
-             coalesce(cl.cluster, d.doc_id) AS cluster
-           FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
-         hb AS (SELECT doc_id, source, cluster,
-             CAST(('0x'||substr(md5('split:'||CAST(cluster AS VARCHAR)),1,15)) AS BIGINT)
-               % 10000 AS b FROM j)
-         SELECT doc_id, source, cluster,
-           CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
-                ELSE 'test' END AS split
-         FROM hb ORDER BY doc_id""",
+      clusterSplitsSqlOver(DedupQueries.nearDupPairsCtes, "documents"),
+    // q194: the identical chain over the mod-2 id-hash sample — the
+    // CC+splits composite's sf1.0-feasible oracle (cluster labels, and
+    // therefore split buckets, are self-contained on the sampled frame)
+    "q194_sampled_cluster_splits" ->
+      clusterSplitsSqlOver(sampledPairCtes, "smpl"),
     // q162: q42's gram/hash chain replicated per n over ONE tokenize CTE,
     // each point collapsed to (n_gram, n_flagged, n_matched). q177 serves
     // the identical curve from the multi-n gram store — same oracle.
@@ -1512,6 +1579,7 @@ object CorpusQueries {
     // the store-served + streamed-batch path must equal the one-shot check
     // EXACTLY — strongest pin is q42's own oracle (the q128-pattern)
     "q169_decontam_store" -> q42Sql,
+    "q196_decontam_retire" -> q196Sql,
     // q176: the full q20 pair chain restricted to cross-snapshot pairs
     // (incremental ≡ full-restricted is q99's pinned equivalence), plus
     // the q19 canonical-fingerprint sets on each side

@@ -324,6 +324,41 @@ object SimQueries {
       targetClusterSize = 63L, iters = 2, tauE4 = 3500L)
       .orderBy(col("cluster"), col("vec_id"))
 
+  /** The deterministic mod-4 id-hash sample on the embeddings side — the
+    * q164/q183/q184/q192 audit restriction applied to the k-means
+    * composites: both engines restrict to vectors whose 60-bit md5
+    * id-hash ≡ 0 (mod 4) BEFORE the chain, and the auto entry points
+    * re-derive k from the SAMPLED count, so the whole
+    * kmeans→assign→(semdedup|density) derivation is self-contained on
+    * the restricted frame. The sample makes the oracle's n·k assignment
+    * cross-join 16× smaller — DuckDB-feasible at sf1.0 where the
+    * full-frame q122/q163 oracles ENOSPC (>79 GB temp spill, r9 probe).
+    * At 100 TB the mod is the audit's budget knob. */
+  private def sampledQuarter(emb: DataFrame): DataFrame = {
+    val idHash = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    emb.filter(pmod(idHash, lit(4L)) === 0L)
+  }
+
+  /** q193: q122's auto SemDeDup over the mod-4 id-hash sample — the
+    * committed sf1.0 hash evidence for the k-means-assignment oracle
+    * class (the last declared-infeasible class with no 10×-scale pin).
+    * Same code path as q122, restricted input, k re-derived from the
+    * sampled count on both sides. */
+  def q193SampledSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAuto(sampledQuarter(Tables(spark, dir, "embeddings")),
+      targetClusterSize = 63L, iters = 2, tauE4 = 3500L)
+      .orderBy(col("cluster"), col("vec_id"))
+
+  /** q195: q163's auto kNN-density over the mod-4 id-hash sample — the
+    * density composite's sf1.0-feasible surrogate (same pattern as
+    * q193; the within-list kth-neighbor logic is list-local, so the
+    * restriction composes through it unchanged). */
+  def q195SampledKnnDensity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnDensityAuto(sampledQuarter(Tables(spark, dir, "embeddings")),
+      targetListSize = 63L, iters = 2, k = TopK)
+      .orderBy(col("vec_id"))
+
   /** q100: distributed PCA — every embedding projected onto the corpus's
     * dominant principal direction (8 power iterations over a covariance
     * built in ONE corpus scan). The whitening/compression primitive:
@@ -620,6 +655,8 @@ object SimQueries {
     "q120_ann_index_topk" -> (q120AnnIndexTopK _),
     "q121_pq_index_topk" -> (q121PqIndexTopK _),
     "q122_semdedup_auto" -> (q122SemDedupAuto _),
+    "q193_sampled_semdedup" -> (q193SampledSemDedup _),
+    "q195_sampled_knn_density" -> (q195SampledKnnDensity _),
     "q39_kmeans" -> (q39Kmeans _),
     "q190_balanced_sample" -> (q190BalancedSample _))
 
@@ -868,15 +905,26 @@ object SimQueries {
     // q122: identical derivation with k DERIVED like semDedupAuto does —
     // ⌈count(*) / 63⌉ — so the oracle agrees at every scale it runs at
     "q122_semdedup_auto" -> semDedupOracleSql(
-      "(SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings)")) ++
+      "(SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings)"),
+    // q193: the same derivation over the mod-4 id-hash sample, k derived
+    // from the SAMPLED count — the 16×-smaller assignment cross-join is
+    // DuckDB-feasible at sf1.0 where the full-frame q122 oracle ENOSPCs
+    "q193_sampled_semdedup" -> semDedupOracleSql(
+      "(SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM e)", sampledEmbWhere)) ++
     oraclesMid ++ oraclesMid2 ++ oraclesTail
+
+  // the mod-4 id-hash sample predicate — mirrors [[sampledQuarter]] exactly
+  // (lazy: referenced from the `oracles` initializer above its definition)
+  private lazy val sampledEmbWhere =
+    " WHERE CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0"
 
   /** The SemDeDup oracle chain (seeds → 2×(assign, step) → within-cluster
     * pairs → recursive components → keep-the-outlier), parameterized by
-    * the seed-count SQL so the manual-k (q97) and derived-k (q122)
-    * surfaces share one derivation. */
-  private def semDedupOracleSql(seedLimit: String): String =
-      raw"""WITH RECURSIVE e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+    * the seed-count SQL and the base-frame restriction so the manual-k
+    * (q97), derived-k (q122) and sampled (q193) surfaces share one
+    * derivation. */
+  private def semDedupOracleSql(seedLimit: String, where: String = ""): String =
+      raw"""WITH RECURSIVE e AS (SELECT vec_id, $quantSql AS qe FROM embeddings$where),
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
                    FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT $seedLimit)),
          a1 AS (${assignSql("seeds")}),
@@ -1146,12 +1194,18 @@ object SimQueries {
     // pairs ranked per anchor (cos desc, id), rank min(k, n_list-1)
     // selected, singletons kept via LEFT JOIN (null density surfaced).
     // q163: the q122 k-means chain (derived seed count, 2 iterations) +
-    // q155's within-list kth-neighbor logic over the FINAL assignment
-    "q163_knn_density_auto" ->
-      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings),
+    // q155's within-list kth-neighbor logic over the FINAL assignment;
+    // q195 is the identical derivation over the mod-4 id-hash sample
+    // (its 16×-smaller assignment cross-join is the sf1.0-feasible form)
+    "q163_knn_density_auto" -> knnDensityAutoSql(),
+    "q195_sampled_knn_density" -> knnDensityAutoSql(sampledEmbWhere)) ++
+    oraclesTail2
+
+  private def knnDensityAutoSql(where: String = ""): String =
+      raw"""WITH e AS (SELECT vec_id, $quantSql AS qe FROM embeddings$where),
          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS label, qe AS ce
                    FROM (SELECT vec_id, qe FROM e ORDER BY vec_id
-                         LIMIT (SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM embeddings))),
+                         LIMIT (SELECT CAST(ceil(count(*)/63.0) AS BIGINT) FROM e))),
          a1 AS (${assignSql("seeds")}),
          c1 AS (${stepSql("a1", "seeds")}),
          a2 AS (${assignSql("c1")}),
@@ -1168,7 +1222,9 @@ object SimQueries {
            WHERE rk = least($TopK, n_list - 1))
          SELECT ca.vec_id, ca.label, sz.n_list, kth.cos_e4 AS kth_cos_e4
          FROM ca JOIN sz USING (label) LEFT JOIN kth ON kth.a_id = ca.vec_id
-         ORDER BY ca.vec_id""",
+         ORDER BY ca.vec_id"""
+
+  private lazy val oraclesTail2: Map[String, String] = Map(
     "q155_knn_density" ->
       raw"""WITH e AS (SELECT vec_id, label, $quantSql AS qe FROM embeddings),
          pe AS (SELECT label, generate_subscripts(qe, 1) AS d, unnest(qe) AS v FROM e),

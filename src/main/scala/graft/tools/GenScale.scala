@@ -95,6 +95,50 @@ object GenScale {
     (0 until factor).map(c => shard(base, c, n)).reduce(_ unionAll _)
   }
 
+  /** Key-offset shard for the relational (TPC-H-shaped) tables: shard c
+    * shifts each listed key column by c × (that key's base-table count),
+    * so every table's primary key stays unique and every FK into a scaled
+    * table keeps pointing at the same logical row — referential integrity
+    * holds per shard BY CONSTRUCTION (the TPC-H dbgen scaling rule).
+    * nation/region are fixed dims (TPC-H never scales them) and copy
+    * verbatim, so c_nationkey/s_nationkey stay in-domain untouched.
+    * Values ride unchanged: every registered relational query is
+    * tie-stable (explicit key tiebreaks pinned for the tri-scale hash
+    * gate), so duplicated value distributions cannot produce
+    * nondeterminism, and the sf1.0 sweep's scan/join/agg cost is driven
+    * by row count, not value entropy. */
+  def keyShard(df: DataFrame, c: Int, offsets: Seq[(String, Long)]): DataFrame =
+    if (c == 0) df
+    else offsets.foldLeft(df) { case (d, (k, n)) =>
+      d.withColumn(k, col(k) + lit(c.toLong * n))
+    }
+
+  /** Scale the five FK-linked relational tables together (shared base
+    * counts drive every offset) and copy the fixed dims. */
+  def writeRelational(spark: SparkSession, srcDir: String, outDir: String,
+                      factor: Int): Unit = {
+    val t = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "region", "nation")
+      .map(n => n -> spark.read.parquet(s"$srcDir/$n.parquet")).toMap
+    val nCust = t("customer").count()
+    val nSupp = t("supplier").count()
+    val nPart = t("part").count()
+    val nOrd = t("orders").count()
+    def out(name: String, df: DataFrame, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def rel(name: String, offsets: Seq[(String, Long)], files: Int): Unit =
+      out(name, (0 until factor).map(c => keyShard(t(name), c, offsets))
+        .reduce(_ unionAll _), files)
+    rel("customer", Seq("c_custkey" -> nCust), 4)
+    rel("supplier", Seq("s_suppkey" -> nSupp), 1)
+    rel("part", Seq("p_partkey" -> nPart), 4)
+    rel("orders", Seq("o_orderkey" -> nOrd, "o_custkey" -> nCust), 8)
+    rel("lineitem", Seq("l_orderkey" -> nOrd, "l_partkey" -> nPart,
+      "l_suppkey" -> nSupp), 8)
+    out("region", t("region"), 1)
+    out("nation", t("nation"), 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val outDir = args.lift(1).getOrElse("target/sf1.0")
@@ -117,6 +161,7 @@ object GenScale {
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     scaled(events, factor, eventShard).repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    writeRelational(spark, srcDir, outDir, factor)
     println(s"GENSCALE wrote factor=$factor to $outDir")
     spark.stop()
   }
