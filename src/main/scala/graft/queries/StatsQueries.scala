@@ -99,10 +99,16 @@ object StatsQueries {
 
   /** Shared sufficient-statistics frame for q115/q116: per l_returnflag,
     * integer sums of e0-quantized quantity and e2-quantized price. Each
-    * row quantizes BEFORE the aggregate, products go through decimal(38,0)
-    * so the moments stay exact at any scale (long would wrap near 1e19;
-    * headroom note: n·Σxy at 10^12 rows ≈ 1e33, inside decimal(38)). */
-  private def priceQtyMoments(spark: SparkSession, dir: String): DataFrame =
+    * row quantizes BEFORE the aggregate and the second-moment products
+    * are taken in decimal(19,0) — so the ACCUMULATOR is decimal(38,0),
+    * not long, from the first row on. (Long products summed THEN cast
+    * wrap near 1e19: Σyq² at the 10× bench scale is ~1.5e18 per flag
+    * and crossed the line under ANSI overflow checking — the r12 sf1.0
+    * sweep caught exactly this. Headroom now: n·Σxy at 10^12 rows
+    * ≈ 1e33, inside decimal(38).) */
+  private def priceQtyMoments(spark: SparkSession, dir: String): DataFrame = {
+    val dx = col("xq").cast("decimal(19,0)")
+    val dy = col("yq").cast("decimal(19,0)")
     Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         floor(col("l_quantity") + lit(0.5)).cast("long").as("xq"),
@@ -111,9 +117,10 @@ object StatsQueries {
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("xq")).cast("decimal(38,0)").as("sx"),
         sum(col("yq")).cast("decimal(38,0)").as("sy"),
-        sum(col("xq") * col("xq")).cast("decimal(38,0)").as("sxx"),
-        sum(col("yq") * col("yq")).cast("decimal(38,0)").as("syy"),
-        sum(col("xq") * col("yq")).cast("decimal(38,0)").as("sxy"))
+        sum(dx * dx).cast("decimal(38,0)").as("sxx"),
+        sum(dy * dy).cast("decimal(38,0)").as("syy"),
+        sum(dx * dy).cast("decimal(38,0)").as("sxy"))
+  }
 
   /** q115: grouped linear regression — price-per-unit line (extendedprice
     * ~ quantity) per returnflag, from ONE pass of integer sufficient
