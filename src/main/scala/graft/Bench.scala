@@ -236,9 +236,14 @@ object Bench {
     val results = queryResults ++ extraResults
     // 1 ms precision: noise floor is far above it, and the shorter JSON
     // line survives stdout tail-capture buffers that truncated the
-    // full-double-repr line at ~88 queries
+    // full-double-repr line at ~88 queries. Negative SENTINELS pass
+    // through intact — r11's committed sf1.0 artifact read q173 as -1.0
+    // while the sweep's stderr showed the census-guard REFUSED line,
+    // because this serializer flattened every negative to -1.0 and
+    // silently erased the -2 the timing loop had correctly recorded.
     def r3(v: Double): String =
-      if (v < 0) "-1.0" else (math.rint(v * 1000) / 1000).toString
+      if (v < 0) s"${math.rint(v).toLong}.0"
+      else (math.rint(v * 1000) / 1000).toString
     // failures record -1 per query; exclude the sentinel so a failed run
     // can't SUBTRACT from the total and make the round look faster
     val total = results.map(_._2).filter(_ >= 0).sum
