@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is REAL — schema, partitioning, per-partition
   * batch iteration (the shape an Arrow/JNI decoder consumes), deterministic
-  * output contract, explode-based frame fan-out. The codec itself is a
-  * clearly-marked STUB (`fakeDecode`): this container has no image/audio
-  * libraries, so decode derives a deterministic feature vector from the
-  * bytes (md5-seeded). Swapping in a real decoder changes ONLY the body of
-  * `decodeBatch` — every plan shape, schema, and test stays valid.
+  * output contract, explode-based frame fan-out. Two decoders sit behind
+  * the seam: [[imageIoDecoder]], a REAL pure-JVM image decode (whole
+  * payloads and, via [[sampleIndexedFrames]] over a [[frameContainer]],
+  * real per-frame decode too), and the clearly-marked STUB `fakeDecode`
+  * (md5-seeded deterministic features) for payloads no JVM codec reads —
+  * the fixture media table carries text bytes, so the oracle-checked
+  * queries stay on the stub while MultimodalSpec proves the real decoder
+  * on images and frame containers encoded in-test. Swapping decoders
+  * changes ONLY the `decoder` argument — every plan shape, schema, and
+  * test stays valid.
   *
   * Scale notes:
   *   - media rows are heavy (MBs); `decodeFeatures` repartitions by media_id
@@ -73,13 +78,25 @@ object Multimodal {
     * ([[Decoder]] purity) holds: same bytes, same vector, on every
     * executor. Non-image payloads fail LOUDLY with the media_id-bearing
     * require in [[decodeBatch]]'s caller frame rather than returning
-    * garbage features. Whole-payload decode only: a byte SLICE of an
-    * encoded image is not itself decodable, so frame sampling keeps the
-    * stub (a container format with an honest keyframe index is the real
-    * swap-in there). The fixture media table carries text bytes, so the
+    * garbage features. Whole-payload decode only (enforced by the salt
+    * require below): a byte SLICE of an encoded image is not itself
+    * decodable, so [[sampleFrames]]' byte-range stub path keeps the stub
+    * decoder — real frame decode goes through [[sampleIndexedFrames]],
+    * whose container index cuts complete encoded images per frame (salt
+    * 0). The fixture media table carries text bytes, so the
     * oracle-checked queries (q32/q85) stay on [[stubDecoder]]; this
-    * decoder is proven by MultimodalSpec over PNGs encoded in-test. */
-  val imageIoDecoder: Decoder = (bytes: Array[Byte], _: Int) => {
+    * decoder is proven by MultimodalSpec over PNGs encoded in-test, and
+    * the frame path by [[sampleIndexedFrames]] over a [[frameContainer]]
+    * (each indexed slice is a complete encoded image, so frame decodes
+    * pass salt 0). */
+  val imageIoDecoder: Decoder = (bytes: Array[Byte], salt: Int) => {
+    // the salt contract disambiguates NON-decodable sub-row slices (the
+    // stub's byte-range frames); a whole-payload decoder must never be
+    // wired into that path silently — the slice would decode as garbage
+    // or, worse, every frame would share byte-identical features
+    require(salt == 0, "imageIoDecoder is whole-payload only: got a frame " +
+      s"salt $salt — route frames through an indexed container " +
+      "(sampleIndexedFrames) so each slice is a complete encoded image")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "payload is not a decodable image (ImageIO found no reader)")
     val grid = 4
@@ -173,6 +190,80 @@ object Multimodal {
           s"media payload $total exceeds maxBytes=$maxBytes (media_id=$id)")
         FrameFeatures(id, f, f.toLong * durationMs / nFrames,
           slice.length.toLong, decoder(slice, f + 1))
+      })
+  }
+
+  /** Minimal indexed multi-frame container ("GFC1") — the honest stand-in
+    * for a real video container's keyframe index, so the REAL
+    * whole-payload decoder can prove the frame-sampling path: each
+    * indexed slice is a COMPLETE encoded image (contrast [[sampleFrames]]'
+    * byte-range stub slices, which are not decodable by construction).
+    * Layout: magic "GFC1" | int32 BE frame count | per frame (int64 BE
+    * absolute payload offset, int32 BE length) | concatenated encoded
+    * frame payloads. Big-endian integers so the Spark-side index parse is
+    * plain `conv(hex(substring(...)), 16, 10)` — row-local, codegen'd, no
+    * UDF. */
+  def frameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "a frame container needs at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("GFC1".getBytes("US-ASCII"))
+    out.writeInt(frames.size)
+    var off = 8L + 12L * frames.size
+    frames.foreach { f => out.writeLong(off); out.writeInt(f.length); off += f.length }
+    frames.foreach(out.write)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Evenly-spaced frame sampling over an INDEXED container
+    * ([[frameContainer]]): the index header is parsed ROW-LOCALLY with
+    * codegen'd byte math (`conv(hex(substring))`), each sampled frame row
+    * carries ONLY its indexed slice — a complete encoded image — and the
+    * decode salts with 0 because the slice itself determines the frame
+    * (the whole-payload [[imageIoDecoder]] contract; identical frames
+    * yielding identical features is CORRECT for a real decode). Same
+    * scale shape as [[sampleFrames]]: slices cut before the shuffle, the
+    * payload crosses the wire once in total, per-frame decode spreads by
+    * (media_id, frame_no). Non-container payloads and containers with
+    * fewer frames than requested fail LOUDLY, naming the media_id. */
+  def sampleIndexedFrames(media: Dataset[MediaRow], nFrames: Int,
+                          durationMs: Long, partitions: Int,
+                          maxBytes: Long = DefaultMaxBytes,
+                          decoder: Decoder = imageIoDecoder): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    require(nFrames >= 1, "nFrames must be >= 1")
+    require(maxBytes <= Int.MaxValue.toLong, "maxBytes must fit an on-heap array")
+    val err = (what: String) => raise_error(concat(lit(what + " (media_id="),
+      col("media_id").cast("string"), lit(")"))).cast("int")
+    val parsed = expr("CAST(conv(hex(substring(bytes, 5, 4)), 16, 10) AS INT)")
+    val nTotal =
+      when(substring(col("bytes"), 1, 4) =!= lit("GFC1".getBytes("US-ASCII")),
+        err("payload is not a GFC1 frame container"))
+        .when(parsed < nFrames,
+          err(s"container has fewer frames than the $nFrames requested"))
+        .otherwise(parsed)
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("total"),
+        nTotal.as("n_total"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_no"))
+      // global frame index k = frame_no·n_total DIV nFrames; its indexed
+      // slice [offset, offset+len) is a whole encoded image
+      .withColumn("k", expr(s"CAST(frame_no * n_total DIV $nFrames AS INT)"))
+      .select(col("media_id"), col("frame_no"),
+        expr(s"k * ${durationMs}L DIV n_total").as("offset_ms"),
+        col("total"),
+        expr("""substring(bytes,
+            CAST(conv(hex(substring(bytes, 9 + 12 * k, 8)), 16, 10) AS INT) + 1,
+            CAST(conv(hex(substring(bytes, 17 + 12 * k, 4)), 16, 10) AS INT))""")
+          .as("frame_bytes"))
+      .repartition(partitions, col("media_id"), col("frame_no"))
+      .as[(Long, Int, Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, f, offMs, total, slice) =>
+        require(total <= maxBytes,
+          s"media payload $total exceeds maxBytes=$maxBytes (media_id=$id)")
+        FrameFeatures(id, f, offMs, slice.length.toLong, decoder(slice, 0))
       })
   }
 

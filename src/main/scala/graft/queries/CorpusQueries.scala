@@ -434,15 +434,20 @@ object CorpusQueries {
   /** q196: the benchmark RETIREMENT lifecycle pinned by oracle — both
     * eval halves registered, a full corpus pass accumulates verdicts,
     * then the even benchmark is retired ([[DecontamStore.retireBenchmark]]:
-    * its gram rows anti-filtered away, the stale verdicts truncated —
-    * they were derived against the pre-retirement gram set) and the
-    * corpus re-fed. The surviving verdict table must equal a one-shot
-    * q42-style check against the ODD eval half ALONE: a single leftover
-    * gram row or un-invalidated verdict hash-fails. The lifecycle step
-    * [[DecontamStore.attribution]] (q170) exists to trigger — "this
-    * benchmark is burned, stop flagging for it" — now oracle-pinned end
-    * to end. At 100 TB retirement rewrites only the MB-scale gram table;
-    * the corpus re-check costs what any arriving batch costs. */
+    * its gram rows anti-filtered away, and the verdict invalidation is
+    * SURGICAL — only detail rows of retired-ONLY grams die, surviving
+    * verdicts stay valid with no corpus re-feed) and the corpus re-fed.
+    * Under the r13 per-gram verdict detail the re-feed must append
+    * NOTHING (every surviving (doc, gram) key is already stored — the
+    * idempotent-append contract), so this query now pins BOTH halves of
+    * the lifecycle: the surviving verdict table equals a one-shot
+    * q42-style check against the ODD eval half ALONE — a leftover gram
+    * row, an over-invalidated verdict, or a double-appended re-feed row
+    * all hash-fail. The lifecycle step [[DecontamStore.attribution]]
+    * (q170) exists to trigger — "this benchmark is burned, stop flagging
+    * for it" — oracle-pinned end to end. At 100 TB retirement rewrites
+    * the MB-scale gram table and the leak-scale verdict detail; the
+    * corpus is never re-read. */
   def q196DecontamRetire(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsWide(spark, dir).select(col("doc_id"), col("text"))
     val whDir = java.nio.file.Files.createTempDirectory("graft_q196_")

@@ -66,26 +66,82 @@ object StatsQueries {
       .limit(50)
   }
 
-  /** q114: supplier portfolio similarity — the 20 supplier pairs whose
-    * supplied-part SETS overlap most (Jaccard), the "substitutable
-    * vendor" report. Large-set similarity needs the inverted-index shape,
-    * not pairwise blocking: explode distinct (supplier, part), self-join
-    * on part so only pairs that SHARE a part ever materialize (bounded by
-    * Σ_part C(suppliers_per_part, 2) — suppliers-per-part is small and
-    * data-bounded, never corpus²; a doc-freq cap on promiscuous parts
-    * would bound adversarial data). Intersections partial-aggregate
-    * map-side; set sizes broadcast back; the top-20 is a TakeOrdered.
-    * j_e4 quantizes a single exact integer division — engines agree. */
-  def q114SupplierOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables(spark, dir, "lineitem")
-      .select(col("l_suppkey").cast("long").as("s"),
-        col("l_partkey").cast("long").as("p"))
-      .distinct()
-    val sizes = sp.groupBy(col("s")).agg(count(lit(1)).as("sz"))
-    val inter = sp.as("a").join(sp.as("b"),
-        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
-      .agg(count(lit(1)).as("i"))
+  /** Default candidate-pair budget for [[setOverlapPairs]] — the same
+    * figure as `Dedup.DefaultCandidatePairBudget`: pair stages refuse, not
+    * silently explode, past 50M candidates. */
+  val DefaultPairBudget: Long = 50L * 1000 * 1000
+
+  /** GUARDED set-overlap pair stage over an inverted index — the engine
+    * behind [[q114SupplierOverlap]], exposed so the guard is testable on
+    * adversarial frames. Input: distinct (`s` member, `p` key) rows;
+    * output: the `topK` member pairs by Jaccard over their key sets.
+    *
+    * Pair work is bounded by Σ_key C(members_per_key, 2) — data-bounded,
+    * never corpus², but quadratic in members-per-key: ONE promiscuous key
+    * ("everyone supplies this part") summons the blow-up LSH banding's
+    * census guard exists to refuse (`Dedup.lshCandidatePairs` — this is
+    * the same contract applied to the relational family, the r12-verdict
+    * fix: q114 was the codebase's one unguarded pair stage).
+    *
+    * GUARDED BY DEFAULT: an array-free members-per-key census (counts
+    * only — it can never OOM on the hot key it exists to detect) runs at
+    * call time and REFUSES when the pair count exceeds `pairBudget`,
+    * naming the largest key and `maxMembersPerKey` as the fix. A capped
+    * call drops over-cap keys WHOLESALE before pairing (the doc-freq cut:
+    * a key shared by everyone carries no similarity signal) and skips the
+    * census — its pair mass is bounded by keys · cap². Capped Jaccard is
+    * computed over the FILTERED relation (sizes too), so the capped
+    * result is itself oracle-expressible (HAVING count(*) <= cap).
+    * `pairBudget <= 0` opts in to uncapped-exact explicitly.
+    *
+    * Plan shape: the input persists (census + pairing share one
+    * materialization), pairs generate ROW-LOCALLY from each key's sorted
+    * member set via a two-level explode — memory per task is O(members),
+    * never O(members²): the outer posexplode streams one member at a
+    * time and the inner explode slices only that member's successors.
+    * One wide shuffle (groupBy key) replaces the self-join's two join
+    * exchanges; intersections partial-aggregate map-side; sizes
+    * broadcast back; top-K is a TakeOrdered. The census bounds any
+    * single key at ~10k members (C(k,2) ≤ budget), so the collected
+    * per-key array is ≤ ~80 KB. */
+  def setOverlapPairs(pairs: DataFrame, topK: Int,
+                      maxMembersPerKey: Option[Int] = None,
+                      pairBudget: Long = DefaultPairBudget): DataFrame = {
+    val sp = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = maxMembersPerKey match {
+      case Some(cap) =>
+        val ok = sp.groupBy(col("p")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap).select(col("p"))
+        sp.join(ok, Seq("p"))
+      case None =>
+        if (pairBudget > 0) {
+          val census = sp.groupBy(col("p")).agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).cast("long"),
+              coalesce(max(col("n")), lit(0L)).cast("long"))
+            .head()
+          val nPairs = census.getLong(0) / 2
+          if (nPairs > pairBudget) {
+            sp.unpersist()
+            throw new IllegalArgumentException(
+              s"setOverlapPairs: $nPairs inverted-index candidate pairs exceed " +
+                s"the budget $pairBudget (largest key: ${census.getLong(1)} " +
+                "members). A promiscuous key (a part everyone supplies) makes " +
+                "the pair stage quadratic — pass maxMembersPerKey = Some(cap) " +
+                "to drop degenerate keys (they carry no overlap signal), or " +
+                "opt in to uncapped-exact explicitly with pairBudget <= 0.")
+          }
+        }
+        sp
+    }
+    val sizes = kept.groupBy(col("s")).agg(count(lit(1)).as("sz"))
+    val inter = kept
+      .groupBy(col("p")).agg(array_sort(collect_set(col("s"))).as("ss"))
+      .select(col("ss"), posexplode(col("ss")))
+      // successors of position `pos` (0-based) — slice start pos+2 (1-based)
+      .select(col("col").as("s1"),
+        explode(slice(col("ss"), col("pos") + lit(2),
+          greatest(size(col("ss")) - col("pos") - lit(1), lit(0)))).as("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("i"))
     inter
       .join(broadcast(sizes.withColumnRenamed("s", "s1").withColumnRenamed("sz", "sz1")), "s1")
       .join(broadcast(sizes.withColumnRenamed("s", "s2").withColumnRenamed("sz", "sz2")), "s2")
@@ -94,8 +150,20 @@ object StatsQueries {
         floor(lit(1e4) * col("i") / (col("sz1") + col("sz2") - col("i")) + lit(0.5))
           .cast("long").as("j_e4"))
       .orderBy(col("j_e4").desc, col("s1"), col("s2"))
-      .limit(20)
+      .limit(topK)
   }
+
+  /** q114: supplier portfolio similarity — the 20 supplier pairs whose
+    * supplied-part SETS overlap most (Jaccard), the "substitutable
+    * vendor" report, through the census-guarded [[setOverlapPairs]].
+    * j_e4 quantizes a single exact integer division — engines agree. */
+  def q114SupplierOverlap(spark: SparkSession, dir: String): DataFrame =
+    setOverlapPairs(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("s"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct(),
+      topK = 20)
 
   /** Shared sufficient-statistics frame for q115/q116: per l_returnflag,
     * integer sums of e0-quantized quantity and e2-quantized price. Each

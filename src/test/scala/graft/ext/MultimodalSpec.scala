@@ -145,6 +145,74 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
+  test("sampleIndexedFrames: the REAL decoder proves the frame-sampling " +
+    "path over a GFC1 container — each indexed slice decodes as a complete " +
+    "PNG, sampling is evenly spaced over the index, and bad inputs fail " +
+    "loudly naming the media id") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // 8 solid-gray frames, value 30j: integer luminance of (v,v,v) is
+    // (299v+587v+114v)/1000 = v exactly, so frame j's features are all
+    // 30j/255 — every frame distinguishable by a known pin
+    val frames = (0 until 8).map { j =>
+      val v = 30 * j; png(8, 8)((_, _) => (v << 16) | (v << 8) | v)
+    }
+    val container = Multimodal.frameContainer(frames)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", "gfc1", container),
+      Multimodal.MediaRow(2L, "image", "png", frames(0)) // non-video: filtered
+    ))
+    val out = Multimodal.sampleIndexedFrames(ds, nFrames = 4,
+      durationMs = 8000, partitions = 4).collect().sortBy(_.frame_no)
+    // evenly spaced: global frame indices 0,2,4,6 of the 8 in the index
+    assert(out.map(_.media_id).toSeq === Seq(1L, 1L, 1L, 1L))
+    assert(out.map(_.offset_ms).toSeq === Seq(0L, 2000L, 4000L, 6000L))
+    for ((fr, i) <- out.zipWithIndex) {
+      val v = 30 * (2 * i)
+      assert(fr.features.forall(_ === v.toFloat / 255.0f),
+        s"frame $i should be solid gray $v")
+      // the slice IS the encoded frame — byte-length pins the index math
+      assert(fr.n_bytes === frames(2 * i).length.toLong)
+      // distributed decode matches a local whole-payload decode of the frame
+      assert(fr.features.toSeq ===
+        Multimodal.imageIoDecoder(frames(2 * i), 0).toSeq)
+    }
+    // sampling ALL frames hits every index once
+    assert(Multimodal.sampleIndexedFrames(ds, nFrames = 8, durationMs = 8000,
+      partitions = 2).collect().sortBy(_.frame_no)
+      .map(_.n_bytes).toSeq === frames.map(_.length.toLong).toSeq)
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // a non-container video payload fails loudly with the media id
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, "video", "stub", "no magic here".getBytes("UTF-8"))))
+    val e1 = intercept[Exception](
+      Multimodal.sampleIndexedFrames(junk, 2, 1000, 2).collect())
+    assert(rootMessages(e1).contains("not a GFC1") &&
+      rootMessages(e1).contains("media_id=9"))
+    // asking for more frames than the index holds fails loudly too
+    val e2 = intercept[Exception](
+      Multimodal.sampleIndexedFrames(ds, nFrames = 9, durationMs = 8000,
+        partitions = 2).collect())
+    assert(rootMessages(e2).contains("fewer frames") &&
+      rootMessages(e2).contains("media_id=1"))
+    // the whole-payload constraint is ENFORCED, not advisory: wiring the
+    // real decoder into the byte-range stub path (frame salts > 0) throws
+    // instead of decoding garbage slices
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.imageIoDecoder(frames(0), 1))
+    assert(e3.getMessage.contains("whole-payload only"))
+  }
+
   test("resizePlan carries target dims and a content id") {
     val out = Multimodal.resizePlan(media.toDF(), 224, 224)
     val r = out.select("target_width", "target_height", "resized_md5").head()

@@ -153,9 +153,9 @@ class DecontamStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
-  test("retire lifecycle: register two benchmarks, serve, retire one — the " +
-    "re-serve excludes the retired set exactly, verdicts invalidate, and a " +
-    "retired (benchId, n) can register fresh") {
+  test("retire lifecycle: register two benchmarks, serve, retire one — " +
+    "invalidation is SURGICAL (surviving verdicts stand with NO re-feed), " +
+    "re-feeds append nothing, and a retired (benchId, n) registers fresh") {
     val wh = new Warehouse(spark, Files.createTempDirectory("graft_dcr_wh_").toString)
     val evenEval = evalDocs.filter(col("doc_id") % 2 === 0)
     val oddEval = evalDocs.filter(col("doc_id") % 2 =!= 0)
@@ -165,6 +165,12 @@ class DecontamStoreSpec extends SparkSpec {
       "doc_id", "text", n = 4)
     DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
     assert(DecontamStore.verdicts(wh, "g", "dc").count() > 0L)
+    // the append is idempotent at (doc, n_gram, gh): re-feeding the same
+    // corpus (a retried DAG task) appends no detail rows
+    val detailBefore = DecontamStore.verdictDetail(wh, "g", "dc").count()
+    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    assert(DecontamStore.verdictDetail(wh, "g", "dc").count() === detailBefore,
+      "a re-fed batch must not grow the verdict detail")
 
     DecontamStore.retireBenchmark(wh, "g", "dc", "even")
     // gram rows: only the surviving benchmark remains, across all n
@@ -174,17 +180,33 @@ class DecontamStoreSpec extends SparkSpec {
     assert(asMap(DecontamStore.contaminated(
       wh, "g", "dc", corpus, "doc_id", "text", n = 4)) ===
       asMap(Decontaminate.contaminated(corpus, oddEval, "doc_id", "text", n = 4)))
-    // verdicts derived against the pre-retirement gram set are invalidated
-    assert(DecontamStore.verdicts(wh, "g", "dc").count() === 0L)
-    // re-feeding the corpus rebuilds exactly the remaining benchmark's answer
-    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    // SURGICAL invalidation: with NO corpus re-feed, the surviving verdicts
+    // already equal the one-shot answer against the surviving eval set —
+    // retirement cost is verdict-table-scale, never a 100 TB re-feed
     assert(asMap(DecontamStore.verdicts(wh, "g", "dc")) ===
       asMap(Decontaminate.contaminated(corpus, oddEval, "doc_id", "text", n = 4)))
-    // a retired id registers fresh (the idempotence probe sees no rows)
+    // and a re-feed after retirement appends NOTHING (all surviving keys
+    // are already stored)
+    val detailAfterRetire = DecontamStore.verdictDetail(wh, "g", "dc").count()
+    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    assert(DecontamStore.verdictDetail(wh, "g", "dc").count() === detailAfterRetire,
+      "a post-retirement re-feed must not grow the verdict detail")
+    assert(asMap(DecontamStore.verdicts(wh, "g", "dc")) ===
+      asMap(Decontaminate.contaminated(corpus, oddEval, "doc_id", "text", n = 4)))
+    // retiring an id with no gram rows is a no-op: nothing is rewritten
+    // (the gram set is unchanged, so every verdict is still valid)
+    val gramVersionBefore = wh.currentVersion("g", "dc_eval_grams")
+    val verdictVersionBefore = wh.currentVersion("g", "dc_verdicts")
+    DecontamStore.retireBenchmark(wh, "g", "dc", "even") // already retired
+    DecontamStore.retireBenchmark(wh, "g", "dc", "typo_no_such_bench")
+    assert(wh.currentVersion("g", "dc_eval_grams") === gramVersionBefore)
+    assert(wh.currentVersion("g", "dc_verdicts") === verdictVersionBefore)
+    // a retired id registers fresh (the idempotence probe sees no rows);
+    // a re-feed then appends exactly the re-registered benchmark's rows
     DecontamStore.registerBenchmark(wh, "g", "dc", "even", evenEval,
       "doc_id", "text", n = 4)
-    assert(asMap(DecontamStore.contaminated(
-      wh, "g", "dc", corpus, "doc_id", "text", n = 4)) ===
+    DecontamStore.checkBatch(wh, "g", "dc", corpus, "doc_id", "text", n = 4)
+    assert(asMap(DecontamStore.verdicts(wh, "g", "dc")) ===
       asMap(Decontaminate.contaminated(corpus, evalDocs, "doc_id", "text", n = 4)))
     // retiring from a store that was never created is a no-op
     DecontamStore.retireBenchmark(wh, "g", "nosuch", "even")
