@@ -168,7 +168,17 @@ object MiscQueries {
     * crosses the exchange once in total), and each slice stub-decodes
     * independently (salt = frame_no + 1) on its own task. Slice bounds
     * and md5-derived features are integer/ASCII-exact, hence fully
-    * oracle-checked like q32. */
+    * oracle-checked like q32.
+    *
+    * Decoder stance (r13): this query KEEPS the stub — the fixture's
+    * media bytes are text, and a raw byte range of any real encoded
+    * payload is not decodable, which is exactly why the stub path salts
+    * by frame. The REAL per-frame decode exists and is spec-proven on
+    * the other path: `Multimodal.sampleIndexedFrames` over a
+    * `frameContainer` (offset-indexed complete encoded images, decoded
+    * by `imageIoDecoder` with luminance-pinned MultimodalSpec
+    * fixtures). A production swap is: containerize the payloads, point
+    * this query at sampleIndexedFrames — plan shape identical. */
   def q85FrameFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(spark, dir), nFrames = 4,

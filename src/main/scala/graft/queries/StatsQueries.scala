@@ -153,17 +153,55 @@ object StatsQueries {
       .limit(topK)
   }
 
+  private def supplierParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+
   /** q114: supplier portfolio similarity — the 20 supplier pairs whose
     * supplied-part SETS overlap most (Jaccard), the "substitutable
     * vendor" report, through the census-guarded [[setOverlapPairs]].
-    * j_e4 quantizes a single exact integer division — engines agree. */
+    * j_e4 quantizes a single exact integer division — engines agree.
+    *
+    * Budget sizing: this workload's pair mass is LINEAR in data (keys
+    * multiply, members-per-key stays data-bounded: measured Σ C(k,2) =
+    * 8.2k/661k/8.7M/87M at sf0.001/0.01/0.1/1.0, max members-per-key 52)
+    * so the call budget is 500M — an order above the measured 10×-scale
+    * mass, still refusing the QUADRATIC regime the census exists for
+    * (one 32k-member hot key blows it alone). The default 50M suits the
+    * dedup candidate stages; a relational report owns its own number.
+    * q197 is the capped production variant (the q126 pattern) and q198
+    * oracle-pins the census arithmetic itself. */
   def q114SupplierOverlap(spark: SparkSession, dir: String): DataFrame =
-    setOverlapPairs(
-      Tables(spark, dir, "lineitem")
-        .select(col("l_suppkey").cast("long").as("s"),
-          col("l_partkey").cast("long").as("p"))
-        .distinct(),
-      topK = 20)
+    setOverlapPairs(supplierParts(spark, dir), topK = 20,
+      pairBudget = 500L * 1000 * 1000)
+
+  /** q197: q114 through the doc-freq cap (maxMembersPerKey = 24, the
+    * q126-capped-chunk pattern applied to the relational family) — the
+    * production formulation for corpora where the uncapped pair mass is
+    * not worth paying: parts supplied by > 24 suppliers are commodity
+    * noise carrying no substitutability signal, and dropping them
+    * WHOLESALE bounds the stage at keys · cap² with no census action.
+    * Jaccard is computed over the filtered relation (sizes included), so
+    * the whole thing stays oracle-expressible: HAVING count(*) <= 24.
+    * Binding at sf0.1/sf1.0 (max members 52), vacuous at sf0.001 (max
+    * 10) — same SQL everywhere. */
+  def q197CappedSupplierOverlap(spark: SparkSession, dir: String): DataFrame =
+    setOverlapPairs(supplierParts(spark, dir), topK = 20,
+      maxMembersPerKey = Some(24))
+
+  /** q198: the pair-stage census ITSELF, oracle-pinned — the exact
+    * integers [[setOverlapPairs]]'s refusal decision reads (key count,
+    * Σ C(members, 2), hottest key). The audit a 100 TB operator runs
+    * BEFORE q114 to size the budget: one array-free aggregate, no pair
+    * ever materializes. */
+  def q198OverlapPairCensus(spark: SparkSession, dir: String): DataFrame =
+    supplierParts(spark, dir)
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        expr("coalesce(sum(n * (n - 1)), 0L) DIV 2").as("n_pairs"),
+        coalesce(max(col("n")), lit(0L)).as("max_members"))
 
   /** Shared sufficient-statistics frame for q115/q116: per l_returnflag,
     * integer sums of e0-quantized quantity and e2-quantized price. Each
@@ -230,7 +268,9 @@ object StatsQueries {
     "q113_importance_select" -> (q113ImportanceSelect _),
     "q114_supplier_overlap" -> (q114SupplierOverlap _),
     "q115_grouped_regression" -> (q115GroupedRegression _),
-    "q116_correlation" -> (q116CorrelationMatrix _))
+    "q116_correlation" -> (q116CorrelationMatrix _),
+    "q197_capped_supplier_overlap" -> (q197CappedSupplierOverlap _),
+    "q198_overlap_pair_census" -> (q198OverlapPairCensus _))
 
   val oracles: Map[String, String] = Map(
     "q112_basket_pairs" ->
@@ -291,5 +331,24 @@ object StatsQueries {
            CAST(floor(1e6 * CAST(n*sxy - sx*sy AS DOUBLE) /
              (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
              + 0.5) AS BIGINT) AS corr_e6
-         FROM m ORDER BY l_returnflag""")
+         FROM m ORDER BY l_returnflag""",
+    "q197_capped_supplier_overlap" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         ok AS (SELECT p FROM sp GROUP BY 1 HAVING count(*) <= 24),
+         k AS (SELECT s, sp.p FROM sp JOIN ok ON sp.p = ok.p),
+         sz AS (SELECT s, count(*) AS sz FROM k GROUP BY 1),
+         i AS (SELECT a.s AS s1, b.s AS s2, count(*) AS i
+           FROM k a JOIN k b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT s1, s2, i AS n_shared, za.sz + zb.sz - i AS n_union,
+           CAST(floor(1e4 * i / (za.sz + zb.sz - i) + 0.5) AS BIGINT) AS j_e4
+         FROM i JOIN sz za ON za.s = s1 JOIN sz zb ON zb.s = s2
+         ORDER BY j_e4 DESC, s1, s2 LIMIT 20""",
+    "q198_overlap_pair_census" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         c AS (SELECT p, count(*) AS n FROM sp GROUP BY 1)
+         SELECT count(*) AS n_keys,
+           CAST(coalesce(sum(n * (n - 1)), 0) // 2 AS BIGINT) AS n_pairs,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_members
+         FROM c""")
 }
