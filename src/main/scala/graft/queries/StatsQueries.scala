@@ -94,28 +94,31 @@ object StatsQueries {
     * result is itself oracle-expressible (HAVING count(*) <= cap).
     * `pairBudget <= 0` opts in to uncapped-exact explicitly.
     *
-    * Plan shape: the input persists (census + pairing share one
-    * materialization), pairs generate ROW-LOCALLY from each key's sorted
-    * member set via a two-level explode — memory per task is O(members),
-    * never O(members²): the outer posexplode streams one member at a
-    * time and the inner explode slices only that member's successors.
-    * One wide shuffle (groupBy key) replaces the self-join's two join
-    * exchanges; intersections partial-aggregate map-side; sizes
-    * broadcast back; top-K is a TakeOrdered. The census bounds any
-    * single key at ~10k members (C(k,2) ≤ budget), so the collected
-    * per-key array is ≤ ~80 KB. */
+    * Plan shape: the input persists ONCE (census, sizes, and both sides
+    * of the pair stage read the cache), then pairs STREAM through a
+    * co-partitioned self-join on the key — identical exchange subplans,
+    * so ReuseExchange shuffles the cache once — and flow straight into
+    * the map-side partial aggregation of (s1, s2) inside whole-stage
+    * codegen. A groupBy+collect_set+explode shape (one fewer exchange on
+    * paper) measured WITHIN NOISE of the join at 10× but buffers each
+    * key's member set per row; the join enumerates the same pairs with
+    * ZERO per-key buffering, so it is the shape that cannot regress on a
+    * hot key regardless of how the guard is configured. Intersections
+    * partial-aggregate map-side; sizes broadcast back; top-K is a
+    * TakeOrdered. */
   def setOverlapPairs(pairs: DataFrame, topK: Int,
                       maxMembersPerKey: Option[Int] = None,
                       pairBudget: Long = DefaultPairBudget): DataFrame = {
     val sp = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sp.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val kept = maxMembersPerKey match {
       case Some(cap) =>
-        val ok = sp.groupBy(col("p")).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= cap).select(col("p"))
-        sp.join(ok, Seq("p"))
+        // plain join (AQE broadcasts when the under-cap key set is small);
+        // over-cap keys are dropped wholesale with their members
+        sp.join(counts.filter(col("n") <= cap).select(col("p")), Seq("p"))
       case None =>
         if (pairBudget > 0) {
-          val census = sp.groupBy(col("p")).agg(count(lit(1)).as("n"))
+          val census = counts
             .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).cast("long"),
               coalesce(max(col("n")), lit(0L)).cast("long"))
             .head()
@@ -134,14 +137,10 @@ object StatsQueries {
         sp
     }
     val sizes = kept.groupBy(col("s")).agg(count(lit(1)).as("sz"))
-    val inter = kept
-      .groupBy(col("p")).agg(array_sort(collect_set(col("s"))).as("ss"))
-      .select(col("ss"), posexplode(col("ss")))
-      // successors of position `pos` (0-based) — slice start pos+2 (1-based)
-      .select(col("col").as("s1"),
-        explode(slice(col("ss"), col("pos") + lit(2),
-          greatest(size(col("ss")) - col("pos") - lit(1), lit(0)))).as("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("i"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("i"))
     inter
       .join(broadcast(sizes.withColumnRenamed("s", "s1").withColumnRenamed("sz", "sz1")), "s1")
       .join(broadcast(sizes.withColumnRenamed("s", "s2").withColumnRenamed("sz", "sz2")), "s2")
