@@ -9,11 +9,17 @@ optimization note does not exist": a >2x row without an adjudication can
 no longer ship silently, because the campaign scripts run this gate and
 their committed artifacts include the ratio table.
 
-Usage: ratio_gate.py BENCH_JSON ORACLE_TIMES_JSON ADJUDICATIONS_JSON \
+Usage: ratio_gate.py BENCH_JSON[,BENCH_JSON2,...] ORACLE_TIMES_JSON \
+           ADJUDICATIONS_JSON \
            [--out RATIOS_OUT.json] [--threshold 2.0] [--min-oracle 1.0]
 
 BENCH_JSON is a graft.Bench artifact (or a BENCH_rNN.json wrapper --
 both query-map shapes of bench_compare.load_queries are accepted).
+Pass the sweep files comma-separated to gate on the per-query MIN across
+back-to-back sweeps -- the two-sweep protocol's point: a single
+contended draw (kernel writeback, co-tenant steal) must not gate a row
+whose clean re-run is under the line. Sentinels stay sentinels only if
+negative in EVERY sweep.
 ORACLE_TIMES_JSON is a check_oracle.py times file
 ({"times": {q: {"oracle_s": sec, "status": ...}}}). ADJUDICATIONS_JSON is
 {query: {"scale": ..., "verdict": ..., "evidence": ...}}; a row over the
@@ -36,7 +42,12 @@ def main():
     threshold = float(opts[opts.index("--threshold") + 1]) if "--threshold" in opts else 2.0
     min_oracle = float(opts[opts.index("--min-oracle") + 1]) if "--min-oracle" in opts else 1.0
 
-    engine = load_queries(bench_path)
+    sweeps = [load_queries(p) for p in bench_path.split(",")]
+    engine = {}
+    for q in {k for s in sweeps for k in s}:
+        vals = [s[q] for s in sweeps if q in s]
+        pos = [v for v in vals if v > 0]
+        engine[q] = min(pos) if pos else max(vals)
     with open(oracle_path) as f:
         oracle = json.load(f)["times"]
     with open(adjud_path) as f:
