@@ -158,13 +158,37 @@ object QualityModel {
                                  textCol: String, label: Column,
                                  iters: Int = 16,
                                  lr: Long = 16L): Seq[TrainedWeights] = {
+    val (traj, feats) =
+      trainHardSigmoidTrajectoryKeepFeatures(df, textCol, label, Nil, iters, lr)
+    feats.unpersist()
+    traj
+  }
+
+  /** [[trainHardSigmoidTrajectory]], returning BOTH the trajectory and the
+    * PERSISTED quantized feature frame it was fitted on (`passthrough`
+    * columns ++ f0..f5 ++ y) — the caller scores against the frame via
+    * [[trainedScoreE8FromFeatures]] instead of re-running the regex
+    * feature extraction over the corpus text, then MUST `unpersist()` it.
+    * The training loop itself pays exactly ONE extraction pass: features
+    * are persisted RAW (uncentered) and the mean-centering is folded into
+    * each iteration's aggregate algebraically —
+    * z = bias·10⁴ + Σwᵢ(fᵢ−μᵢ) = (bias·10⁴ − Σwᵢμᵢ) + Σwᵢfᵢ and
+    * Σ err·(fⱼ−μⱼ) = Σ err·fⱼ − μⱼ·Σ err — exact integer identities, so
+    * the trajectory is bit-identical to the centered-frame formulation
+    * the oracle unrolls. */
+  def trainHardSigmoidTrajectoryKeepFeatures(
+      df: org.apache.spark.sql.DataFrame, textCol: String, label: Column,
+      passthrough: Seq[String], iters: Int = 16,
+      lr: Long = 16L): (Seq[TrainedWeights], org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, "iters must be >= 1")
     require(lr >= 1, "lr must be >= 1")
     val nf = 6
     val raw = df.select(
-      featuresE4(col(textCol)).zipWithIndex.map { case (f, i) => f.as(s"f$i") } :+
+      passthrough.map(col) ++
+        featuresE4(col(textCol)).zipWithIndex.map { case (f, i) => f.as(s"f$i") } :+
         label.cast("long").as("y"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val muRow = raw.agg(
       count(lit(1)).as("n"),
       (0 until nf).map(i => floor(sum(col(s"f$i")) / count(lit(1))).cast("long")
@@ -172,28 +196,37 @@ object QualityModel {
     val n = muRow.getLong(0)
     require(n > 0, "trainHardSigmoid: empty corpus")
     val mu = Array.tabulate(nf)(i => muRow.getLong(i + 1))
-    val feats = raw.select(
-      (0 until nf).map(i => (col(s"f$i") - lit(mu(i))).as(s"f$i")) :+ col("y"): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var bias = 0L
-      var w = Array.fill(nf)(0L)
-      val out = Seq.newBuilder[TrainedWeights]
-      for (_ <- 1 to iters) {
-        val zE8 = w.zipWithIndex.foldLeft(lit(bias) * lit(10000L): Column) {
-          case (acc, (wi, i)) => acc + lit(wi) * col(s"f$i")
-        }
-        val err = hardSigmoidE4(zE8) - lit(10000L) * col("y")
-        val aggs = (0 until nf).map(i => sum(err * col(s"f$i"))) :+
-          sum(err * lit(10000L))
-        val row = feats.agg(aggs.head, aggs.tail: _*).head()
-        def step(cur: Long, g: Long): Long =
-          cur - math.floor(g * lr / (n * 10000.0) + 0.5).toLong
-        w = Array.tabulate(nf)(i => step(w(i), row.getLong(i)))
-        bias = step(bias, row.getLong(nf))
-        out += TrainedWeights(bias, w.toSeq, mu.toSeq)
+    var bias = 0L
+    var w = Array.fill(nf)(0L)
+    val out = Seq.newBuilder[TrainedWeights]
+    for (_ <- 1 to iters) {
+      // z over the RAW features, centering folded into the constant term
+      val c0 = bias * 10000L - w.zip(mu).map { case (wi, mi) => wi * mi }.sum
+      val zE8 = w.zipWithIndex.foldLeft(lit(c0): Column) {
+        case (acc, (wi, i)) => acc + lit(wi) * col(s"f$i")
       }
-      out.result()
-    } finally feats.unpersist()
+      val err = hardSigmoidE4(zE8) - lit(10000L) * col("y")
+      val aggs = (0 until nf).map(i => sum(err * col(s"f$i"))) :+ sum(err)
+      val row = raw.agg(aggs.head, aggs.tail: _*).head()
+      val sErr = row.getLong(nf)
+      def step(cur: Long, g: Long): Long =
+        cur - math.floor(g * lr / (n * 10000.0) + 0.5).toLong
+      // recover the centered gradient exactly: Σerr·(fⱼ−μⱼ) = Σerr·fⱼ − μⱼ·Σerr
+      w = Array.tabulate(nf)(i => step(w(i), row.getLong(i) - mu(i) * sErr))
+      bias = step(bias, sErr * 10000L)
+      out += TrainedWeights(bias, w.toSeq, mu.toSeq)
+    }
+    (out.result(), raw)
   }
+
+  /** The trained-model logit over a frame that already carries the
+    * quantized feature columns f0..f5 (the frame
+    * [[trainHardSigmoidTrajectoryKeepFeatures]] returns) — the same
+    * integers as [[trainedScoreE8]] re-deriving the features from text,
+    * without the regex extraction scan. */
+  def trainedScoreE8FromFeatures(tw: TrainedWeights): Column =
+    tw.w.zip(tw.mu).zipWithIndex
+      .foldLeft(lit(tw.bias) * lit(10000L): Column) {
+        case (acc, ((wi, mi), i)) => acc + lit(wi) * (col(s"f$i") - lit(mi))
+      }
 }

@@ -404,17 +404,25 @@ object TextQueries {
     * same floor updates — so a hash match proves the distributed fit is
     * replayable bit-for-bit by another engine: the strongest determinism
     * statement a training job can make. Per round the cost is ONE
-    * map-side-combinable aggregate over the persisted centered feature
-    * frame; seven longs reach the driver (the kmeans pattern). */
+    * map-side-combinable aggregate over the persisted quantized feature
+    * frame; seven longs reach the driver (the kmeans pattern). The final
+    * scoring reads the SAME persisted frame (doc_id rides along), so the
+    * whole job pays exactly one regex extraction pass over the corpus;
+    * the scored result is localCheckpoint'd so the frame can be
+    * unpersisted before the query returns. */
   def q165QualityTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModel
     val docs = docsWide(spark, dir)
     val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
-    val tw = graft.operators.QualityModel.trainHardSigmoid(docs, "text", label,
-      iters = 16, lr = 16L)
-    docs.select(col("doc_id"),
-        graft.operators.QualityModel.trainedScoreE8(col("text"), tw).as("score_e8"))
-      .withColumn("keep", col("score_e8") > 0L)
-      .orderBy(col("doc_id"))
+    val (traj, feats) = QualityModel.trainHardSigmoidTrajectoryKeepFeatures(
+      docs, "text", label, Seq("doc_id"), iters = 16, lr = 16L)
+    try {
+      feats.select(col("doc_id"),
+          QualityModel.trainedScoreE8FromFeatures(traj.last).as("score_e8"))
+        .withColumn("keep", col("score_e8") > 0L)
+        .localCheckpoint(true)
+        .orderBy(col("doc_id"))
+    } finally feats.unpersist()
   }
 
   /** q168: the training curve for q165's fit — documents kept and
@@ -431,13 +439,16 @@ object TextQueries {
     import graft.operators.QualityModel
     val docs = docsWide(spark, dir)
     val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
-    val traj = QualityModel.trainHardSigmoidTrajectory(docs, "text", label,
-      iters = 16, lr = 16L)
+    val (traj, feats) = QualityModel.trainHardSigmoidTrajectoryKeepFeatures(
+      docs, "text", label, Nil, iters = 16, lr = 16L)
     val points = Seq(4, 8, 16)
-    val scored = docs.select(
-      label.cast("long").as("y") +:
-        points.map(p => (QualityModel.trainedScoreE8(col("text"), traj(p - 1)) > 0L)
-          .cast("long").as(s"k$p")): _*)
+    // curve points score against the persisted training frame (y is already
+    // a column of it) — zero additional extraction passes over the text
+    val scored = feats.select(
+      col("y") +:
+        points.map(p =>
+          (QualityModel.trainedScoreE8FromFeatures(traj(p - 1)) > 0L)
+            .cast("long").as(s"k$p")): _*)
     val agg = scored.agg(
       count(lit(1)).as("n"),
       points.flatMap(p => Seq(
@@ -446,7 +457,7 @@ object TextQueries {
     // collect the 1-row aggregate ONCE and build the 3-row curve locally —
     // a union of selects over the uncached agg would re-run the full
     // scoring scan per curve point
-    val row = agg.head()
+    val row = try agg.head() finally feats.unpersist()
     val n = row.getAs[Long]("n")
     import spark.implicits._
     // empty corpus: the per-point sums are null and the agreement ratio is
