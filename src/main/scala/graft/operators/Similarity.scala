@@ -191,27 +191,41 @@ object Similarity {
 
   /** Deterministic Lloyd's k-means over quantized vectors — real learned
     * IVF centroids (no RNG: seeds are the k lowest-id vectors; fixed
-    * iteration count; integer-quantized means). Each iteration is one
-    * broadcast-assign scan + one element-wise mean shuffle on the label —
-    * O(iters · corpus) with no driver-side data beyond the k centroids.
-    * Empty clusters keep their previous centroid. */
+    * iteration count; integer-quantized means). The corpus is projected
+    * (quantize + norm) and persisted ONCE — seeding and every iteration
+    * read the projected frame, so the source scan and the per-vector
+    * quantization are paid once, not once per Lloyd's round. Each
+    * iteration is then one broadcast-assign pass + one element-wise mean
+    * shuffle on the label — O(iters · corpus) compute with no driver-side
+    * data beyond the k centroids. Empty clusters keep their previous
+    * centroid. */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    var cent = kmeansSeeds(df, k, idCol, embCol)
-    for (_ <- 1 to iters) {
-      val assigned = ivfAssign(df, cent, probes = 1, idCol, embCol)
-      val means = assigned
-        .select(col("label"), posexplode(col("__qe")).as(Seq("d", "v")))
-        .groupBy(col("label"), col("d"))
-        .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
-          x => x.getField("c")).as("ce"))
-      // clusters that lost every member keep their previous centroid
-      val kept = cent.join(means.select(col("label")), Seq("label"), "left_anti")
-      cent = means.unionByName(kept).localCheckpoint(true) // cut the lineage per iteration
-    }
-    cent
+    import org.apache.spark.storage.StorageLevel
+    val base = withNorm(df, idCol, embCol, idCol, "__qe", "__n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // kmeansSeeds' plan, reading the already-quantized projection
+      var cent = base.select(col(idCol), col("__qe").as("ce"))
+        .orderBy(col(idCol)).limit(k)
+        .agg(sort_array(collect_list(struct(col(idCol).as("i"), col("ce")))).as("__arr"))
+        .select(posexplode(col("__arr")).as(Seq("label", "s")))
+        .select(col("label").cast("int").as("label"), col("s.ce").as("ce"))
+      for (_ <- 1 to iters) {
+        val assigned = ivfAssignProjected(base, cent, probes = 1, idCol)
+        val means = assigned
+          .select(col("label"), posexplode(col("__qe")).as(Seq("d", "v")))
+          .groupBy(col("label"), col("d"))
+          .agg(floor(sum(col("v")) / count(lit(1)) + 0.5).cast("long").as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+            x => x.getField("c")).as("ce"))
+        // clusters that lost every member keep their previous centroid
+        val kept = cent.join(means.select(col("label")), Seq("label"), "left_anti")
+        cent = means.unionByName(kept).localCheckpoint(true) // cut the lineage per iteration
+      }
+      cent
+    } finally base.unpersist() // cent is eagerly checkpointed — safe to drop
   }
 
   /** k-means seeds: the k lowest-id vectors via orderBy(...).limit(k) —
@@ -230,8 +244,15 @@ object Similarity {
   /** IVF assignment: nearest centroid(s) by cosine per vector (rank ≤
     * probes), deterministic tie-break on label. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, probes: Int,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val scored = withNorm(df, idCol, embCol, idCol, "__qe", "__n")
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfAssignProjected(withNorm(df, idCol, embCol, idCol, "__qe", "__n"),
+      centroids, probes, idCol)
+
+  /** [[ivfAssign]] over an already-projected (idCol, __qe, __n) frame —
+    * the iteration-loop entry that lets kmeans pay the projection once. */
+  private def ivfAssignProjected(base: DataFrame, centroids: DataFrame,
+                                 probes: Int, idCol: String): DataFrame = {
+    val scored = base
       .join(broadcast(centroids
         .withColumn("__cn", sqrt(qdot(col("ce"), col("ce")).cast("double")))), lit(true))
       .withColumn("__cs", qdot(col("__qe"), col("ce")) / (col("__n") * col("__cn")))
