@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -1019,10 +1019,32 @@ object Dedup {
                     hashBudget: Int, shingleN: Int = 5,
                     sampleMod: Int = 4): DataFrame = {
     require(sampleMod >= 1, "sampleMod must be >= 1")
-    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val sampled = df.filter(pmod(idHash, lit(sampleMod.toLong)) === 0L)
-    val sig = signatureFrame(sampled, idCol, textCol, hashBudget, shingleN)
+    val sampled = df.filter(pmod(censusIdHash(idCol), lit(sampleMod.toLong)) === 0L)
+    censusFromSig(signatureFrame(sampled, idCol, textCol, hashBudget, shingleN),
+      hashBudget, sampleMod)
+  }
+
+  /** [[bandingCensus]] over an ALREADY-SIGNED frame (signDocuments output
+    * at k = hashBudget, ideally persisted by the caller): the 1-in-
+    * `sampleMod` id-hash sample becomes a row filter on the signed frame —
+    * same ids, same signatures, same band hashes, bit-identical counts —
+    * so a pipeline that signs the full corpus for its pair stage anyway
+    * (q182's shape) derives the census from that one signing scan instead
+    * of paying a second. */
+  def bandingCensusFromSignatures(sig: DataFrame, idCol: String,
+                                  hashBudget: Int,
+                                  sampleMod: Int = 4): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    censusFromSig(
+      sig.filter(pmod(censusIdHash(idCol), lit(sampleMod.toLong)) === 0L),
+      hashBudget, sampleMod)
+  }
+
+  private def censusIdHash(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def censusFromSig(sig: DataFrame, hashBudget: Int,
+                            sampleMod: Int): DataFrame = {
     val bandStructs: Seq[Column] = for {
       (b, r) <- bandingCombos(hashBudget); j <- 0L until b
     } yield struct(lit(b).as("b"), lit(r).as("r"), lit(j).as("band"),
@@ -1057,15 +1079,33 @@ object Dedup {
                           hashBudget: Int, tausE4: Seq[Long],
                           shingleN: Int = 5, sampleMod: Int = 4,
                           pairBudget: Long = DefaultCandidatePairBudget,
-                          gridStepE4: Int = 250): DataFrame = {
+                          gridStepE4: Int = 250): DataFrame =
+    planFromCensus(df.sparkSession,
+      bandingCensus(df, idCol, textCol, hashBudget, shingleN, sampleMod),
+      hashBudget, tausE4, pairBudget, gridStepE4)
+
+  /** [[bandingPlanBudgeted]] over an ALREADY-SIGNED frame (k = hashBudget)
+    * — census via [[bandingCensusFromSignatures]], pick bit-identical to
+    * the text-signing path. The tune-then-run composition's entry: sign
+    * once, tune from the signed frame, run the picked banding on it. */
+  def bandingPlanBudgetedFromSignatures(sig: DataFrame, idCol: String,
+                                        hashBudget: Int, tausE4: Seq[Long],
+                                        sampleMod: Int = 4,
+                                        pairBudget: Long = DefaultCandidatePairBudget,
+                                        gridStepE4: Int = 250): DataFrame =
+    planFromCensus(sig.sparkSession,
+      bandingCensusFromSignatures(sig, idCol, hashBudget, sampleMod),
+      hashBudget, tausE4, pairBudget, gridStepE4)
+
+  private def planFromCensus(spark: SparkSession, census: DataFrame,
+                             hashBudget: Int, tausE4: Seq[Long],
+                             pairBudget: Long, gridStepE4: Int): DataFrame = {
     require(tausE4.nonEmpty, "need at least one target threshold")
     require(pairBudget > 0, "pairBudget must be > 0 (the point is the cap)")
-    import df.sparkSession.implicits._
+    import spark.implicits._
     val base = tausE4.flatMap(t => bandingCombos(hashBudget)
         .map { case (bb, rr) => (t, bb, rr) })
       .toDF("tau_e4", "b", "r")
-    val census = bandingCensus(df, idCol, textCol, hashBudget, shingleN,
-      sampleMod)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tau_e4"))
       .orderBy(col("total_err"), col("b"), col("r"))

@@ -107,14 +107,25 @@ object DedupQueries {
     * pick equals q171's (5×3); at sf1.0 the census excludes it and the
     * tuner lands on the best feasible banding instead of throwing. */
   def q182BudgetAutoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val docs = Tables(spark, dir, "documents")
-    val plan = Dedup.bandingPlanBudgeted(docs, "doc_id", "text",
-      hashBudget = K, tausE4 = Seq(5000L), shingleN = N, sampleMod = 4)
-      .select(col("bands"), col("rows_per_band")).head()
-    val (b, r) = (plan.getLong(0).toInt, plan.getLong(1).toInt)
-    Dedup.nearDupPairs(docs, "doc_id", "text",
-      k = b * r, b = b, shingleN = N, minJaccard = 0.5)
-      .orderBy(col("a_id"), col("b_id"))
+    // ONE signing scan at the full hash budget feeds BOTH stages: the
+    // census samples rows off the signed frame (signatures are prefix-
+    // stable in k, so the picked b×r banding reads mh_0..mh_{br-1} of the
+    // same frame) — previously the census signed a mod-4 sample AND the
+    // pair stage re-signed the full corpus from text
+    val sig = Dedup.signDocuments(docs, "doc_id", "text", k = K, shingleN = N)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = Dedup.bandingPlanBudgetedFromSignatures(sig, "doc_id",
+        hashBudget = K, tausE4 = Seq(5000L), sampleMod = 4)
+        .select(col("bands"), col("rows_per_band")).head()
+      val (b, r) = (plan.getLong(0).toInt, plan.getLong(1).toInt)
+      // eagerly checkpointed — safe to unpersist the signatures on return
+      Dedup.nearDupPairsFromSignatures(sig, "doc_id",
+        k = b * r, b = b, minJaccard = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    } finally sig.unpersist()
   }
 
   /** q178: banding calibration — q154's MEASURED catch rate per Jaccard
