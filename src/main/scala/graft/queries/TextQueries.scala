@@ -474,6 +474,43 @@ object TextQueries {
       }.toDF("iters", "n_keep", "agree_e4").orderBy(col("iters"))
   }
 
+  /** q199: per-feature importance of the TRAINED quality model — the
+    * filter-audit surface that answers "which signal actually drives the
+    * keep decision": importance_j = |w_j| · sd_j, the trained weight
+    * magnitude scaled by the feature's corpus standard deviation (a large
+    * weight on a near-constant feature moves nothing; a modest weight on
+    * a high-variance feature dominates). Same 16-round fit as q165 (the
+    * oracle reuses the identical unrolled CTE chain), plus ONE aggregate
+    * over the persisted training frame for the six Σ(fⱼ−μⱼ)² sums —
+    * exact integers; sd is the one terminal sqrt (IEEE-correctly-rounded
+    * in both engines over an exactly-representable quotient), rounded to
+    * e4, and the importance product |w|·sd is then pure integer. Output
+    * is six rows, importance-ranked — the "can I drop this feature /
+    * what do I tune next" input a production filter audit reads. */
+  def q199FeatureImportance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModel
+    import spark.implicits._
+    val docs = docsWide(spark, dir)
+    val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
+    val (traj, feats) = QualityModel.trainHardSigmoidTrajectoryKeepFeatures(
+      docs, "text", label, Nil, iters = 16, lr = 16L)
+    val tw = traj.last
+    val row =
+      try feats.agg(
+        count(lit(1)).as("n"),
+        (0 until 6).map(j => sum((col(s"f$j") - lit(tw.mu(j)))
+          * (col(s"f$j") - lit(tw.mu(j)))).as(s"s$j")): _*).head()
+      finally feats.unpersist()
+    val n = row.getLong(0)
+    val names = Seq("len_sat", "punct_density", "stopword_nat",
+      "digit_density", "chars_per_tok", "non_ascii")
+    names.zipWithIndex.map { case (name, j) =>
+      val sd = math.floor(math.sqrt(row.getLong(j + 1).toDouble / n) + 0.5).toLong
+      (name, tw.w(j), sd, math.abs(tw.w(j)) * sd)
+    }.toDF("feature", "w_e4", "sd_e4", "importance_e8")
+      .orderBy(col("importance_e8").desc, col("feature"))
+  }
+
   /** q135: quality-distribution drift per source — each source's
     * quality-score decile histogram compared between snapshot A (even
     * doc_id) and snapshot B (odd doc_id) by exact-integer total-variation
@@ -618,6 +655,7 @@ object TextQueries {
     "q123_quality_model" -> (q123QualityModel _),
     "q165_quality_train" -> (q165QualityTrain _),
     "q168_training_curve" -> (q168TrainingCurve _),
+    "q199_quality_feature_importance" -> (q199FeatureImportance _),
     "q92_bigram_lm" -> (q92BigramLm _),
     "q93_blocklist" -> (q93Blocklist _),
     "q94_quality_gate" -> (q94QualityGate _),
@@ -689,12 +727,15 @@ object TextQueries {
   // integer exactly representable in a double, so the engines agree.
   private def q165TrainSql: String = q165Derived._1
   private def q168CurveSql: String = q165Derived._2
+  private def q199ImportanceSql: String = q165Derived._3
 
   /** One CTE chain (features → means → centered frame → 16 unrolled GD
-    * iterations), two final selects: q165 scores every doc under w16;
+    * iterations), three final selects: q165 scores every doc under w16;
     * q168 reads the training curve off the INTERMEDIATE weight CTEs
-    * (w4/w8/w16 — the chain's own prefixes, nothing re-trains). */
-  private lazy val q165Derived: (String, String) = {
+    * (w4/w8/w16 — the chain's own prefixes, nothing re-trains); q199
+    * ranks the six features by |w16 weight| · corpus sd (one Σf² CTE over
+    * the centered frame — f0..f5 in `f` are already mean-centered). */
+  private lazy val q165Derived: (String, String, String) = {
     val iters = 16
     val zSql = "(w.b*10000 + w.w0*f.f0 + w.w1*f.f1 + w.w2*f.f2 + " +
       "w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5)"
@@ -758,12 +799,27 @@ object TextQueries {
     val curveSql = raw"""$withChain,
          curve AS (${Seq(4, 8, 16).map(curvePoint).mkString("\nUNION ALL\n")})
          SELECT iters, n_keep, agree_e4 FROM curve ORDER BY iters"""
-    (trainSql, curveSql)
+    val featNames = Seq("len_sat", "punct_density", "stopword_nat",
+      "digit_density", "chars_per_tok", "non_ascii")
+    val impRows = featNames.zipWithIndex.map { case (name, j) =>
+      s"""SELECT '$name' AS feature, w.w$j AS w_e4,
+           CAST(floor(sqrt(s.s$j/CAST(s.n AS DOUBLE)) + 0.5) AS BIGINT) AS sd_e4
+         FROM w$iters w, ssq s"""
+    }.mkString("\nUNION ALL\n")
+    val importanceSql = raw"""$withChain,
+         ssq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           ${(0 to 5).map(j => s"CAST(sum(f$j*f$j) AS BIGINT) AS s$j")
+             .mkString(", ")} FROM f),
+         imp AS ($impRows)
+         SELECT feature, w_e4, sd_e4, abs(w_e4)*sd_e4 AS importance_e8
+         FROM imp ORDER BY importance_e8 DESC, feature"""
+    (trainSql, curveSql, importanceSql)
   }
 
   val oracles: Map[String, String] = Map(
     "q165_quality_train" -> q165TrainSql,
     "q168_training_curve" -> q168CurveSql,
+    "q199_quality_feature_importance" -> q199ImportanceSql,
     "q135_quality_drift" -> q135DriftSql,
     "q137_profile_store_drift" -> q135DriftSql,
     "q123_quality_model" ->
