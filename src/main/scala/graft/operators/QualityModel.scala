@@ -219,6 +219,12 @@ object QualityModel {
     (out.result(), raw)
   }
 
+  /** The trained model's e4 hard-sigmoid probability over the persisted
+    * feature frame — the confidence the calibration audit (q200) bins:
+    * pure integer clamp of the e8 logit, identical in any engine. */
+  def trainedProbE4FromFeatures(tw: TrainedWeights): Column =
+    hardSigmoidE4(trainedScoreE8FromFeatures(tw))
+
   /** The trained-model logit over a frame that already carries the
     * quantized feature columns f0..f5 (the frame
     * [[trainHardSigmoidTrajectoryKeepFeatures]] returns) — the same

@@ -511,6 +511,37 @@ object TextQueries {
       .orderBy(col("importance_e8").desc, col("feature"))
   }
 
+  /** q200: calibration (reliability) curve of the TRAINED quality model —
+    * docs binned by the model's hard-sigmoid confidence (10 e4-probability
+    * bins), each bin reporting its mean predicted probability next to the
+    * EMPIRICAL label rate. The "is 0.9 confidence actually right 90% of
+    * the time" audit that decides whether the keep threshold can move to
+    * another operating point without relabeling — the q165-family's
+    * fourth surface (fit → curve-over-iterations → feature importance →
+    * calibration). Same 16-round fit; the scoring pass reads the
+    * persisted training frame (probability is a pure integer clamp of the
+    * e8 logit) and one 10-row aggregate follows. Every cell is integer —
+    * means are integer DIVs — so the oracle (the q165 chain + one rollup)
+    * matches bit-for-bit. */
+  def q200CalibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModel
+    val docs = docsWide(spark, dir)
+    val label = fixedPoint(qualityScore(col("text")), 4) >= 5000L
+    val (traj, feats) = QualityModel.trainHardSigmoidTrajectoryKeepFeatures(
+      docs, "text", label, Nil, iters = 16, lr = 16L)
+    try {
+      feats
+        .select(QualityModel.trainedProbE4FromFeatures(traj.last).as("p"),
+          col("y"))
+        .groupBy(least(expr("p div 1000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(p) div count(1)").as("mean_p_e4"),
+          expr("sum(y) * 10000 div count(1)").as("label_rate_e4"))
+        .orderBy(col("bin"))
+        .localCheckpoint(true)
+    } finally feats.unpersist()
+  }
+
   /** q135: quality-distribution drift per source — each source's
     * quality-score decile histogram compared between snapshot A (even
     * doc_id) and snapshot B (odd doc_id) by exact-integer total-variation
@@ -656,6 +687,7 @@ object TextQueries {
     "q165_quality_train" -> (q165QualityTrain _),
     "q168_training_curve" -> (q168TrainingCurve _),
     "q199_quality_feature_importance" -> (q199FeatureImportance _),
+    "q200_quality_calibration_curve" -> (q200CalibrationCurve _),
     "q92_bigram_lm" -> (q92BigramLm _),
     "q93_blocklist" -> (q93Blocklist _),
     "q94_quality_gate" -> (q94QualityGate _),
@@ -728,14 +760,17 @@ object TextQueries {
   private def q165TrainSql: String = q165Derived._1
   private def q168CurveSql: String = q165Derived._2
   private def q199ImportanceSql: String = q165Derived._3
+  private def q200CalibrationSql: String = q165Derived._4
 
   /** One CTE chain (features → means → centered frame → 16 unrolled GD
-    * iterations), three final selects: q165 scores every doc under w16;
+    * iterations), four final selects: q165 scores every doc under w16;
     * q168 reads the training curve off the INTERMEDIATE weight CTEs
     * (w4/w8/w16 — the chain's own prefixes, nothing re-trains); q199
     * ranks the six features by |w16 weight| · corpus sd (one Σf² CTE over
-    * the centered frame — f0..f5 in `f` are already mean-centered). */
-  private lazy val q165Derived: (String, String, String) = {
+    * the centered frame — f0..f5 in `f` are already mean-centered); q200
+    * bins the w16 hard-sigmoid probability into the 10-cell reliability
+    * rollup. */
+  private lazy val q165Derived: (String, String, String, String) = {
     val iters = 16
     val zSql = "(w.b*10000 + w.w0*f.f0 + w.w1*f.f1 + w.w2*f.f2 + " +
       "w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5)"
@@ -813,13 +848,22 @@ object TextQueries {
          imp AS ($impRows)
          SELECT feature, w_e4, sd_e4, abs(w_e4)*sd_e4 AS importance_e8
          FROM imp ORDER BY importance_e8 DESC, feature"""
-    (trainSql, curveSql, importanceSql)
+    val calibrationSql = raw"""$withChain
+         SELECT least(p//1000, 9) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p)//count(*) AS BIGINT) AS mean_p_e4,
+           CAST(sum(y)*10000//count(*) AS BIGINT) AS label_rate_e4
+         FROM (SELECT greatest(0, least(10000,
+             5000 + CAST(floor($zSql/40000.0) AS BIGINT))) AS p, f.y
+           FROM f, w$iters w)
+         GROUP BY 1 ORDER BY bin"""
+    (trainSql, curveSql, importanceSql, calibrationSql)
   }
 
   val oracles: Map[String, String] = Map(
     "q165_quality_train" -> q165TrainSql,
     "q168_training_curve" -> q168CurveSql,
     "q199_quality_feature_importance" -> q199ImportanceSql,
+    "q200_quality_calibration_curve" -> q200CalibrationSql,
     "q135_quality_drift" -> q135DriftSql,
     "q137_profile_store_drift" -> q135DriftSql,
     "q123_quality_model" ->
